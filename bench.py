@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries": {...}, "sf"}.
+
+Timing method: per query, force full execution with a count-collapsing
+action over the result (``df.write.format("noop")`` — executes the whole
+plan including sinks, no driver materialization cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: one per operator family — enough to profile scan, shuffle,
+# join, window, and UDF paths without re-running the entire registry.
+HEADLINE = [
+    "flagship_pricing_summary",
+    "join_broadcast_equi",
+    "join_sortmerge_equi",
+    "join_asof",
+    "agg_rollup",
+    "win_topk_per_group",
+    "fn_json",
+    "dedup_exact",
+    "dedup_minhash",
+    "sim_search_cosine",
+    "stream_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0  # unknown scale tag; timings still valid
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.session import get_spark
+
+    spark = get_spark(app_name="cda-bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry] or list(registry)[:5]
+
+    # warm the JVM + parquet footers once so timings measure the engine
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Named query registry — the single source of truth behind __spark_entry__.py.
+
+Every operator from SURVEY.md §2 registers here as a ``Query``:
+
+- ``fn(spark, sf_dir) -> DataFrame``: the Spark-native implementation.
+- ``oracle``: equivalent SQL that DuckDB runs over the same parquet tables
+  (tables pre-registered as views). ``None`` => the op is not SQL-expressible
+  (approx sketches, hash-dependent LSH, streaming state) and the driver
+  records a weaker rows-only check.
+
+Determinism rules (SURVEY.md §5/§7 hard parts):
+- alias every computed column identically in Spark and SQL (the driver's
+  compare sorts columns by NAME before hashing values);
+- round floating aggregates (sum-order across partitions is not associative
+  in IEEE754; rounding makes the hash stable);
+- cast integer SUMs to BIGINT explicitly (DuckDB widens to HUGEINT);
+- top-k/rank queries carry unique tie-breaker keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, "Query"] = {}
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a named query with its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return deco
+
+
+def _load_all_modules() -> None:
+    # Import side-effect: each module registers its queries.
+    from canvas_data_aws_spark.plans import (  # noqa: F401
+        aggregates,
+        functions_q,
+        ingest_q,
+        joins_q,
+        llm_q,
+        relational,
+        sets_sorts,
+        streaming_q,
+        windows_q,
+    )
+
+
+_LOADED = False
+
+
+def all_queries() -> dict[str, Query]:
+    global _LOADED
+    if not _LOADED:
+        _load_all_modules()
+        _LOADED = True
+    return QUERIES
+
+
+def query_map() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in all_queries().items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}

@@ -1,0 +1,218 @@
+"""B.1 scans/sources/sinks + B.2 projection/filter (SURVEY.md §2).
+
+The flagship query lives here: a TPC-H Q1-shaped pricing summary over
+``lineitem`` — scan → filter → project → hash-aggregate → sort in one plan.
+At 100 TB this is a pure map-side-partial + single-shuffle aggregate over a
+low-cardinality key (6 groups): Catalyst plans partial aggregation before the
+exchange, so shuffled bytes are O(groups × partitions), not O(rows).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from canvas_data_aws_spark.plans.registry import register
+from canvas_data_aws_spark.sources.parquet import load_table
+
+
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem pricing summary (TPC-H Q1 shape).
+
+    Covers scan_parquet, filter_predicate, project_select, agg_hash_groupby,
+    sort_global in a single plan — the reference's primary query pattern
+    (star-schema warehousing delegated to SQL; SURVEY.md §2 Part B).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2)                                          AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2)                                     AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+  ROUND(AVG(l_quantity), 4)                                          AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4)                                     AS avg_price,
+  ROUND(AVG(l_discount), 4)                                          AS avg_disc,
+  COUNT(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+register(
+    "flagship_pricing_summary",
+    FLAGSHIP_ORACLE,
+    doc="TPC-H Q1-shaped lineitem pricing summary (scan+filter+agg+sort).",
+    tags=("flagship", "agg"),
+)(flagship_pricing_summary)
+
+
+# --------------------------------------------------------------------------
+# B.1 scans / sources / sinks
+# --------------------------------------------------------------------------
+
+@register(
+    "scan_parquet",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="Columnar scan with explicit column order (column pruning reaches the reader).",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "scan_catalog_table",
+    "SELECT r_regionkey, r_name FROM region",
+    doc="Query a registered table by name via spark.table (catalog surface; "
+    "the reference enables this via Glue registration, sync-canvas-data-files.py:170-235).",
+)
+def scan_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("cda_region_view")
+    return spark.table("cda_region_view").select("r_regionkey", "r_name")
+
+
+@register(
+    "scan_tsv_gzip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="Raw-zone fidelity: round-trip a table through header-less gzip TSV "
+    "with declared schema (the reference's at-rest format, "
+    "sync-canvas-data-files.py:177-202) and read it back.",
+)
+def scan_tsv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.sources.tsv import read_tsv_gzip, write_tsv_gzip
+
+    nation = load_table(spark, sf_dir, "nation")
+    out = os.path.join(tempfile.gettempdir(), "cda_raw_zone", "nation")
+    write_tsv_gzip(nation, out)
+    return read_tsv_gzip(spark, out, nation.schema).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "sink_parquet",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    doc="Curated-zone write + read-back (df.write.parquet).",
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = os.path.join(tempfile.gettempdir(), "cda_curated", "supplier")
+    sup.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@register(
+    "sink_partitioned",
+    "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+    doc="Partitioned layout write (partitionBy o_orderstatus) + read-back; fixes the "
+    "reference's PartitionKeys:[] (sync-canvas-data-files.py:184) — at 100 TB the "
+    "partition column prunes entire directories before the scan.",
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    out = os.path.join(tempfile.gettempdir(), "cda_curated", "orders_by_status")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    # partition column comes back typed as read; re-select with explicit casts for parity
+    return back.select(
+        "o_orderkey", "o_custkey", F.col("o_orderstatus").cast("string").alias("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# B.2 projection / filter / null semantics
+# --------------------------------------------------------------------------
+
+@register(
+    "project_select",
+    """
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_extendedprice * (1 - l_discount) AS net_price,
+      CAST(l_quantity AS BIGINT)                   AS qty_int,
+      UPPER(l_returnflag)                          AS flag_uc
+    FROM lineitem
+    """,
+    doc="Column pruning + computed/renamed columns; only 5 of 11 columns should reach the scan.",
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.upper("l_returnflag").alias("flag_uc"),
+    )
+
+
+@register(
+    "filter_predicate",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus IN ('O', 'F'))
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND o_orderpriority LIKE '1-%'
+      AND NOT (o_custkey % 10 = 3)
+    """,
+    doc="Compound predicate: IN + BETWEEN + LIKE + NOT, pushed to the parquet scan.",
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 200000)
+        & F.col("o_orderpriority").like("1-%")
+        & ~(F.col("o_custkey") % 10 == 3)
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "filter_null_semantics",
+    """
+    SELECT
+      COUNT(*)                                            AS n_rows,
+      COUNT(status_or_null)                               AS n_not_null,
+      CAST(SUM(CASE WHEN status_or_null IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      CAST(SUM(CAST((CASE WHEN status_or_null = 'O' THEN 1 WHEN status_or_null IS NULL THEN NULL ELSE 0 END) IS NULL AS BIGINT)) AS BIGINT) AS n_3vl_unknown
+    FROM (SELECT NULLIF(o_orderstatus, 'F') AS status_or_null FROM orders)
+    """,
+    doc="Three-valued NULL logic: NULLIF-fabricated NULLs, COUNT(col) vs COUNT(*), UNKNOWN in comparisons.",
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("status_or_null")
+    )
+    cmp = F.when(F.col("status_or_null") == "O", 1).when(F.col("status_or_null").isNull(), F.lit(None)).otherwise(0)
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("status_or_null").alias("n_not_null"),
+        F.sum(F.when(F.col("status_or_null").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+        F.sum(cmp.isNull().cast("bigint")).cast("bigint").alias("n_3vl_unknown"),
+    )

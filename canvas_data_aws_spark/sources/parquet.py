@@ -1,0 +1,51 @@
+"""Curated-zone (columnar) table loaders.
+
+The reference's at-rest model is row-oriented gzip TSV registered table-by-
+table in a catalog (see /root/reference/lambda/sync-canvas-data-files.py:177-202);
+its columnar benefits are delegated entirely to the downstream engine. Our
+curated zone is Parquet so Catalyst gets predicate pushdown, column pruning
+and vectorized scans for free — strictly better than the reference's storage
+(SURVEY.md §4). The driver's fixture tables are already Parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver fixture corpus (TESTDATA.md): TPC-H-ish star schema + extension
+# tables for streaming / LLM-data operators.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables — always broadcast-join candidates at any scale.
+SMALL_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Schema comes from the Parquet footer —
+    schemas are *declared*, never inferred from data (the reference registers
+    explicit typed columns; Parquet footers serve that role here)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every fixture table to Spark SQL by name (the engine-native
+    analog of the reference's Glue catalog registration)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
