@@ -36,8 +36,20 @@ SMALL_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part", 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Schema comes from the Parquet footer —
     schemas are *declared*, never inferred from data (the reference registers
-    explicit typed columns; Parquet footers serve that role here)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    explicit typed columns; Parquet footers serve that role here).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read nanos as long (runtime-settable legacy
+    conf) and convert losslessly to a microsecond timestamp (the fixture has
+    no sub-microsecond components)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
