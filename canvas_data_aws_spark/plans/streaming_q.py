@@ -1,1 +1,159 @@
-"""Placeholder — populated in a later milestone."""
+"""B.9 streaming analog queries (SURVEY.md §2).
+
+Driver checks are batch-shaped, so each windowed op registers its batch
+equivalent (``window()``/``session_window()`` evaluate identically in batch)
+— except ``stream_file_source``, which runs a REAL Structured Streaming job
+(file source -> availableNow -> memory sink) and returns its result table:
+the oracle then proves streaming and batch semantics agree.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from canvas_data_aws_spark.plans.registry import register
+from canvas_data_aws_spark.sources.parquet import load_table
+from canvas_data_aws_spark.streaming.ops import (
+    file_stream_source,
+    session_window_agg,
+    sliding_window_agg,
+    start_available_now,
+    tumbling_window_agg,
+)
+
+_TUMBLING_ORACLE = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+"""
+
+
+@register(
+    "stream_tumbling_window",
+    _TUMBLING_ORACLE,
+    doc="Tumbling 1-day windows over the event stream (batch shape; the "
+    "streaming shape is identical and exercised by stream_file_source).",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_agg(load_table(spark, sf_dir, "events"), "1 day")
+
+
+@register(
+    "stream_sliding_window",
+    """
+    WITH starts AS (
+      SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS window_start FROM events
+      UNION ALL
+      SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP) FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events
+    FROM starts
+    GROUP BY window_start
+    """,
+    doc="Sliding 1h/30m hop windows: every event lands in exactly 2 windows "
+    "(oracle: union of the two phase-shifted tumbling assignments).",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_agg(load_table(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    doc="Session windows (30-min inactivity gap) per user. Oracle re-derives "
+    "sessions via gaps-and-islands; boundary semantics pinned: a gap of "
+    "exactly the timeout starts a NEW session (windows are [start, last+gap)).",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_agg(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
+@register(
+    "stream_watermark_late",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    GROUP BY 1
+    """,
+    doc="Watermark semantics in batch form: with watermark = max(ts) - 1h, "
+    "exactly the hour-windows whose END is at-or-before the watermark are "
+    "finalized (what append-mode streaming would have emitted).",
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("wm"))
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "n_events")
+    )
+    return (
+        agg.crossJoin(F.broadcast(horizon))
+        .filter(F.col("window_end") <= F.col("wm"))
+        .select("window_start", "n_events")
+    )
+
+
+@register(
+    "stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming dedup analog (dropDuplicates; with a watermark in the "
+    "streaming shape the key state is bounded — idempotence_guard parity, "
+    "fetch-canvas-data-file.py:25-31).",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+
+
+@register(
+    "stream_file_source",
+    _TUMBLING_ORACLE,
+    doc="REAL Structured Streaming run: events staged to a directory, file "
+    "source with checkpointed discovery, availableNow trigger (the daily-"
+    "cron analog), tumbling agg into a memory sink; returns the sink table. "
+    "Oracle equality proves the streaming pipeline matches batch semantics.",
+)
+def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    workdir = tempfile.mkdtemp(prefix="cda_stream_src_")
+    src_dir = os.path.join(workdir, "in")
+    events.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = file_stream_source(spark, src_dir, schema, fmt="parquet")
+    agg = tumbling_window_agg(stream, "1 day")
+    query, name = start_available_now(agg, sink_format="memory", output_mode="complete")
+    query.awaitTermination(120)
+    result = spark.table(name).cache()
+    result.count()  # materialize before the temp dir is removed
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result
