@@ -1,0 +1,152 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side machinery — schemas, batch iteration, partition sizing,
+UDF signatures — is real and tested; the actual media decoding is stubbed
+behind ``decode_media_stub`` because codec libraries (PIL/ffmpeg/librosa)
+are not in this environment. Each stub either raises ``NotImplementedError`` (strict
+mode) or produces a deterministic fake derived from the bytes (test mode),
+so pipelines exercise the exact dataflow a real decoder would use.
+
+Batch shape contract: ``mapInPandas`` receives an iterator of pandas frames
+(Arrow batches, bounded by spark.sql.execution.arrow.maxRecordsPerBatch) —
+decode cost is amortized per batch and memory is bounded per batch, which
+is what makes this safe against 100 TB of media files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical multimodal record schema: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),  # 'image' | 'audio' | 'video'
+        StructField("content", BinaryType()),
+        StructField("content_type", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256_prefix", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real decoder: derives (width, height,
+    n_frames) from the ASCII codes of the payload's sha256 hexdigest (a
+    formula any SQL engine can replicate, keeping the stub oracle-checkable).
+    Replace with PIL/ffmpeg in production — the calling dataflow does not
+    change."""
+    d = hashlib.sha256(content or b"").hexdigest()
+    width = 64 + (ord(d[0]) * 7 + ord(d[1])) % 192
+    height = 64 + (ord(d[2]) * 7 + ord(d[3])) % 192
+    n_frames = 1 + (ord(d[4]) * 7 + ord(d[5])) % 32
+    return width, height, n_frames
+
+
+def decode_media_stub(content: bytes) -> tuple[int, int, int]:
+    """Strict-mode decoder entry point: the real implementation requires
+    codec libraries not present in this environment."""
+    raise NotImplementedError(
+        "media decoding requires PIL/ffmpeg/librosa; use extract_features("
+        "strict=False) for the deterministic fake decoder"
+    )
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Fabricate a multimodal table from the documents fixture: utf-8 bytes
+    as the opaque payload (the driver corpus ships no real media)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("content_type"),
+        F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode / feature-extract over the binary column via mapInPandas.
+
+    One Arrow batch at a time; output rows align 1:1 with input rows. In
+    ``strict`` mode the decoder raises (no codec libs here); otherwise the
+    deterministic fake decoder stands in.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                (decode_media_stub(c) if strict else _fake_decode(c)) for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(c or b"") for c in pdf["content"]],
+                    "sha256_prefix": [
+                        hashlib.sha256(c or b"").hexdigest()[:8] for c in pdf["content"]
+                    ],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10, strict: bool = False) -> DataFrame:
+    """Video frame sampling stub: one output row per sampled frame index —
+    a 1:N mapInPandas expansion (the real version would emit decoded frame
+    tensors; the plumbing — schema, expansion, batch bounds — is identical)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_no", IntegerType()),
+            StructField("frame_sha256", StringType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, hashes = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if strict:
+                    decode_media_stub(content)
+                _w, _h, n_frames = _fake_decode(content)
+                for fno in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    frames.append(fno)
+                    hashes.append(
+                        hashlib.sha256((content or b"") + fno.to_bytes(4, "big")).hexdigest()[:8]
+                    )
+            yield pd.DataFrame({"media_id": ids, "frame_no": frames, "frame_sha256": hashes})
+
+    return media.filter(F.col("modality") == "video").mapInPandas(_sample, out_schema)

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a production pipeline would stage them:
+
+- ``cosine_topk_bruteforce`` — exact: broadcast the (small) query set
+  against the (huge) corpus; one scan, no shuffle until the final top-k.
+  The per-pair dot product is a JVM ``zip_with``/``aggregate`` — no Python.
+- ``ivf_topk`` — the scale path: KMeans coarse quantizer (IVF); corpus
+  vectors are bucketed by nearest centroid once (a write-time partitioning
+  at 100 TB), queries probe only the ``nprobe`` nearest buckets, cutting
+  scanned vectors by ~n_clusters/nprobe.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    queries is broadcast (query sets are small by construction); the corpus
+    is scanned once with the dot product evaluated in codegen; the final
+    per-query top-k is a window over (query_id) — k rows per query survive
+    the shuffle (rank pushdown keeps the exchange tiny).
+    Ties broken by corpus id ascending for determinism.
+    """
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cvec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    With ``block_col`` the pair join is equi-blocked (only same-block pairs
+    compared) — at scale the block would be an LSH bucket or IVF cell id;
+    without it this is an honest all-pairs (small corpora only).
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        *([F.col(block_col).alias("__blk_b")] if block_col else []),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("__blk") == F.col("__blk_b"))
+    return (
+        a.join(b, cond)
+        .select("id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer (KMeans, seeded).
+
+    Index build (once, write-time at scale): KMeans over the corpus; each
+    vector assigned to its nearest centroid cell. Query: score the query
+    against every centroid (tiny broadcast), keep the ``nprobe`` nearest
+    cells, then brute-force only vectors in those cells. Recall < 1.0 by
+    construction — rows-only in the oracle gate.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus_v = corpus.select(
+        F.col(corpus_id), F.col(vec_col).alias("__arr")
+    ).withColumn("features", array_to_vector(_as_double(F.col("__arr"))))
+
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select(corpus_id, "__arr", "cell")
+
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent_df = corpus.sparkSession.createDataFrame(centroids, ["cell", "centroid"])
+
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
+    # probe list: nprobe nearest centroids per query
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select(
+            query_id,
+            "__qvec",
+            "cell",
+            cosine(F.col("__qvec"), F.col("centroid")).alias("cent_sim"),
+        )
+        .withColumn(
+            "cent_rank",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(F.col("cent_sim").desc(), F.col("cell"))
+            ),
+        )
+        .filter(F.col("cent_rank") <= nprobe)
+        .select(query_id, "__qvec", "cell")
+    )
+
+    scored = q_cells.join(assigned, "cell").select(
+        query_id,
+        corpus_id,
+        F.round(cosine(F.col("__arr"), F.col("__qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )

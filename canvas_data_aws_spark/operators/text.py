@@ -1,0 +1,108 @@
+"""Text-analysis operators for corpus curation (language-ID, quality
+scoring, token counting, fingerprinting) — all JVM built-ins, designed so a
+100 TB pass is a single scan with no shuffle (every operator is row-local).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+#: Tiny per-language stopword anchors for the n-gram/stopword heuristic.
+#: Deliberately small and explicit so the same logic is SQL-expressible.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "que"],
+}
+
+#: A BPE-ish tokenizer regex: word pieces, numbers, or single non-space
+#: symbols (the shape GPT-style pre-tokenizers use).
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def stopword_hits(col: Column, words: list[str]) -> Column:
+    """Occurrences of any anchor stopword (word-boundary match)."""
+    total = F.lit(0).cast("bigint")
+    for w in words:
+        total = total + F.regexp_count(F.lower(col), F.lit(rf"\b{w}\b")).cast("bigint")
+    return total
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(col, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of stopword-anchor hit counts, 'und'
+    when nothing matches. Ties resolved by fixed language order (en, fr,
+    de, es) for determinism."""
+    scores = lang_scores(col)
+    best = F.lit("und")
+    best_score = F.lit(0).cast("bigint")
+    for lang in ("es", "de", "fr", "en"):  # reversed so earlier langs win ties
+        s = scores[lang]
+        best = (
+            F.when(s > best_score, F.lit(lang))
+            .when((s == best_score) & (s > 0), F.lit(lang))
+            .otherwise(best)
+        )
+        best_score = F.greatest(best_score, s)
+    return best
+
+
+def token_count_whitespace(col: Column) -> Column:
+    return F.size(F.split(F.trim(col), r"\s+")).cast("bigint")
+
+
+def token_count_bpe_ish(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(TOKEN_REGEX)).cast("bigint")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Row-local quality features: length, word stats, punctuation and
+    stopword ratios, plus a composite [0,1] quality score."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("bigint")
+    n_tokens = token_count_whitespace(t)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("bigint")
+    n_stop = stopword_hits(t, LANG_STOPWORDS["en"])
+    mean_word_len = (n_chars - n_tokens + 1) / n_tokens
+
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    wordlen_score = F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.0)
+    raw_score = 0.4 * length_score + 0.3 * wordlen_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+    # floor-quantize instead of round: both engines compute the identical
+    # IEEE754 double for raw_score, and floor is unambiguous on that double,
+    # whereas round() tie-breaking differs across engines by 1 ulp
+    score = F.floor(raw_score * 1_000_000) / 1_000_000
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        punct_ratio.alias("q_punct_ratio"),
+        stop_ratio.alias("q_stop_ratio"),
+        F.round(mean_word_len, 6).alias("q_mean_word_len"),
+        score.alias("q_score"),
+    )
+
+
+#: Rolling-hash parameters (polynomial fingerprint mod a 31-bit prime; the
+#: accumulator stays < 2^40, safely inside BIGINT in both engines).
+FP_BASE = 131
+FP_MOD = 1_000_000_007
+
+
+def fingerprint_rolling(col: Column) -> Column:
+    """Deterministic polynomial rolling hash over the normalized character
+    stream: acc = (acc*131 + code) mod 1e9+7. Engine-portable (same result
+    in any engine with 64-bit integers) — unlike murmur/xxhash fingerprints."""
+    chars = F.filter(F.split(F.trim(F.lower(col)), ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
+    )

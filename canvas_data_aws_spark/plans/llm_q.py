@@ -1,1 +1,333 @@
-"""Placeholder — populated in a later milestone."""
+"""B.10 + training-data-pipeline operators (SURVEY.md §2, M6):
+deduplication tiers, similarity search, text analysis, multimodal plumbing.
+
+Exact operators (exact dedup, n-gram Jaccard, brute-force cosine, text
+stats, fingerprints, even the deterministic multimodal decode stub) carry
+full DuckDB oracles; sketch/seed-dependent operators (MinHash-LSH, SimHash
+via xxhash64, KMeans-IVF) are rows-only by nature — their guarantees are
+probabilistic, not value-exact.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from canvas_data_aws_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from canvas_data_aws_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+from canvas_data_aws_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    embedding_near_dup_pairs,
+    ivf_topk,
+)
+from canvas_data_aws_spark.operators.text import (
+    fingerprint_rolling,
+    lang_id,
+    quality_features,
+    token_count_bpe_ish,
+    token_count_whitespace,
+)
+from canvas_data_aws_spark.plans.registry import register
+from canvas_data_aws_spark.sources.parquet import load_table
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY {_NORM}
+    """,
+    doc="Exact dedup: hash-groupBy on sha2(normalized text), keep min id "
+    "(tier 1 of the dedup cascade).",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b,
+             COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / (n_a + n_b - inter), 6) AS jaccard
+    FROM pairs
+    WHERE inter / (n_a + n_b - inter) >= 0.2
+    """,
+    doc="Exact 3-word-shingle Jaccard similarity join via inverted index "
+    "(tier 2): candidate pairs from a shingle equi-join, never all-pairs.",
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.2
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64-based fingerprints are engine-specific — rows-only
+    doc="SimHash near-dup candidates (tier 3): 64-bit locality hash, banded "
+    "equi-join, exact Hamming verify — all JVM built-ins.",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=7, bands=4
+    )
+
+
+@register(
+    "dedup_minhash",
+    None,  # MinHash signatures are seed/hash-specific — rows-only
+    doc="MinHash+LSH near-dup pairs (tier 4): MLlib MinHashLSH "
+    "approxSimilarityJoin over binary shingle features.",
+)
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), jaccard_threshold=0.2
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
+    doc="Semantic near-dup pairs (tier 5): cosine over embeddings, "
+    "label-blocked (the block stands in for an LSH/IVF bucket at scale).",
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
+    )
+
+
+@register(
+    "sim_search_cosine",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qvec AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="Brute-force cosine top-10 for 5 query vectors: broadcast queries, "
+    "single corpus scan, per-query top-k window (the exact baseline ANN "
+    "variants are measured against).",
+)
+def sim_search_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_bruteforce(emb, queries, k=10)
+    return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "sim_search_ivf",
+    None,  # KMeans centroids are iterative/seed-dependent — rows-only
+    doc="IVF approximate top-k (scale path): seeded KMeans coarse quantizer, "
+    "nprobe=4 of 16 cells probed per query (~4x scan reduction; recall<1).",
+)
+def sim_search_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, n_clusters=16, nprobe=4)
+
+
+_SCORE = {
+    lang: " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words
+    )
+    for lang, words in {
+        "en": ["the", "and", "of"],
+        "fr": ["le", "la", "et"],
+        "de": ["der", "und", "die"],
+        "es": ["el", "los", "que"],
+    }.items()
+}
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_SCORE['en']} AS s_en,
+             {_SCORE['fr']} AS s_fr,
+             {_SCORE['de']} AS s_de,
+             {_SCORE['es']} AS s_es
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'und' END AS pred_lang
+    FROM s
+    """,
+    doc="Heuristic language ID: argmax of stopword-anchor hits with pinned "
+    "priority-order tie-breaking; emitted next to the labeled lang column.",
+)
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), lang_id(F.col("text")).alias("pred_lang")
+    )
+
+
+@register(
+    "text_quality",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             LENGTH(text) AS n_chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             len(regexp_extract_all(lower(text), '\\bthe\\b'))
+               + len(regexp_extract_all(lower(text), '\\band\\b'))
+               + len(regexp_extract_all(lower(text), '\\bof\\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(n_punct / GREATEST(n_chars, 1), 6)  AS punct_ratio,
+           ROUND(n_stop / GREATEST(n_tokens, 1), 6)  AS stop_ratio,
+           ROUND((n_chars - n_tokens + 1) / n_tokens, 6) AS mean_word_len,
+           FLOOR((0.4 * LEAST(n_chars / 500.0, 1.0)
+               + 0.3 * (CASE WHEN (n_chars - n_tokens + 1) / n_tokens >= 3
+                              AND (n_chars - n_tokens + 1) / n_tokens <= 10
+                             THEN 1.0 ELSE 0.0 END)
+               + 0.3 * LEAST(ROUND(n_stop / GREATEST(n_tokens, 1), 6) * 5, 1.0)) * 1000000) / 1000000 AS q_score
+    FROM f
+    """,
+    doc="Quality scoring: length/punctuation/stopword ratios + composite "
+    "[0,1] score — one row-local scan, no shuffle.",
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = quality_features(d)
+    return feats.select(
+        "doc_id",
+        F.col("q_n_chars").alias("n_chars"),
+        F.col("q_n_tokens").alias("n_tokens"),
+        F.col("q_punct_ratio").alias("punct_ratio"),
+        F.col("q_stop_ratio").alias("stop_ratio"),
+        F.col("q_mean_word_len").alias("mean_word_len"),
+        "q_score",
+    )
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish pre-tokenizer regex "
+    "(word pieces | numbers | single symbols).",
+)
+def text_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_whitespace(F.col("text")).alias("n_ws_tokens"),
+        token_count_bpe_ish(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(trim(lower(text)), ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 131 + b) % 1000000007
+           ) AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprint: polynomial rolling hash (base 131 mod 1e9+7) "
+    "over the normalized character stream — engine-portable by construction, "
+    "unlike murmur/xxhash.",
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_rolling(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(sha256(text), 1, 8) AS sha256_prefix,
+           CAST(64 + (ascii(substr(sha256(text), 1, 1)) * 7 + ascii(substr(sha256(text), 2, 1))) % 192 AS INT) AS width,
+           CAST(64 + (ascii(substr(sha256(text), 3, 1)) * 7 + ascii(substr(sha256(text), 4, 1))) % 192 AS INT) AS height,
+           CAST(1 + (ascii(substr(sha256(text), 5, 1)) * 7 + ascii(substr(sha256(text), 6, 1))) % 32 AS INT) AS n_frames
+    FROM documents
+    """,
+    doc="Multimodal plumbing: opaque binary payloads + typed metadata decoded "
+    "via Arrow-batched mapInPandas. The decoder is a clearly-marked "
+    "deterministic stub (sha256-derived dims; real codecs absent here), so "
+    "even the stub is oracle-checked; the dataflow is production-shaped.",
+)
+def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, strict=False)
+
+
+@register(
+    "multimodal_frame_sample",
+    None,  # 1:N expansion with per-frame blob hashing — rows-only
+    doc="Video frame-sampling stub: 1:N mapInPandas expansion (every 10th "
+    "frame), per-frame digest — the plumbing a real ffmpeg sampler would use.",
+)
+def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return frame_sample(media, every_n=10, strict=False)

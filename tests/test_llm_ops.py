@@ -1,0 +1,100 @@
+"""Quality tests for the approximate LLM-data operators. These are
+rows-only in the oracle gate (sketches are engine-specific), so recall
+against the exact tiers is asserted here instead."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from canvas_data_aws_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from canvas_data_aws_spark.operators.multimodal import (
+    decode_media_stub,
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+from canvas_data_aws_spark.operators.similarity import cosine_topk_bruteforce, ivf_topk
+from canvas_data_aws_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_minhash_recall_against_exact_jaccard(docs):
+    """MinHash-LSH at threshold 0.5 must recover most truly-similar pairs."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.4).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(exact)} exact pairs"
+
+
+def test_simhash_finds_high_jaccard_pairs(docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    sh = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=16, bands=8).collect()
+    }
+    assert exact
+    recall = len(exact & sh) / len(exact)
+    assert recall >= 0.7, f"simhash recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_ivf_recall_against_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing half the cells of a random corpus: recall well above chance
+    assert recall >= 0.5, f"ivf recall {recall:.2f}"
+    # every query answered with a full k
+    assert len(approx) == 10 * 10
+
+
+def test_multimodal_strict_mode_raises():
+    with pytest.raises(NotImplementedError, match="media decoding requires"):
+        decode_media_stub(b"\x89PNG")
+
+
+def test_multimodal_plumbing_shapes(docs, spark):
+    media = documents_as_media(docs.limit(60))
+    feats = extract_features(media, strict=False)
+    rows = feats.collect()
+    assert len(rows) == 60  # 1:1 row alignment through mapInPandas
+    assert all(64 <= r["width"] < 256 and 64 <= r["height"] < 256 for r in rows)
+    assert all(1 <= r["n_frames"] <= 32 for r in rows)
+
+    frames = frame_sample(media, every_n=10, strict=False)
+    frows = frames.collect()
+    video_ids = {r["media_id"] for r in media.filter(F.col("modality") == "video").collect()}
+    assert {r["media_id"] for r in frows} == video_ids  # only videos expand
+    assert all(r["frame_no"] % 10 == 0 for r in frows)
