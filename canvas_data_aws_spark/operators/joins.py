@@ -10,7 +10,7 @@ rules needed).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 
@@ -59,23 +59,28 @@ def asof_join(
     (``<=``), ties broken by ``tie_breakers`` descending (must make the right
     side unique for determinism). ``how='left'`` keeps unmatched left rows.
 
-    Implementation: equi-range join + per-left-row ``row_number`` dedup.
-    Catalyst plans the equi-key shuffle; the window re-uses the same hash
-    partitioning on the left key via the subsequent partitionBy, so at scale
-    this is two stages over one logical shuffle footprint. For very wide time
-    ranges, pre-bucket right by (key, coarse time bucket) to bound the
-    intermediate fan-out.
+    Implementation: equi-range join + per-left-row argmax via MAX over a
+    (right_ts, tie_breakers..., right columns) struct. The aggregation gets
+    map-side partial combine, so the join fan-out collapses to one row per
+    left row *before* the shuffle — at scale this moves O(left rows), not
+    O(join matches), through the exchange (a window-dedup would shuffle the
+    full fan-out). For very wide time ranges, additionally pre-bucket right
+    by (key, coarse time bucket) to bound the join fan-out itself.
     """
     tie_breakers = tie_breakers or []
-    # Tag every left row uniquely so the dedup window has a stable partition.
-    lid = F.monotonically_increasing_id().alias("__asof_lid")
-    ltagged = left.select(lid, "*")
+    left_cols = left.columns
+    right_cols = right.columns
+    # Tag every left row uniquely so the argmax groups by exactly one left row.
+    ltagged = left.select(F.monotonically_increasing_id().alias("__asof_lid"), "*")
     cond = (ltagged[left_key] == right[right_key]) & (right[right_ts] <= ltagged[left_ts])
     joined = ltagged.join(right, cond, "left" if how == "left" else "inner")
-    order = [F.col(right_ts).desc_nulls_last()] + [F.col(t).desc_nulls_last() for t in tie_breakers]
-    w = Window.partitionBy("__asof_lid").orderBy(*order)
-    return (
-        joined.withColumn("__asof_rn", F.row_number().over(w))
-        .filter(F.col("__asof_rn") == 1)
-        .drop("__asof_rn", "__asof_lid")
+
+    ordered_fields = [right_ts] + tie_breakers
+    rest = [c for c in right_cols if c not in ordered_fields]
+    best = F.max(F.struct(*ordered_fields, *rest)).alias("__asof_best")
+    agg = joined.groupBy("__asof_lid").agg(
+        *[F.first(c).alias(c) for c in left_cols], best
+    )
+    return agg.select(
+        *left_cols, *[F.col(f"__asof_best.{c}").alias(c) for c in right_cols]
     )

@@ -20,6 +20,11 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS: dict[str, str] = {
+    # --- memory: local[N] hosts every executor thread inside the driver JVM,
+    # so the default 1g heap starves 32 threads; size it to the machine
+    # (cluster deployments override via spark-submit) -------------------------
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.driver.maxResultSize": "4g",
     # --- adaptive execution: the scale story ---------------------------------
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -1,0 +1,60 @@
+"""Semantics tests for the composite join operators (as-of semantics are
+pinned in SURVEY.md §7 hard part c: backward inclusive, tie-break desc,
+left variant keeps unmatched rows)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from canvas_data_aws_spark.operators.joins import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-10T00:00:00")),
+            (2, 100, _ts("2024-01-05T00:00:00")),
+            (3, 200, _ts("2024-01-01T00:00:00")),  # no order at-or-before
+            (4, 300, _ts("2024-01-02T00:00:00")),  # key missing from right
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, _ts("2024-01-01T00:00:00")),
+            (11, 100, _ts("2024-01-05T00:00:00")),  # exactly-at boundary
+            (12, 100, _ts("2024-01-05T00:00:00")),  # tie on ts -> max key wins
+            (13, 200, _ts("2024-06-01T00:00:00")),  # only after left ts
+        ],
+        ["order_id", "cust_id", "odate"],
+    )
+    return left, right
+
+
+def test_asof_inner_backward_inclusive_with_ties(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, "user_id", "cust_id", "ts", "odate", tie_breakers=["order_id"], how="inner"
+    )
+    got = {r["event_id"]: r["order_id"] for r in out.collect()}
+    # event 1: latest odate <= 01-10 is 01-05 (tie between 11,12 -> 12)
+    # event 2: boundary inclusive at 01-05 -> 12; events 3,4: no match, dropped
+    assert got == {1: 12, 2: 12}
+
+
+def test_asof_left_keeps_unmatched(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, "user_id", "cust_id", "ts", "odate", tie_breakers=["order_id"], how="left"
+    )
+    got = {r["event_id"]: r["order_id"] for r in out.collect()}
+    assert got == {1: 12, 2: 12, 3: None, 4: None}
+    # row count preserved: exactly one output row per left row
+    assert out.count() == left.count()

@@ -1,0 +1,82 @@
+"""Scale-property assertions on physical plans (SURVEY.md §4 / M7):
+pushdown reaches the scan, pruning reaches the reader, small dims broadcast,
+top-k fuses, aggregates combine map-side. A regression here is a silent
+100x slowdown at scale even though results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from canvas_data_aws_spark.plans.audit import (
+    explain_str,
+    has_operator,
+    pushed_filters,
+    read_schema_columns,
+)
+from canvas_data_aws_spark.plans.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return all_queries()
+
+
+def _plan(registry, spark, sf_dir, name):
+    return explain_str(registry[name].fn(spark, sf_dir))
+
+
+def test_filter_pushdown_reaches_scan(registry, spark, sf_dir):
+    plan = _plan(registry, spark, sf_dir, "filter_predicate")
+    pushed = pushed_filters(plan)
+    assert any("o_totalprice" in f for f in pushed), f"no pushed range filter: {pushed}"
+    assert any("In(o_orderstatus" in f for f in pushed), f"no pushed IN filter: {pushed}"
+
+
+def test_projection_prunes_scan_columns(registry, spark, sf_dir):
+    plan = _plan(registry, spark, sf_dir, "project_select")
+    cols = read_schema_columns(plan)
+    assert "l_tax" not in cols and "l_shipdate" not in cols, f"scan reads too much: {cols}"
+    assert {"l_orderkey", "l_extendedprice", "l_discount"} <= cols
+
+
+def test_dim_joins_broadcast(registry, spark, sf_dir):
+    plan = _plan(registry, spark, sf_dir, "join_broadcast_equi")
+    assert has_operator(plan, "BroadcastHashJoin"), plan[:2000]
+    assert not has_operator(plan, "SortMergeJoin"), "dim join degraded to SMJ"
+
+
+def test_topk_fuses_to_take_ordered(registry, spark, sf_dir):
+    plan = _plan(registry, spark, sf_dir, "topk_order_limit")
+    assert has_operator(plan, "TakeOrderedAndProject"), plan[:2000]
+    # a global Sort would materialize the whole table ordering
+    assert not has_operator(plan, "Exchange rangepartitioning"), "top-k fell back to global sort"
+
+
+def test_flagship_aggregates_partially_before_shuffle(registry, spark, sf_dir):
+    df = registry["flagship_pricing_summary"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    # partial + final HashAggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+    # codegen spans only materialize in the AQE final plan: execute, then
+    # look for the '*(n)' whole-stage markers in the finalized simple plan
+    df.collect()
+    final = explain_str(df, mode="simple")
+    assert "isFinalPlan=true" in final and "*(" in final, "agg fell out of codegen: " + final[:800]
+
+
+def test_theta_join_stays_hash_based(registry, spark, sf_dir):
+    plan = _plan(registry, spark, sf_dir, "join_theta_nonequi")
+    assert not has_operator(plan, "CartesianProduct"), "equi-prefix lost; plan is a cross product"
+    assert has_operator(plan, "BroadcastHashJoin") or has_operator(plan, "SortMergeJoin")
+
+
+def test_asof_join_aggregates_not_windows(registry, spark, sf_dir):
+    plan = _plan(registry, spark, sf_dir, "join_asof")
+    # the argmax formulation must partially aggregate the join fan-out
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan, plan[:2000]
+    assert not has_operator(plan, "Window"), "as-of regressed to window dedup (full fan-out shuffle)"
+
+
+def test_scans_are_vectorized_parquet(registry, spark, sf_dir):
+    plan = _plan(registry, spark, sf_dir, "scan_parquet")
+    assert has_operator(plan, "Scan parquet"), plan[:1500]
