@@ -63,6 +63,7 @@ def _load_all_modules() -> None:
         ingest_q,
         joins_q,
         llm_q,
+        misc_q,
         relational,
         sets_sorts,
         streaming_q,
