@@ -24,13 +24,25 @@ HEADLINE = [
     "join_broadcast_equi",
     "join_sortmerge_equi",
     "join_asof",
+    "join_range_interval",
     "agg_rollup",
+    "agg_count_distinct",
     "win_topk_per_group",
+    "win_agg_frame_rows",
     "fn_json",
+    "fn_array",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "sim_search_cosine",
+    "sim_search_ivf",
+    "text_quality",
+    "doc_fingerprint",
+    "multimodal_decode",
     "stream_tumbling_window",
+    "stream_session_window",
 ]
 
 

@@ -42,6 +42,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     vectorized reader rejects; we read nanos as long (runtime-settable legacy
     conf) and convert losslessly to a microsecond timestamp (the fixture has
     no sub-microsecond components)."""
+    # Timestamps are stored timezone-naive; DuckDB (and the oracle) read them
+    # as naive values, so Spark must render them in UTC regardless of the
+    # caller's session default — pin it (runtime-settable, idempotent).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
