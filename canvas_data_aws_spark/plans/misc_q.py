@@ -6,6 +6,7 @@ the Arrow machinery itself is value-checked.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -44,7 +45,7 @@ def schema_inference_off(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     struct = table_struct(canvas_schema)
     nation = load_table(spark, sf_dir, "nation")
-    out = os.path.join(tempfile.gettempdir(), "cda_schema_decl", "nation")
+    out = os.path.join(tempfile.gettempdir(), f"cda_schema_decl_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}", "nation")
     write_tsv_gzip(nation.select("n_nationkey", "n_name", "n_regionkey"), out)
     return read_tsv_gzip(spark, out, struct)
 

@@ -9,6 +9,7 @@ exchange, so shuffled bytes are O(groups × partitions), not O(rows).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -17,6 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from canvas_data_aws_spark.plans.registry import register
 from canvas_data_aws_spark.sources.parquet import load_table
+
+
+def _sf_tag(sf_dir: str) -> str:
+    """Stable per-sf_dir suffix so concurrent/alternating runs never share scratch dirs."""
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
 
 
 def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,7 +113,7 @@ def scan_tsv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.sources.tsv import read_tsv_gzip, write_tsv_gzip
 
     nation = load_table(spark, sf_dir, "nation")
-    out = os.path.join(tempfile.gettempdir(), "cda_raw_zone", "nation")
+    out = os.path.join(tempfile.gettempdir(), f"cda_raw_zone_{_sf_tag(sf_dir)}", "nation")
     write_tsv_gzip(nation, out)
     return read_tsv_gzip(spark, out, nation.schema).select("n_nationkey", "n_name", "n_regionkey")
 
@@ -121,7 +127,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
-    out = os.path.join(tempfile.gettempdir(), "cda_curated", "supplier")
+    out = os.path.join(tempfile.gettempdir(), f"cda_curated_{_sf_tag(sf_dir)}", "supplier")
     sup.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
 
@@ -135,7 +141,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
-    out = os.path.join(tempfile.gettempdir(), "cda_curated", "orders_by_status")
+    out = os.path.join(tempfile.gettempdir(), f"cda_curated_{_sf_tag(sf_dir)}", "orders_by_status")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out)
     # partition column comes back typed as read; re-select with explicit casts for parity
