@@ -1,0 +1,57 @@
+"""Duplicate clustering: connected components over a near-dup pair graph.
+
+After pairwise dedup (any tier in operators/dedup.py) a corpus needs
+*clusters* — "keep one representative per component", not "drop one of each
+pair" (pair-dropping over-deletes on chains A~B~C). Components come from
+iterative min-label propagation expressed as DataFrame joins:
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+iterated to fixpoint. Each round is one join + one aggregation — the classic
+BSP/Pregel step as Catalyst plans it. Near-dup components are shallow (dup
+clusters, not social graphs), so a small fixed iteration budget reaches the
+fixpoint; ``localCheckpoint`` truncates the growing lineage each round. At
+graph-shaped scale you'd swap in GraphFrames' connectedComponents — the
+output contract (vertex, component) stays identical.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 8,
+) -> DataFrame:
+    """(vertex, component) with component = min vertex id in the component.
+
+    ``vertices`` seeds every node (singletons map to themselves); ``edges``
+    is undirected (both directions are propagated each round).
+    """
+    bidir = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionAll(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    bidir = bidir.distinct().cache()
+
+    labels = vertices.select(
+        F.col(vertex_col).alias("v"), F.col(vertex_col).alias("component")
+    )
+    for _ in range(max_iterations):
+        via_edges = (
+            bidir.join(labels, bidir.src == labels.v)
+            .select(F.col("dst").alias("v"), "component")
+        )
+        labels = (
+            labels.unionAll(via_edges)
+            .groupBy("v")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=False)
+        )
+    bidir.unpersist()
+    return labels.select(F.col("v").alias(vertex_col), "component")

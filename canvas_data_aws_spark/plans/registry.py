@@ -59,6 +59,7 @@ def _load_all_modules() -> None:
     # Import side-effect: each module registers its queries.
     from canvas_data_aws_spark.plans import (  # noqa: F401
         aggregates,
+        corpus_q,
         functions_q,
         ingest_q,
         joins_q,
