@@ -39,8 +39,12 @@ def connected_components(
     ).unionAll(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
     bidir = bidir.distinct().cache()
 
-    labels = vertices.select(
-        F.col(vertex_col).alias("v"), F.col(vertex_col).alias("component")
+    # Iterate only over vertices that touch an edge — in a dedup graph
+    # that's a tiny fraction of the corpus. Singletons (component = self)
+    # join back in one final pass, so the per-iteration shuffle is sized by
+    # the duplicate population, not the corpus.
+    labels = (
+        bidir.select(F.col("src").alias("v")).distinct().withColumn("component", F.col("v"))
     )
     for _ in range(max_iterations):
         via_edges = (
@@ -54,4 +58,12 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
     bidir.unpersist()
-    return labels.select(F.col("v").alias(vertex_col), "component")
+    lab = labels.select(F.col("v").alias(vertex_col), "component")
+    return (
+        vertices.select(F.col(vertex_col))
+        .join(lab, vertex_col, "left")
+        .select(
+            F.col(vertex_col),
+            F.coalesce("component", F.col(vertex_col)).alias("component"),
+        )
+    )
