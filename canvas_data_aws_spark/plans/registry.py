@@ -66,6 +66,7 @@ def _load_all_modules() -> None:
         llm_q,
         misc_q,
         relational,
+        reshape_q,
         sets_sorts,
         streaming_q,
         windows_q,
