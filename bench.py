@@ -21,6 +21,9 @@ sys.path.insert(0, REPO)
 # join, window, and UDF paths without re-running the entire registry.
 HEADLINE = [
     "flagship_pricing_summary",
+    "star_revenue_by_nation",
+    "star_top_customers",
+    "star_part_type_share",
     "join_broadcast_equi",
     "join_sortmerge_equi",
     "join_asof",

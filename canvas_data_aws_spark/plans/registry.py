@@ -68,6 +68,7 @@ def _load_all_modules() -> None:
         relational,
         reshape_q,
         sets_sorts,
+        star_q,
         streaming_q,
         windows_q,
     )
