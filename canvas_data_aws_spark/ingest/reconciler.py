@@ -141,18 +141,33 @@ class SyncEngine:
     ) -> SyncSummary:
         import os
 
+        from pyspark.sql import Observation
+
         plan = self.plan(spark, remote_rows).cache()
         try:
-            counts = {r["verdict"]: r["n"] for r in plan.groupBy("verdict").count().withColumnRenamed("count", "n").collect()}
+            # metrics_summary via observed metrics (df.observe — the Spark
+            # answer to the reference's hand-counted summary dict,
+            # sync-canvas-data-files.py:50-54,125-139): CollectMetrics rides
+            # the fetch-list action, so the counts cost no extra job. The
+            # filter below cannot push past the observe node, so metrics see
+            # every reconciled file.
+            obs = Observation("sync_metrics")
+            observed = plan.observe(
+                obs,
+                F.count(F.lit(1)).alias("total"),
+                F.sum((F.col("verdict") == "fetch").cast("long")).alias("fetch"),
+                F.sum((F.col("verdict") == "skip").cast("long")).alias("skip"),
+                F.sum((F.col("verdict") == "delete").cast("long")).alias("delete"),
+            )
+            fetch_rows = observed.filter(F.col("verdict") == "fetch").collect()
+            metrics = obs.get
             summary = SyncSummary(
-                total_files=sum(counts.values()),
-                files_fetched=counts.get("fetch", 0),
-                files_skipped=counts.get("skip", 0),
-                files_removed=counts.get("delete", 0),
+                total_files=int(metrics["total"]),
+                files_fetched=int(metrics["fetch"] or 0),
+                files_skipped=int(metrics["skip"] or 0),
+                files_removed=int(metrics["delete"] or 0),
                 dry_run=self.dry_run,
             )
-
-            fetch_rows = plan.filter(F.col("verdict") == "fetch").collect()
             delete_rows = plan.filter(F.col("verdict") == "delete").collect()
         finally:
             plan.unpersist()

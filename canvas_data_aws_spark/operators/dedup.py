@@ -87,6 +87,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via an inverted index.
 
@@ -94,11 +95,26 @@ def ngram_jaccard_pairs(
     jaccard = inter / (|A| + |B| - inter). Only pairs sharing >=1 shingle
     are ever materialized (candidate generation is an equi-join, not a
     cross product); the id< id guard halves the pair space.
+
+    ``max_doc_freq`` is the scale knob: a shingle appearing in d documents
+    contributes O(d²) candidate pairs while discriminating nothing — at
+    corpus scale, dropping shingles with doc-frequency > max_doc_freq bounds
+    the join fan-out (candidate recall only; |A|,|B| and the intersection
+    count still use the pruned universe, so jaccard becomes a lower-bound
+    estimate). None = exact (oracle-checked mode).
     """
     sh = spread(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
     exploded = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    if max_doc_freq is not None:
+        rare = (
+            exploded.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_doc_freq)
+            .select("shingle")
+        )
+        exploded = exploded.join(rare, "shingle")
 
     a = exploded.alias("a")
     b = exploded.alias("b")
