@@ -9,9 +9,16 @@ for the determinism rules (column aliasing, float rounding, BIGINT casts).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# the engine package lives beside this file; make imports CWD-independent
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 

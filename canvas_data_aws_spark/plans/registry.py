@@ -70,6 +70,7 @@ def _load_all_modules() -> None:
         sets_sorts,
         star_q,
         streaming_q,
+        windows_extra_q,
         windows_q,
     )
 
