@@ -67,6 +67,7 @@ def _load_all_modules() -> None:
         misc_q,
         relational,
         reshape_q,
+        scale_q,
         sets_sorts,
         star_q,
         streaming_q,

@@ -1,0 +1,58 @@
+"""Property test: asof_join equals a brute-force per-left-row argmax
+computed independently in Python, over randomized key/timestamp data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from canvas_data_aws_spark.operators.joins import asof_join
+
+_BASE = dt.datetime(2024, 1, 1)
+
+_left_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 50)), min_size=1, max_size=15, unique=True
+)
+_right_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 50)), min_size=0, max_size=15, unique=True
+)
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from canvas_data_aws_spark.session import get_spark
+
+        _spark = get_spark(app_name="cda-prop", master="local[2]", shuffle_partitions=2)
+    return _spark
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_left_rows, right=_right_rows)
+def test_asof_left_equals_bruteforce(left, right):
+    spark = _get_spark()
+    ldf = spark.createDataFrame(
+        [(i, k, _BASE + dt.timedelta(hours=h)) for i, (k, h) in enumerate(left)],
+        ["lid", "key", "ts"],
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, _BASE + dt.timedelta(hours=h)) for j, (k, h) in enumerate(right)],
+        "rid bigint, rkey bigint, rts timestamp",
+    )
+    out = asof_join(ldf, rdf, "key", "rkey", "ts", "rts", tie_breakers=["rid"], how="left")
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+
+    for i, (k, h) in enumerate(left):
+        lt = _BASE + dt.timedelta(hours=h)
+        cands = [
+            (_BASE + dt.timedelta(hours=rh), j)
+            for j, (rk, rh) in enumerate(right)
+            if rk == k and _BASE + dt.timedelta(hours=rh) <= lt
+        ]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, h, got[i], want)
+    assert len(got) == len(left)  # exactly one row per left row
