@@ -69,6 +69,7 @@ def _load_all_modules() -> None:
         reshape_q,
         scale_q,
         sets_sorts,
+        sketch_q,
         star_q,
         streaming_q,
         windows_extra_q,

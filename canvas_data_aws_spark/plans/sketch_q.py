@@ -1,0 +1,93 @@
+"""Time-hierarchy rollups and membership sketches — the last two custom-
+operator families from the brief (hypertable-style continuous aggregates;
+Bloom filters as the join-pruning sketch)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from canvas_data_aws_spark.plans.registry import register
+from canvas_data_aws_spark.sources.parquet import load_table
+
+
+@register(
+    "hypertable_time_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS TIMESTAMP), event_type)
+    """,
+    doc="Hypertable-style continuous aggregate: time-bucketed rollup with "
+    "hierarchical subtotals (per day+type, per day, grand total) in one "
+    "expand+aggregate pass — the materialized-rollup shape a time-series "
+    "store would maintain incrementally (streaming shape: window() + "
+    "foreachBatch upsert, streaming/ops.py).",
+)
+def hypertable_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket_day", F.date_trunc("day", "ts")
+    )
+    return ev.rollup("bucket_day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 5
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """One-row DataFrame holding the filter as a sorted array of set bit
+    positions: k xxhash64 lanes per key, positions mod m. (Spark's internal
+    bloom_filter_agg is not SQL-exposed; this is the same structure from
+    first-principles DataFrame ops — at scale, pack positions into a
+    long[] bitmap.)"""
+    lanes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(BLOOM_BITS))
+            for seed in range(BLOOM_HASHES)
+        ]
+    )
+    return (
+        keys.select(F.explode(lanes).alias("bit"))
+        .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+    )
+
+
+def bloom_might_contain(probe_key, bits_col) -> F.Column:
+    """True iff every hash lane's bit is set — no false negatives by
+    construction; false positives bounded by (1-e^{-kn/m})^k."""
+    lanes = F.array(
+        *[
+            F.pmod(F.xxhash64(probe_key, F.lit(seed)), F.lit(BLOOM_BITS))
+            for seed in range(BLOOM_HASHES)
+        ]
+    )
+    return F.forall(lanes, lambda p: F.array_contains(bits_col, p))
+
+
+@register(
+    "sketch_bloom_filter",
+    None,  # bloom bit patterns are hash-lane-specific — rows-only; the
+    # no-false-negative guarantee is asserted in tests/test_sketches.py
+    doc="Bloom-filter membership sketch built from first-principles "
+    "DataFrame ops (k xxhash64 lanes -> bit set -> broadcast probe): the "
+    "semi-join pruning sketch — ship the KB-sized filter instead of "
+    "shuffling the fact table.",
+)
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    bf = bloom_build(c.filter(F.col("c_mktsegment") == "BUILDING"), "c_custkey")
+    probed = o.crossJoin(F.broadcast(bf))
+    return probed.agg(
+        F.sum(bloom_might_contain(F.col("o_custkey"), F.col("bits")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_maybe"),
+        F.count(F.lit(1)).alias("n_probed"),
+    )
