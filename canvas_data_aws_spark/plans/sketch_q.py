@@ -41,34 +41,43 @@ BLOOM_BITS = 1 << 16
 BLOOM_HASHES = 5
 
 
-def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
-    """One-row DataFrame holding the filter as a sorted array of set bit
-    positions: k xxhash64 lanes per key, positions mod m. (Spark's internal
-    bloom_filter_agg is not SQL-exposed; this is the same structure from
-    first-principles DataFrame ops — at scale, pack positions into a
-    long[] bitmap.)"""
-    lanes = F.array(
+def _lanes(key_col) -> F.Column:
+    return F.array(
         *[
-            F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(BLOOM_BITS))
+            F.pmod(F.xxhash64(key_col, F.lit(seed)), F.lit(BLOOM_BITS))
             for seed in range(BLOOM_HASHES)
         ]
+    )
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """The filter as a DataFrame of distinct set-bit positions: k xxhash64
+    lanes per key, positions mod m. (Spark's internal bloom_filter_agg is
+    not SQL-exposed; this is the same structure from first-principles
+    DataFrame ops — at scale, pack positions into a long[] bitmap.)"""
+    return keys.select(F.explode(_lanes(F.col(key_col))).alias("bit")).distinct()
+
+
+def bloom_probe(probe: DataFrame, key_col: str, id_col: str, bits: DataFrame) -> DataFrame:
+    """Adds ``maybe`` per probe row: True iff every hash lane's bit is set —
+    no false negatives by construction; false positives bounded by
+    (1-e^{-kn/m})^k.
+
+    Probe = explode lanes -> broadcast equi-join against the bit set ->
+    count matched lanes per row. A per-row array_contains scan over the bit
+    set is O(|bits|) per lane (measured 40 s vs 1 s at sf0.1); the hash join
+    is O(1) per lane."""
+    pos = probe.select(id_col, F.explode(_lanes(F.col(key_col))).alias("bit"))
+    hits = (
+        pos.join(F.broadcast(bits), "bit")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__lane_hits"))
     )
     return (
-        keys.select(F.explode(lanes).alias("bit"))
-        .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+        probe.join(hits, id_col, "left")
+        .withColumn("maybe", F.coalesce(F.col("__lane_hits"), F.lit(0)) == BLOOM_HASHES)
+        .drop("__lane_hits")
     )
-
-
-def bloom_might_contain(probe_key, bits_col) -> F.Column:
-    """True iff every hash lane's bit is set — no false negatives by
-    construction; false positives bounded by (1-e^{-kn/m})^k."""
-    lanes = F.array(
-        *[
-            F.pmod(F.xxhash64(probe_key, F.lit(seed)), F.lit(BLOOM_BITS))
-            for seed in range(BLOOM_HASHES)
-        ]
-    )
-    return F.forall(lanes, lambda p: F.array_contains(bits_col, p))
 
 
 @register(
@@ -84,10 +93,8 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     bf = bloom_build(c.filter(F.col("c_mktsegment") == "BUILDING"), "c_custkey")
-    probed = o.crossJoin(F.broadcast(bf))
+    probed = bloom_probe(o, "o_custkey", "o_orderkey", bf)
     return probed.agg(
-        F.sum(bloom_might_contain(F.col("o_custkey"), F.col("bits")).cast("bigint"))
-        .cast("bigint")
-        .alias("n_maybe"),
+        F.sum(F.col("maybe").cast("bigint")).cast("bigint").alias("n_maybe"),
         F.count(F.lit(1)).alias("n_probed"),
     )

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from canvas_data_aws_spark.plans.sketch_q import bloom_build, bloom_might_contain
+from canvas_data_aws_spark.plans.sketch_q import bloom_build, bloom_probe
 from canvas_data_aws_spark.sources.parquet import load_table
 
 
@@ -15,9 +15,7 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     bf = bloom_build(building, "c_custkey")
 
-    probed = o.crossJoin(F.broadcast(bf)).select(
-        "o_custkey", bloom_might_contain(F.col("o_custkey"), F.col("bits")).alias("maybe")
-    )
+    probed = bloom_probe(o, "o_custkey", "o_orderkey", bf)
     member_orders = o.join(building, o.o_custkey == building.c_custkey, "left_semi")
 
     # no false negatives: every order from a BUILDING customer probes positive
