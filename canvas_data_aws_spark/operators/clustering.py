@@ -44,19 +44,34 @@ def connected_components(
     # join back in one final pass, so the per-iteration shuffle is sized by
     # the duplicate population, not the corpus.
     labels = (
-        bidir.select(F.col("src").alias("v")).distinct().withColumn("component", F.col("v"))
+        bidir.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("component", F.col("v"))
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         via_edges = (
             bidir.join(labels, bidir.src == labels.v)
             .select(F.col("dst").alias("v"), "component")
         )
-        labels = (
+        # eager checkpoint: the label set is tiny (dup population), so
+        # materializing per round costs little and keeps every round's plan
+        # one join deep; it also makes the convergence probe below cheap
+        new_labels = (
             labels.unionAll(via_edges)
             .groupBy("v")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:  # fixpoint: propagation converged
+            break
     bidir.unpersist()
     lab = labels.select(F.col("v").alias(vertex_col), "component")
     return (
