@@ -71,6 +71,7 @@ def _load_all_modules() -> None:
         scale_q,
         sets_sorts,
         sketch_q,
+        sql_surface_q,
         star_q,
         streaming_q,
         windows_extra_q,

@@ -1,0 +1,130 @@
+"""The SQL-string surface: the reference's analysts write Athena SQL, not
+DataFrame code (SURVEY.md §3.3 — the delegated query path). These queries
+run analyst-shaped SQL verbatim through spark.sql over registered views:
+CTE chains, IN/EXISTS subqueries, correlated scalar subqueries — the
+dialect-portable text is also the oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from canvas_data_aws_spark.plans.registry import register
+from canvas_data_aws_spark.sources.parquet import load_table
+
+_VIEWS = ("customer", "orders", "lineitem")
+
+
+def _ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in _VIEWS:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"cda_sql_{t}")
+
+
+@register(
+    "sql_in_subquery",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND o_orderstatus = 'O'
+    """,
+    doc="Uncorrelated IN subquery: Catalyst rewrites to a left-semi join.",
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM cda_sql_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM cda_sql_customer WHERE c_mktsegment = 'BUILDING')
+          AND o_orderstatus = 'O'
+        """
+    )
+
+
+@register(
+    "sql_scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    doc="Uncorrelated scalar subquery: single-row broadcast into the filter.",
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM cda_sql_orders
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM cda_sql_orders)
+        """
+    )
+
+
+@register(
+    "sql_correlated_exists",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2)
+    )
+    """,
+    doc="Correlated EXISTS with a nested scalar subquery: decorrelated by "
+    "Catalyst into joins (subquery decorrelation, SURVEY.md §4).",
+)
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM cda_sql_customer c
+        WHERE EXISTS (
+          SELECT 1 FROM cda_sql_orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_totalprice > (SELECT AVG(o2.o_totalprice) FROM cda_sql_orders o2)
+        )
+        """
+    )
+
+
+@register(
+    "sql_cte_chain",
+    """
+    WITH cust_spend AS (
+      SELECT o_custkey, SUM(o_totalprice) AS spend, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, spend, n_orders,
+             ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rnk
+      FROM cust_spend
+    )
+    SELECT r.rnk, r.o_custkey, ROUND(r.spend, 2) AS spend, r.n_orders, c.c_mktsegment
+    FROM ranked r JOIN customer c ON c.c_custkey = r.o_custkey
+    WHERE r.rnk <= 25
+    """,
+    doc="Multi-CTE pipeline (aggregate -> window rank -> join -> filter) run "
+    "as one SQL string — the analyst-workflow shape, end to end.",
+)
+def sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH cust_spend AS (
+          SELECT o_custkey, SUM(o_totalprice) AS spend, COUNT(*) AS n_orders
+          FROM cda_sql_orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT o_custkey, spend, n_orders,
+                 ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rnk
+          FROM cust_spend
+        )
+        SELECT r.rnk, r.o_custkey, ROUND(r.spend, 2) AS spend, r.n_orders, c.c_mktsegment
+        FROM ranked r JOIN cda_sql_customer c ON c.c_custkey = r.o_custkey
+        WHERE r.rnk <= 25
+        """
+    )
