@@ -46,6 +46,7 @@ HEADLINE = [
     "multimodal_decode",
     "stream_tumbling_window",
     "stream_session_window",
+    "sync_reconcile_scale",
 ]
 
 

@@ -94,6 +94,52 @@ def sync_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sync_reconcile_scale",
+    """
+    WITH remote AS (
+      SELECT 'raw_files/t/' || CAST(i AS VARCHAR) || '.gz' AS key
+      FROM generate_series(0, 99999) AS g(i) WHERE i % 10 <> 9
+    ),
+    local AS (
+      SELECT 'raw_files/t/' || CAST(i AS VARCHAR) || '.gz' AS key
+      FROM generate_series(0, 99999) AS g(i) WHERE i % 10 NOT IN (0, 1)
+    )
+    SELECT CASE WHEN l.key IS NULL THEN 'fetch'
+                WHEN r.key IS NULL THEN 'delete'
+                ELSE 'skip' END AS verdict,
+           COUNT(*) AS n_files
+    FROM remote r FULL OUTER JOIN local l ON r.key = l.key
+    GROUP BY 1
+    """,
+    doc="Sync throughput at realistic manifest scale: reconcile 100k-file "
+    "remote/local listings (the reference fans out one Lambda invocation "
+    "per file and re-invokes itself on timeout, sync-canvas-data-files.py:"
+    "78-98; here the whole diff is one join). Also the bench's ingest "
+    "throughput headline.",
+)
+def sync_reconcile_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 100_000
+    remote = (
+        spark.range(n)
+        .filter(F.col("id") % 10 != 9)
+        .select(
+            F.lit("t").alias("table"),
+            F.concat(F.col("id").cast("string"), F.lit(".gz")).alias("filename"),
+            F.lit(None).cast("string").alias("url"),
+        )
+    )
+    local = (
+        spark.range(n)
+        .filter(~(F.col("id") % 10).isin(0, 1))
+        .select(
+            F.concat(F.lit("raw_files/t/"), F.col("id").cast("string"), F.lit(".gz")).alias("key")
+        )
+    )
+    plan = reconcile(remote, local)
+    return plan.groupBy("verdict").agg(F.count(F.lit(1)).alias("n_files"))
+
+
+@register(
     "partition_by_table_layout",
     """
     SELECT 'raw_files/' || t.tbl || '/' || t.fname AS key, t.tbl AS table_name
