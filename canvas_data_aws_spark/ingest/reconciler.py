@@ -21,7 +21,7 @@ of one-Lambda-per-file, :78-84).
 
 from __future__ import annotations
 
-from collections.abc import Callable, Iterator
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F

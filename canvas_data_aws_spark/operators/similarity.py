@@ -135,7 +135,7 @@ def ivf_topk(
     construction — rows-only in the oracle gate.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     corpus_v = corpus.select(
         F.col(corpus_id), F.col(vec_col).alias("__arr")
