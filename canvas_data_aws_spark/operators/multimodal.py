@@ -122,6 +122,49 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+        StructField("resized_sha256", StringType()),
+        StructField("n_bytes_out", LongType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 64, target_h: int = 64, strict: bool = False
+) -> DataFrame:
+    """Image resize stub over the binary column (1:1 mapInPandas).
+
+    The real version decodes, resamples, and re-encodes per Arrow batch;
+    the stub derives the output deterministically (digest of payload +
+    target box, output size = w*h*3 RGB bytes) so the full dataflow —
+    schema, batch shape, downstream joins — is exercised and oracle-checked.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                for c in pdf["content"]:
+                    decode_media_stub(c)
+            tag = f":{target_w}x{target_h}".encode()
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "resized_sha256": [
+                        hashlib.sha256((c or b"") + tag).hexdigest()[:16] for c in pdf["content"]
+                    ],
+                    "n_bytes_out": [target_w * target_h * 3] * len(pdf),
+                }
+            )
+
+    return media.filter(F.col("modality") == "image").mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n: int = 10, strict: bool = False) -> DataFrame:
     """Video frame sampling stub: one output row per sampled frame index —
     a 1:N mapInPandas expansion (the real version would emit decoded frame

@@ -23,6 +23,7 @@ from canvas_data_aws_spark.operators.multimodal import (
     documents_as_media,
     extract_features,
     frame_sample,
+    resize_images,
 )
 from canvas_data_aws_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -320,6 +321,25 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media, strict=False)
+
+
+@register(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id,
+           64 AS target_w,
+           64 AS target_h,
+           substr(sha256(text || ':64x64'), 1, 16) AS resized_sha256,
+           CAST(64 * 64 * 3 AS BIGINT) AS n_bytes_out
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+    doc="Image-resize stub (mapInPandas 1:1): deterministic digest of "
+    "payload+target box; image-modality rows only (doc_id % 3 = 0).",
+)
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return resize_images(media, 64, 64, strict=False)
 
 
 @register(
