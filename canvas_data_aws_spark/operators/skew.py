@@ -43,7 +43,17 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join resilient to hot keys: join on (on..., salt) after salting
     both sides. Result equals ``fact.join(dim, on, how)`` for inner/left
-    joins (each fact row meets exactly one copy of each matching dim row)."""
+    joins (each fact row meets exactly one copy of each matching dim row).
+
+    Other join types are rejected: right/full would emit ``num_salts``
+    copies of every unmatched dim row, and semi/anti would flip membership
+    per-salt — silently wrong rather than slower, so we raise.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "replicating the dim side makes right/full/semi/anti joins incorrect"
+        )
     f = salt_fact(fact, num_salts, fact_id_cols)
     d = salt_dim(dim, num_salts)
     return f.join(d, on + [SALT_COL], how).drop(SALT_COL)

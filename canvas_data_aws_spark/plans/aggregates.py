@@ -103,14 +103,19 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_percentile",
     None,  # GK-sketch quantiles are engine-specific — rows-only check
     doc="Approximate percentiles via percentile_approx (Greenwald-Khanna): "
-    "mergeable, bounded-memory — the scale path for quantiles.",
+    "mergeable, bounded-memory — the scale path for quantiles. Output is "
+    "scalar p50/p90/p99 columns (one sketch, element_at fan-out) so the "
+    "harness can canonicalize rows.",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_linestatus")
         .agg(
-            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("price_pcts")
+            F.element_at(pcts, 1).alias("p50"),
+            F.element_at(pcts, 2).alias("p90"),
+            F.element_at(pcts, 3).alias("p99"),
         )
     )
 

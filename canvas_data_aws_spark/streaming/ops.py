@@ -82,8 +82,16 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 def with_watermark_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     """stream_dedup: drop duplicate event_ids with bounded state — the
-    streaming analog of the worker's existence check."""
-    return events.withWatermark("ts", delay).dropDuplicates(["event_id"])
+    streaming analog of the worker's existence check.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the watermark actually evicts
+    per-key state: plain ``dropDuplicates(["event_id"])`` keeps every key
+    forever (the event-time column is not in the subset, so nothing ages
+    out) — unbounded state on a long-running stream. The WithinWatermark
+    variant guarantees dedup of duplicates arriving within the delay and
+    drops state once a key's first-seen time passes the watermark.
+    """
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
 
 
 def start_available_now(

@@ -36,6 +36,66 @@ def test_salted_left_join_keeps_unmatched(spark, sf_dir):
     assert out.filter(F.col("s_name").isNotNull()).count() == 0
 
 
+def test_salted_join_rejects_unsupported_how(spark, sf_dir):
+    """Replicating the dim side breaks right/full/semi/anti semantics —
+    salted_join must refuse rather than silently emit num_salts duplicates."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").limit(10)
+    sup = load_table(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    import pytest
+
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError):
+            salted_join(li, sup, ["l_suppkey"], num_salts=4, how=how)
+
+
+def test_salted_join_spreads_hot_key_across_tasks(spark, sf_dir):
+    """The point of salting: the fabricated hot key must actually land in
+    >= num_salts distinct shuffle tasks, not one. Audited mechanically via
+    spark_partition_id() captured inside the join stage (AQE coalescing
+    disabled so small test data doesn't merge the evidence away)."""
+    from canvas_data_aws_spark.operators.skew import SALT_COL, salt_dim, salt_fact
+
+    num_salts = 8
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    hot = li.withColumn(
+        "l_suppkey", F.when(F.col("l_orderkey") % 3 == 0, F.lit(1)).otherwise(F.col("l_suppkey"))
+    )
+    sup = load_table(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    autob_key = "spark.sql.autoBroadcastJoinThreshold"
+    shuffle_key = "spark.sql.shuffle.partitions"
+    old_coalesce = spark.conf.get(coalesce_key)
+    old_autob = spark.conf.get(autob_key)
+    old_shuffle = spark.conf.get(shuffle_key)
+    spark.conf.set(coalesce_key, "false")
+    spark.conf.set(autob_key, "-1")  # force a shuffle join so tasks == shuffle partitions
+    spark.conf.set(shuffle_key, "64")  # enough bins that 8 salts rarely collide
+    try:
+        f = salt_fact(hot, num_salts, id_cols=["l_orderkey", "l_suppkey"])
+        d = salt_dim(sup, num_salts)
+        joined = f.join(d, ["l_suppkey", SALT_COL], "inner")
+        # salt participates in the exchange
+        plan = joined._jdf.queryExecution().toString()
+        assert SALT_COL in plan
+        spread = (
+            joined.filter(F.col("l_suppkey") == 1)
+            .select(F.spark_partition_id().alias("pid"), SALT_COL)
+            .agg(
+                F.countDistinct("pid").alias("n_tasks"),
+                F.countDistinct(SALT_COL).alias("n_salts"),
+            )
+            .first()
+        )
+    finally:
+        spark.conf.set(coalesce_key, old_coalesce)
+        spark.conf.set(autob_key, old_autob)
+        spark.conf.set(shuffle_key, old_shuffle)
+    assert spread["n_salts"] == num_salts, spread
+    # hash(key, salt) can collide across 64 bins; require a real spread
+    assert spread["n_tasks"] >= num_salts - 2, spread
+
+
 def test_compact_table_partitioned_layout(spark, sf_dir, tmp_path):
     orders = load_table(spark, sf_dir, "orders")
     out = str(tmp_path / "curated_orders")
