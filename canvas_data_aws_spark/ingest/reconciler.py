@@ -126,6 +126,9 @@ class SyncEngine:
     prefix: str = RAW_PREFIX
     dry_run: bool = False
     fetch_chunk_bytes: int = 8 * 1024 * 1024  # worker chunk size parity (:20)
+    max_fetch_tasks: int = 16  # Spark tasks the work list spreads over
+    io_threads: int = 8  # concurrent fetches within one task (I/O-bound)
+    on_summary: Callable[["SyncSummary"], None] | None = None  # sink_notify
     log: list[str] = field(default_factory=list)
 
     def plan(self, spark: SparkSession, remote_rows: list[dict]) -> DataFrame:
@@ -139,74 +142,125 @@ class SyncEngine:
         remote_rows: list[dict],
         fetcher: Callable[[str, str], None],
     ) -> SyncSummary:
-        import os
-
         from pyspark.sql import Observation
 
-        plan = self.plan(spark, remote_rows).cache()
-        try:
-            # metrics_summary via observed metrics (df.observe — the Spark
-            # answer to the reference's hand-counted summary dict,
-            # sync-canvas-data-files.py:50-54,125-139): CollectMetrics rides
-            # the fetch-list action, so the counts cost no extra job. The
-            # filter below cannot push past the observe node, so metrics see
-            # every reconciled file.
-            obs = Observation("sync_metrics")
-            observed = plan.observe(
-                obs,
-                F.count(F.lit(1)).alias("total"),
-                F.sum((F.col("verdict") == "fetch").cast("long")).alias("fetch"),
-                F.sum((F.col("verdict") == "skip").cast("long")).alias("skip"),
-                F.sum((F.col("verdict") == "delete").cast("long")).alias("delete"),
-            )
-            fetch_rows = observed.filter(F.col("verdict") == "fetch").collect()
-            metrics = obs.get
-            summary = SyncSummary(
-                total_files=int(metrics["total"]),
-                files_fetched=int(metrics["fetch"] or 0),
-                files_skipped=int(metrics["skip"] or 0),
-                files_removed=int(metrics["delete"] or 0),
-                dry_run=self.dry_run,
-            )
-            delete_rows = plan.filter(F.col("verdict") == "delete").collect()
-        finally:
-            plan.unpersist()
+        # metrics_summary via observed metrics (df.observe — the Spark
+        # answer to the reference's hand-counted summary dict,
+        # sync-canvas-data-files.py:50-54,125-139): CollectMetrics rides
+        # the apply action, so the counts cost no extra job. The filter
+        # below cannot push past the observe node, so metrics see every
+        # reconciled file.
+        obs = Observation("sync_metrics")
+        observed = self.plan(spark, remote_rows).observe(
+            obs,
+            F.count(F.lit(1)).alias("total"),
+            F.sum((F.col("verdict") == "fetch").cast("long")).alias("fetch"),
+            F.sum((F.col("verdict") == "skip").cast("long")).alias("skip"),
+            F.sum((F.col("verdict") == "delete").cast("long")).alias("delete"),
+        )
+        work = observed.filter(F.col("verdict").isin("fetch", "delete"))
 
         if self.dry_run:
-            for row in fetch_rows:
-                self.log.append(f"DRY RUN: would fetch {row['key']}")
-            for row in delete_rows:
-                self.log.append(f"DRY RUN: would delete {row['key']}")
-            return summary
+            work_rows = work.collect()
+            statuses = [
+                (r["key"], "would fetch" if r["verdict"] == "fetch" else "would delete")
+                for r in work_rows
+            ]
+            for key, action in sorted(statuses):
+                self.log.append(f"DRY RUN: {action} {key}")
+        else:
+            # Fetch/delete fan-out ON THE EXECUTORS (the Spark-native analog
+            # of the reference's one-Lambda-per-file dispatch,
+            # sync-canvas-data-files.py:78-84): the work list is repartitioned
+            # across tasks and each task runs the idempotence-guarded fetch
+            # body (fetch-canvas-data-file.py:25-38) with an I/O thread pool.
+            # Total parallelism = max_fetch_tasks x io_threads, none of it
+            # serialized through the driver. Per-file outcomes flow back as
+            # rows (the Lambda-log analog), which are metadata-scale.
+            n_tasks = max(1, self.max_fetch_tasks)
+            statuses = [
+                (r["key"], r["action"])
+                for r in work.repartition(n_tasks)
+                .mapInPandas(
+                    _apply_worker(self.root, fetcher, self.io_threads),
+                    "key string, action string",
+                )
+                .collect()
+            ]
+            for key, action in sorted(statuses):
+                self.log.append(f"{action}: {key}")
 
-        # Fetch fan-out. Manifests are metadata-scale; the work is I/O-bound,
-        # so a thread pool per driver/executor is the local analog of the
-        # reference's unbounded async-Lambda fan-out (:78-84). For cluster
-        # execution, distribute with foreachPartition over the fetch list.
-        from concurrent.futures import ThreadPoolExecutor
+        metrics = obs.get
+        summary = SyncSummary(
+            total_files=int(metrics["total"]),
+            files_fetched=int(metrics["fetch"] or 0),
+            files_skipped=int(metrics["skip"] or 0),
+            files_removed=int(metrics["delete"] or 0),
+            dry_run=self.dry_run,
+        )
+        # sink_notify analog (sync-canvas-data-files.py:141-145): the
+        # reference publishes the run summary to SNS; here any callable
+        # sink (log, file, queue) observes the same payload.
+        if self.on_summary is not None:
+            self.on_summary(summary)
+        return summary
 
-        def _fetch_one(row: Row) -> None:
-            dest = os.path.join(self.root, row["key"])
-            # idempotence_guard: skip if destination already exists
-            # (fetch-canvas-data-file.py:25-31)
-            if os.path.exists(dest):
-                self.log.append(f"skip (exists): {row['key']}")
-                return
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            fetcher(row["url"], dest)
-            self.log.append(f"fetched: {row['key']}")
 
-        with ThreadPoolExecutor(max_workers=16) as pool:
-            list(pool.map(_fetch_one, fetch_rows))
+def json_line_notifier(path: str) -> Callable[[SyncSummary], None]:
+    """sink_notify: append the run summary as one JSON line to ``path`` —
+    the engine's stand-in for the reference's SNS publish of the summary
+    dict (sync-canvas-data-files.py:141-145, topic at
+    canvas_data_aws.yaml:68-78). Any messaging sink plugs in the same way
+    via ``SyncEngine.on_summary``."""
+    import json
 
-        # Mirror semantics: delete keys no longer listed remotely (:104-112).
-        for row in delete_rows:
-            dest = os.path.join(self.root, row["key"])
+    def _notify(summary: SyncSummary) -> None:
+        with open(path, "a") as f:
+            f.write(json.dumps(summary.as_dict(), sort_keys=True) + "\n")
+
+    return _notify
+
+
+def _apply_worker(root: str, fetcher: Callable[[str, str], None], io_threads: int):
+    """Task body for the distributed apply: runs on executors via
+    mapInPandas. One (key, verdict, url) row in, one (key, action) row out.
+
+    The idempotence guard lives HERE, inside the task, exactly like the
+    reference worker's existence check (fetch-canvas-data-file.py:25-31) —
+    a racing duplicate dispatch sees the destination and skips. Deletes are
+    the mirror semantics of sync-canvas-data-files.py:104-112. ``fetcher``
+    is cloudpickled to the workers, so it must not rely on driver-side
+    mutable state for its effect.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(key: str, verdict: str, url: str | None) -> str:
+        dest = os.path.join(root, key)
+        if verdict == "delete":
             if os.path.exists(dest):
                 os.remove(dest)
-                self.log.append(f"deleted: {row['key']}")
+                return "deleted"
+            return "already absent"
+        if os.path.exists(dest):
+            return "skip (exists)"
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        fetcher(url, dest)
+        return "fetched"
 
-        return summary
+    def _worker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            with ThreadPoolExecutor(max_workers=max(1, io_threads)) as pool:
+                actions = list(
+                    pool.map(_one, pdf["key"], pdf["verdict"], pdf["url"])
+                )
+            yield pd.DataFrame({"key": pdf["key"], "action": actions})
+
+    return _worker
 
 
 def copy_fetcher(chunk_bytes: int = 8 * 1024 * 1024) -> Callable[[str, str], None]:

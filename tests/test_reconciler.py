@@ -82,31 +82,106 @@ def test_apply_converges_to_mirror(spark, tmp_path):
 
 
 def test_idempotence_guard_skips_existing(spark, tmp_path):
-    """Double-dispatch race defused: destination exists => fetcher not called
-    (fetch-canvas-data-file.py:25-31)."""
+    """Double-dispatch race defused INSIDE the task body: a 'fetch' verdict
+    whose destination already exists is skipped without calling the fetcher
+    (fetch-canvas-data-file.py:25-31). Exercised directly on the executor
+    worker function so the race (plan says fetch, file appears before the
+    task runs) is reproducible."""
+    import pandas as pd
+
+    from canvas_data_aws_spark.ingest.reconciler import _apply_worker
+
     root = str(tmp_path)
     _touch(root, "users/a.gz")
-    calls = []
+    original = open(os.path.join(root, "raw_files/users/a.gz")).read()
 
+    def clobber(url, dest):
+        open(dest, "w").write("CLOBBERED")
+
+    worker = _apply_worker(root, clobber, io_threads=2)
+    batch = pd.DataFrame(
+        {
+            "key": ["raw_files/users/a.gz", "raw_files/users/new.gz"],
+            "verdict": ["fetch", "fetch"],
+            "url": ["file:///x", "file:///y"],
+        }
+    )
+    out = pd.concat(list(worker(iter([batch]))))
+    actions = dict(zip(out["key"], out["action"]))
+    assert actions["raw_files/users/a.gz"] == "skip (exists)"
+    assert actions["raw_files/users/new.gz"] == "fetched"
+    # guard prevented the fetcher from running on the existing file
+    assert open(os.path.join(root, "raw_files/users/a.gz")).read() == original
+    assert open(os.path.join(root, "raw_files/users/new.gz")).read() == "CLOBBERED"
+
+    # end-to-end: once a file exists, reconcile verdicts it 'skip' so the
+    # distributed apply never even dispatches it
     engine = SyncEngine(root=root)
-    plan_row = {"table": "users", "filename": "a.gz", "url": "file:///x"}
-
-    # simulate a stale plan that thinks a.gz needs fetching by deleting it
-    # from the listing after planning: easiest is to call the internal path
-    # via apply on an empty lake dir but pre-creating the dest mid-flight.
-    os.remove(os.path.join(root, "raw_files/users/a.gz"))
     summary = engine.apply(
         spark,
-        [plan_row],
-        lambda url, dest: calls.append(url) or open(dest, "w").write("x"),
+        [{"table": "users", "filename": "a.gz", "url": "file:///x"}],
+        clobber,
     )
-    assert summary.files_fetched == 1 and calls == ["file:///x"]
+    assert summary.files_skipped == 1 and summary.files_fetched == 0
+    assert open(os.path.join(root, "raw_files/users/a.gz")).read() == original
 
-    # now the file exists; a fetch verdict can no longer re-download
-    calls.clear()
-    engine2 = SyncEngine(root=root)
-    engine2.apply(spark, [plan_row], lambda url, dest: calls.append(url))
-    assert calls == []  # verdict was 'skip'; guard + diff both protect
+
+def test_apply_runs_on_executors(spark, tmp_path):
+    """The fetch fan-out is distributed: each fetch records the Python
+    worker PID it ran in; with the driver untouched, at least one fetch
+    happens outside the driver process and the side effects land on disk."""
+    root = str(tmp_path / "lake")
+    src = tmp_path / "srcdata"
+    os.makedirs(src)
+    for i in range(20):
+        (src / f"f{i}.gz").write_text(f"payload-{i}")
+
+    def pid_stamping_fetcher(url, dest):
+        import os as _os
+
+        srcpath = url.removeprefix("file://")
+        open(dest, "w").write(open(srcpath).read() + f":pid={_os.getpid()}")
+
+    remote = [
+        {"table": "users", "filename": f"f{i}.gz", "url": f"file://{src}/f{i}.gz"}
+        for i in range(20)
+    ]
+    engine = SyncEngine(root=root, max_fetch_tasks=4)
+    summary = engine.apply(spark, remote, pid_stamping_fetcher)
+    assert summary.files_fetched == 20
+
+    pids = set()
+    for i in range(20):
+        body = open(os.path.join(root, f"raw_files/users/f{i}.gz")).read()
+        payload, pid = body.rsplit(":pid=", 1)
+        assert payload == f"payload-{i}"
+        pids.add(int(pid))
+    assert os.getpid() not in pids, "fetch ran in the driver process"
+    assert len(engine.log) == 20 and all(l.startswith("fetched:") for l in engine.log)
+
+
+def test_on_summary_notifier(spark, tmp_path):
+    """sink_notify analog: the run summary is published to the pluggable
+    sink exactly once per apply (sync-canvas-data-files.py:141-145)."""
+    import json
+
+    from canvas_data_aws_spark.ingest.reconciler import json_line_notifier
+
+    root = str(tmp_path / "lake")
+    notify_path = str(tmp_path / "notify.jsonl")
+    _touch(root, "courses/old.gz")
+
+    engine = SyncEngine(root=root, on_summary=json_line_notifier(notify_path))
+    engine.apply(spark, [], copy_fetcher())
+    lines = [json.loads(l) for l in open(notify_path)]
+    assert len(lines) == 1
+    assert lines[0]["files_removed"] == 1 and lines[0]["dry_run"] is False
+
+    # dry-run publishes too (the reference notifies regardless of mode)
+    engine2 = SyncEngine(root=root, dry_run=True, on_summary=json_line_notifier(notify_path))
+    engine2.apply(spark, [{"table": "users", "filename": "n.gz", "url": "file:///x"}], copy_fetcher())
+    lines = [json.loads(l) for l in open(notify_path)]
+    assert len(lines) == 2 and lines[1]["dry_run"] is True
 
 
 def test_dry_run_no_side_effects(spark, tmp_path):
