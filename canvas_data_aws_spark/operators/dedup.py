@@ -177,13 +177,38 @@ def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
-    bands: int = 4,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: band the 64-bit fingerprint into
-    ``bands`` chunks (pigeonhole: any pair within ``max_hamming<=bands*2-1``
-    distance shares at least one exact band), equi-join on (band_no, band
-    value), then verify true Hamming distance via bit_count(xor)."""
+    ``bands`` chunks, equi-join on (band_no, band value), then verify true
+    Hamming distance via bit_count(xor).
+
+    Pigeonhole recall guarantee: a pair at Hamming distance d differs in d
+    bit positions, which can dirty at most d bands — so a shared clean band
+    is guaranteed only when ``d <= bands - 1``. ``bands=None`` derives the
+    smallest 64-divisor satisfying ``bands >= max_hamming + 1``; an explicit
+    ``bands <= max_hamming`` raises rather than silently dropping pairs
+    whose differing bits spread one-per-band.
+
+    ``max_band_freq`` is the hot-bucket guard (the band-side analog of
+    ``ngram_jaccard_pairs.max_doc_freq``): a degenerate band value — e.g.
+    the all-zero bands that every empty/near-empty document hashes to —
+    holds d documents and alone contributes O(d²) join output. Buckets with
+    more than ``max_band_freq`` members are dropped from candidate
+    generation; mass-identical documents belong to the exact tier
+    (dedup_exact), which handles them with one shuffle and no pairing.
+    """
+    if bands is None:
+        bands = next(b for b in (2, 4, 8, 16, 32, 64) if b >= max_hamming + 1)
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}: "
+            f"need bands >= max_hamming + 1 (a pair can dirty {max_hamming} bands)"
+        )
     band_bits = 64 // bands
     fp = spread(df).select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
     banded = fp.select(
@@ -203,6 +228,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("band"),
     ).select("id", "fp", "band.band_no", "band.band_val")
+    banded = _cap_hot_buckets(banded, max_band_freq)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -220,6 +246,30 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def _cap_hot_buckets(banded: DataFrame, max_band_freq: int | None) -> DataFrame:
+    """Drop LSH band buckets holding more than ``max_band_freq`` members.
+
+    A bucket of size d produces O(d²) candidate pairs in the self-join; one
+    degenerate value (empty-text fingerprints, a boilerplate band shared by
+    millions of docs) is the single worst skew risk of the banded tiers at
+    100 TB. The cap bounds per-bucket join fan-out to max_band_freq²; the
+    docs it drops are mass-duplicates that the exact tier already collapses
+    linearly. None = uncapped (exact candidate semantics).
+    """
+    if max_band_freq is None:
+        return banded
+    # the OVER-cap list is tiny (degenerate buckets only), so broadcast an
+    # anti-join instead of shuffling the whole banded relation against an
+    # under-cap whitelist; the frequency count itself combines map-side
+    hot = (
+        banded.groupBy("band_no", "band_val")
+        .count()
+        .filter(F.col("count") > max_band_freq)
+        .select("band_no", "band_val")
+    )
+    return banded.join(F.broadcast(hot), ["band_no", "band_val"], "left_anti")
 
 
 def minhash_signatures(
@@ -266,6 +316,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, Spark-native.
 
@@ -275,6 +326,10 @@ def minhash_lsh_pairs(
     unbiased Jaccard estimate from full-signature agreement and are filtered
     at ``jaccard_threshold``. Hash-seed dependent — rows-only in the oracle
     gate; recall vs the exact tier is asserted in tests.
+
+    ``max_band_freq`` caps degenerate band buckets (see _cap_hot_buckets):
+    a band value shared by d docs costs O(d²) in the candidate join, and at
+    corpus scale one boilerplate cluster can dominate the whole stage.
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, seed=seed)
@@ -299,6 +354,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("id", "band.band_no", "band.band_val")
+    banded = _cap_hot_buckets(banded, max_band_freq)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -95,7 +95,7 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=7, bands=4
+        load_table(spark, sf_dir, "documents"), max_hamming=7, bands=8, max_band_freq=500
     )
 
 
@@ -107,7 +107,7 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), jaccard_threshold=0.2
+        load_table(spark, sf_dir, "documents"), jaccard_threshold=0.2, max_band_freq=500
     )
 
 

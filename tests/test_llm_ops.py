@@ -54,7 +54,7 @@ def test_simhash_finds_high_jaccard_pairs(docs):
     }
     sh = {
         (r["id_a"], r["id_b"])
-        for r in simhash_near_dup_pairs(docs, max_hamming=16, bands=8).collect()
+        for r in simhash_near_dup_pairs(docs, max_hamming=7, bands=8).collect()
     }
     assert exact
     recall = len(exact & sh) / len(exact)
