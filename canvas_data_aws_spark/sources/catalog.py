@@ -28,7 +28,21 @@ class CatalogResult:
 
 
 def _ddl_columns(struct: StructType) -> str:
-    return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in struct.fields)
+    """Column DDL with declared-type fidelity: a field carrying
+    ``varchar_length`` metadata (sources/schema.py column_field) registers
+    as ``varchar(n)`` — the same declared type the reference writes to Glue
+    (get_column_type, sync-canvas-data-files.py:155-159) — and comments
+    survive as COMMENT clauses. Spark stores varchar(n) in catalog metadata
+    while planning on plain StringType, so query plans are unchanged."""
+    cols = []
+    for f in struct.fields:
+        typ = f.dataType.simpleString()
+        if f.metadata.get("varchar_length"):
+            typ = f"varchar({int(f.metadata['varchar_length'])})"
+        comment = f.metadata.get("comment")
+        comment_sql = " COMMENT '{}'".format(str(comment).replace("'", "''")) if comment else ""
+        cols.append(f"`{f.name}` {typ}{comment_sql}")
+    return ", ".join(cols)
 
 
 def create_or_update_table(

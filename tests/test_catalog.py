@@ -42,6 +42,38 @@ def test_create_then_update_then_query(spark, tmp_path):
     spark.sql("DROP TABLE default.`course_dim`")
 
 
+def test_varchar_length_and_comment_round_trip(spark, tmp_path):
+    """Declared varchar(n) and column descriptions survive catalog
+    registration (the Glue-side fidelity of get_column_type,
+    sync-canvas-data-files.py:155-159) and the table still queries as
+    string semantics."""
+    base = str(tmp_path / "raw")
+    _write_raw(base, "vc_dim", ["1\tshort\t2020-01-01 00:00:00"])
+    table = {
+        "tableName": "vc_dim",
+        "columns": [
+            {"name": "id", "type": "bigint"},
+            {"name": "name", "type": "varchar", "length": 256, "description": "it's a name"},
+            {"name": "created_at", "type": "datetime"},
+        ],
+    }
+    create_or_update_table(spark, "vc_dim", table_struct(table), f"{base}/vc_dim")
+    desc = {r["col_name"]: (r["data_type"], r["comment"]) for r in spark.sql(
+        "DESCRIBE TABLE default.`vc_dim`"
+    ).collect()}
+    assert desc["name"][0] == "varchar(256)"
+    assert desc["name"][1] == "it's a name"
+    assert desc["id"][0] == "bigint"
+    # still queries (varchar plans as string)
+    assert spark.sql("SELECT name FROM default.`vc_dim`").first()["name"] == "short"
+    # re-registration (schema evolution path) keeps the declared type
+    create_or_update_table(spark, "vc_dim", table_struct(table), f"{base}/vc_dim")
+    typ = [r["data_type"] for r in spark.sql("DESCRIBE TABLE default.`vc_dim`").collect()
+           if r["col_name"] == "name"]
+    assert typ == ["varchar(256)"]
+    spark.sql("DROP TABLE default.`vc_dim`")
+
+
 def test_register_schema_counts(spark, tmp_path):
     base = str(tmp_path / "raw")
     schema = {
