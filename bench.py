@@ -42,6 +42,8 @@ HEADLINE = [
     "sim_search_cosine",
     "sim_search_ivf",
     "text_quality",
+    "corpus_decontaminate",
+    "corpus_ngram_top_k",
     "doc_fingerprint",
     "multimodal_decode",
     "stream_tumbling_window",

@@ -1,0 +1,178 @@
+"""Corpus-curation operators for training-data pipelines: eval-set
+decontamination, quality-filter chains, deterministic splits, n-gram
+frequency tables, and corpus-level statistics.
+
+Design stance at 100 TB:
+
+- **Decontamination** joins the corpus's exploded shingles against the
+  *eval* shingle set — eval suites are tiny (thousands of docs), so the
+  probe side broadcasts and the corpus is touched in ONE scan with no
+  corpus-side shuffle before the per-doc rollup.
+- **Quality filters** are row-local JVM expressions (regexp_count /
+  length arithmetic) — a single scan, trivially parallel, no Python.
+- **Splits** use a pure-arithmetic LCG bucket of the document id rather
+  than an engine-specific hash, so the assignment is reproducible across
+  engines and runs (no seed state, no sampling nondeterminism) and a doc's
+  split never changes when the corpus grows.
+- **N-gram tables** are explode -> partial-agg counts; the shuffle carries
+  (ngram, partial count), never documents.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from canvas_data_aws_spark.operators.dedup import spread, word_shingles
+from canvas_data_aws_spark.operators.text import quality_features, token_count_whitespace
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag training documents that overlap an evaluation set by at least
+    ``min_hits`` distinct k-word shingles (the n-gram-collision
+    decontamination used for LLM training corpora).
+
+    Returns (doc_id, n_eval_hits, contaminated) for every train doc.
+    The eval shingle universe is deduplicated and broadcast — the corpus
+    side never shuffles before the per-doc count.
+    """
+    eval_shingles = (
+        eval_df.select(F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+    train_shingles = spread(train).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    hits = (
+        train_shingles.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_eval_hits", F.lit(0)).alias("n_eval_hits"),
+            (F.coalesce("n_eval_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 100,
+    max_chars: int = 1_000_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_punct_ratio: float = 0.2,
+    min_stop_ratio: float = 0.0,
+) -> DataFrame:
+    """C4/Gopher-style quality-filter chain: one row-local rule column per
+    heuristic plus the conjunction ``keep``. Rule outcomes stay visible so
+    curation can report *why* documents were dropped (filter-rate
+    accounting), not just how many.
+    """
+    feats = quality_features(df, text_col)
+    rules = {
+        "r_len": (F.col("q_n_chars") >= min_chars) & (F.col("q_n_chars") <= max_chars),
+        "r_word_len": (F.col("q_mean_word_len") >= min_mean_word_len)
+        & (F.col("q_mean_word_len") <= max_mean_word_len),
+        "r_punct": F.col("q_punct_ratio") <= max_punct_ratio,
+        "r_stop": F.col("q_stop_ratio") >= min_stop_ratio,
+    }
+    out = feats
+    keep = F.lit(True)
+    for name, rule in rules.items():
+        out = out.withColumn(name, rule)
+        keep = keep & rule
+    return out.withColumn("keep", keep)
+
+
+#: LCG constants (glibc family). The bucket is pure 64-bit arithmetic on
+#: the id — any engine reproduces it; ids up to ~8e9 stay within BIGINT.
+LCG_A = 1103515245
+LCG_C = 12345
+SPLIT_BUCKETS = 1000
+
+
+def split_bucket(id_col: Column) -> Column:
+    return (id_col * LCG_A + LCG_C) % SPLIT_BUCKETS
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from an arithmetic bucket of
+    the id: stable across engines, runs, and corpus growth (a document's
+    split never depends on what else is in the corpus — unlike
+    randomSplit, which reshuffles when the input changes).
+    """
+    bucket = split_bucket(F.col(id_col))
+    return df.select(
+        "*",
+        bucket.alias("split_bucket"),
+        F.when(bucket < train_pct * 10, "train")
+        .when(bucket < (train_pct + val_pct) * 10, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def ngram_top_k(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top: int = 100,
+    distinct_per_doc: bool = True,
+) -> DataFrame:
+    """Top-k n-gram frequency table (the workhorse behind contamination
+    scans and boilerplate detection). ``distinct_per_doc`` counts document
+    frequency (one vote per doc) rather than raw term frequency.
+
+    explode -> groupBy(ngram) with map-side partial counts; the shuffle
+    moves (ngram, partial_count) pairs only. Deterministic output order:
+    count DESC, ngram ASC.
+    """
+    grams = word_shingles(F.col(text_col), n, distinct=distinct_per_doc)
+    exploded = spread(df).select(F.explode(grams).alias("ngram"))
+    return (
+        exploded.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram"))
+        .limit(top)
+    )
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus summary: docs, chars, whitespace tokens, distinct
+    token vocabulary, average document length. Single scan + one global
+    aggregate; the vocabulary count is the only distinct (shuffles tokens
+    once)."""
+    t = F.col(text_col)
+    per_doc = df.select(
+        F.length(t).cast("bigint").alias("n_chars"),
+        token_count_whitespace(t).alias("n_tokens"),
+        F.split(F.trim(F.lower(t)), r"\s+").alias("tokens"),
+    )
+    vocab = per_doc.select(F.explode("tokens").alias("tok")).agg(
+        F.countDistinct("tok").alias("vocab_size")
+    )
+    totals = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_doc_tokens"),
+    )
+    return totals.crossJoin(vocab)

@@ -63,9 +63,9 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a text column, built entirely from JVM
-    higher-order functions.
+def word_shingles(col: Column, k: int = 3, distinct: bool = True) -> Column:
+    """k-word shingles of a text column (distinct per doc by default),
+    built entirely from JVM higher-order functions.
 
     Formulated as a zip_with fold over k phase-shifted array views rather
     than per-index transform+slice: slice-inside-transform re-slices the
@@ -78,7 +78,7 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     for offset in range(1, k):
         nxt = F.slice(words, offset + 1, n_out)
         shingles = F.zip_with(shingles, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(shingles)
+    return F.array_distinct(shingles) if distinct else shingles
 
 
 def ngram_jaccard_pairs(

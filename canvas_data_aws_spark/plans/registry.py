@@ -60,6 +60,7 @@ def _load_all_modules() -> None:
     from canvas_data_aws_spark.plans import (  # noqa: F401
         aggregates,
         corpus_q,
+        curation_q,
         functions_extra_q,
         functions_q,
         ingest_q,
