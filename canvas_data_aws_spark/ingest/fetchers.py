@@ -26,7 +26,7 @@ import os
 import time
 import urllib.error
 import urllib.request
-from collections.abc import Callable
+from collections.abc import Callable, Mapping
 
 DEFAULT_CHUNK_BYTES = 8 * 1024 * 1024  # worker chunk-size parity (:20)
 
@@ -44,10 +44,15 @@ def http_fetcher(
     backoff_s: float = 0.5,
     timeout_s: float = 60.0,
     resume: bool = True,
+    headers: Mapping[str, str] | Callable[[str], Mapping[str, str]] | None = None,
 ) -> Callable[[str, str], None]:
     """Streamed HTTP(S) download with retry/resume, bounded to one chunk of
     memory. Returns a plain-picklable ``(url, dest) -> None`` callable
     (a partial over a module function, so even stdlib pickle ships it).
+
+    ``headers`` attaches auth to every request: a static mapping, or a
+    per-URL callable (e.g. credentials.hmac_auth_headers) for signed
+    schemes — the secrets_resolution hand-off point.
 
     file:// URLs are handled too (urllib supports them), which keeps one
     code path for tests and production.
@@ -61,6 +66,7 @@ def http_fetcher(
         backoff_s=backoff_s,
         timeout_s=timeout_s,
         resume=resume,
+        headers=headers,
     )
 
 
@@ -73,6 +79,7 @@ def _http_fetch(
     backoff_s: float,
     timeout_s: float,
     resume: bool,
+    headers: Mapping[str, str] | Callable[[str], Mapping[str, str]] | None = None,
 ) -> None:
     part = dest + ".part"
     os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
@@ -82,6 +89,9 @@ def _http_fetch(
             time.sleep(backoff_s * (2 ** (attempt - 1)))
         offset = os.path.getsize(part) if (resume and os.path.exists(part)) else 0
         req = urllib.request.Request(url)
+        if headers:
+            for k, v in (headers(url) if callable(headers) else headers).items():
+                req.add_header(k, v)
         if offset:
             req.add_header("Range", f"bytes={offset}-")
         try:

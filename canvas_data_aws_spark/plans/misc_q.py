@@ -85,6 +85,45 @@ def stream_trigger_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_custom",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Arbitrary stateful processing via applyInPandasWithState: a "
+    "per-user running count carried in explicit GroupState across FOUR "
+    "forced micro-batches (maxFilesPerTrigger=1 over a 4-file source). "
+    "The latest update-mode emission per user must equal the batch "
+    "GROUP BY count — state survival across batches is what's checked.",
+)
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.streaming.ops import (
+        file_stream_source,
+        start_available_now,
+        stateful_running_count,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    workdir = tempfile.mkdtemp(prefix="cda_state_")
+    src = os.path.join(workdir, "in")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stateful_running_count(
+        file_stream_source(spark, src, schema, max_files_per_trigger=1)
+    )
+    query, name = start_available_now(stream, sink_format="memory", output_mode="update")
+    query.awaitTermination(120)
+    result = (
+        spark.table(name).groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    ).cache()
+    result.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result
+
+
+@register(
     "stream_stateful_upsert",
     """
     SELECT event_id, user_id, value + 1000 AS value
