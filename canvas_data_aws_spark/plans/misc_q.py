@@ -87,36 +87,43 @@ def stream_trigger_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_stateful_custom",
     """
-    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
     FROM events
     GROUP BY user_id
     """,
-    doc="Arbitrary stateful processing via applyInPandasWithState: a "
-    "per-user running count carried in explicit GroupState across FOUR "
-    "forced micro-batches (maxFilesPerTrigger=1 over a 4-file source). "
-    "The latest update-mode emission per user must equal the batch "
-    "GROUP BY count — state survival across batches is what's checked.",
+    doc="Arbitrary stateful processing via applyInPandasWithState "
+    "(streaming/stateful.py): per-user running (count, value-sum) carried "
+    "in explicit GroupState across FOUR forced micro-batches "
+    "(maxFilesPerTrigger=1 over a 4-file source). The final update-mode "
+    "emission per user (struct-argmax on the monotone count) must equal "
+    "the batch GROUP BY — state survival across batches is what's checked.",
 )
 def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from canvas_data_aws_spark.streaming.ops import (
-        file_stream_source,
-        start_available_now,
-        stateful_running_count,
-    )
+    from canvas_data_aws_spark.streaming.ops import file_stream_source, start_available_now
+    from canvas_data_aws_spark.streaming.stateful import running_totals_per_user
 
-    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     workdir = tempfile.mkdtemp(prefix="cda_state_")
     src = os.path.join(workdir, "in")
     events.repartition(4).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
 
-    stream = stateful_running_count(
+    stream = running_totals_per_user(
         file_stream_source(spark, src, schema, max_files_per_trigger=1)
     )
     query, name = start_available_now(stream, sink_format="memory", output_mode="update")
     query.awaitTermination(120)
     result = (
-        spark.table(name).groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value").alias("total_value"),
+        )
     ).cache()
     result.count()
     shutil.rmtree(workdir, ignore_errors=True)

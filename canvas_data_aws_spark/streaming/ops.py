@@ -94,38 +94,6 @@ def with_watermark_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
 
 
-def stateful_running_count(events: DataFrame) -> DataFrame:
-    """Custom stateful operator via ``applyInPandasWithState``: a per-user
-    running event count carried in explicit group state across micro-batches
-    — the arbitrary-stateful-processing surface that windowed aggregates
-    can't express (SURVEY.md §2 B.9 custom-operator slot).
-
-    Each micro-batch emits one (user_id, n_events) row per active user with
-    the cumulative count so far; in update-mode the sink's latest row per
-    user is the running total, and after an availableNow pass the max equals
-    the batch GROUP BY count — which is how the oracle gate checks it.
-    State is one bigint per user (bounded by the user universe, not the
-    stream length).
-    """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    def _count(key, pdf_iter, state: GroupState):
-        total = state.get[0] if state.exists else 0
-        for pdf in pdf_iter:
-            total += len(pdf)
-        state.update((total,))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
-
-    return events.groupBy("user_id").applyInPandasWithState(
-        _count,
-        outputStructType="user_id bigint, n_events bigint",
-        stateStructType="total bigint",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-
-
 def start_available_now(
     df: DataFrame,
     sink_format: str = "memory",

@@ -80,38 +80,6 @@ def test_streaming_dedup(spark, sf_dir, tmp_path):
     assert spark.table(name).count() == ev.count()
 
 
-def test_stateful_running_count_carries_state_across_batches(spark, sf_dir, tmp_path):
-    """applyInPandasWithState: with maxFilesPerTrigger=1 over a 4-file
-    source, each user's emissions must be strictly increasing running
-    totals whose max equals the batch count — proof the GroupState
-    survived micro-batch boundaries rather than recounting per batch."""
-    from canvas_data_aws_spark.streaming.ops import stateful_running_count
-
-    src = str(tmp_path / "in")
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    ev.repartition(4).write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-
-    stream = stateful_running_count(
-        file_stream_source(spark, src, schema, max_files_per_trigger=1)
-    )
-    query, name = start_available_now(stream, sink_format="memory", output_mode="update")
-    query.awaitTermination(120)
-
-    emissions = spark.table(name).collect()
-    batch = {r["user_id"]: r["cnt"] for r in
-             ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    per_user: dict = {}
-    for r in emissions:
-        per_user.setdefault(r["user_id"], []).append(r["n_events"])
-    assert set(per_user) == set(batch)
-    for uid, counts in per_user.items():
-        assert counts == sorted(counts), f"user {uid} counts not monotonic: {counts}"
-        assert counts[-1] == batch[uid]
-        # state carried: at least one user must have been updated in >1 batch
-    assert any(len(c) > 1 for c in per_user.values()), "never crossed a batch boundary"
-
-
 def test_foreach_batch_upsert(spark, sf_dir, tmp_path):
     """Snapshot-mirror upsert: second batch overwrites rows per key
     (last-writer-wins), never duplicates."""
