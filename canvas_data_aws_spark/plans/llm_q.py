@@ -91,11 +91,15 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     None,  # xxhash64-based fingerprints are engine-specific — rows-only
     doc="SimHash near-dup candidates (tier 3): 64-bit locality hash, banded "
-    "equi-join, exact Hamming verify — all JVM built-ins.",
+    "equi-join, exact Hamming verify — all JVM built-ins. bands=4 gives "
+    "16-bit band keys (65k values — selective buckets) with guaranteed "
+    "recall at hamming<=3; wider hamming budgets need more bands, whose "
+    "narrower keys collapse into few hot buckets (bands=8 -> 256 8-bit "
+    "values -> near-quadratic candidates; measured 10.7s vs 0.9s at sf0.1).",
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=7, bands=8, max_band_freq=500
+        load_table(spark, sf_dir, "documents"), max_hamming=3, bands=4, max_band_freq=500
     )
 
 
