@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "sim_search_cosine",
     "sim_search_ivf",
+    "sim_search_lsh",
     "text_quality",
     "corpus_decontaminate",
     "corpus_ngram_top_k",
@@ -48,6 +49,7 @@ HEADLINE = [
     "multimodal_decode",
     "stream_tumbling_window",
     "stream_session_window",
+    "stream_stream_join",
     "sync_reconcile_scale",
 ]
 

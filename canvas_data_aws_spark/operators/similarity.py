@@ -9,6 +9,10 @@ Two paths, as a production pipeline would stage them:
   vectors are bucketed by nearest centroid once (a write-time partitioning
   at 100 TB), queries probe only the ``nprobe`` nearest buckets, cutting
   scanned vectors by ~n_clusters/nprobe.
+- ``lsh_topk`` — the other scale path: signed-random-projection LSH
+  (Charikar hyperplane hashing); corpus vectors carry ``n_tables``
+  signature ints (write-time columns at 100 TB), a query touches only
+  corpus rows sharing at least one table signature.
 """
 
 from __future__ import annotations
@@ -221,6 +225,98 @@ def ivf_topk(
         query_id,
         corpus_id,
         F.round(cosine(F.col("__arr"), F.col("__qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_tables: int, bits_per_table: int, seed: int) -> np.ndarray:
+    """(n_tables * bits_per_table, dim) Gaussian hyperplane normals, seeded."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_tables * bits_per_table, dim))
+
+
+def _signature_udf(planes: np.ndarray, n_tables: int, bits_per_table: int, sc):
+    """Arrow-batched signature kernel: array<float> -> array<int> of
+    ``n_tables`` packed sign-bit signatures. One GEMM against the broadcast
+    plane matrix per batch — the per-row Catalyst HOF equivalent would run
+    ``n_tables * bits_per_table`` interpreted dot products per vector."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    bc = sc.broadcast(planes)
+    weights = (1 << np.arange(bits_per_table, dtype=np.int64))  # bit packing
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _sig(vecs: pd.Series) -> pd.Series:
+        h = bc.value  # (n_tables*bits, dim)
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (m @ h.T) > 0  # (n, n_tables*bits)
+        per_table = bits.reshape(len(m), -1, len(weights))  # (n, tables, bits)
+        sigs = (per_table * weights).sum(axis=2).astype("int32")  # (n, tables)
+        return pd.Series(list(sigs))
+
+    return _sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    bits_per_table: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via signed-random-projection LSH.
+
+    Index (write-time at scale): each corpus vector gets ``n_tables``
+    signatures, each packing ``bits_per_table`` hyperplane sign bits; two
+    vectors at angle theta share one table's signature with probability
+    ``(1 - theta/pi) ** bits_per_table`` — near-duplicates almost surely
+    collide in some table, random pairs almost never do.
+
+    Query: candidates = equi-join on (table_no, signature). The exploded
+    corpus index ships (id, table_no, sig) only — vectors stay out of the
+    exchange and rejoin once per DISTINCT candidate for exact rescoring, so
+    shuffled bytes are O(n * n_tables * 12B), not O(n * dim * 4B).
+    Recall < 1.0 by construction — rows-only in the oracle gate.
+    """
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    planes = _hyperplanes(dim, n_tables, bits_per_table, seed)
+    sig = _signature_udf(planes, n_tables, bits_per_table, corpus.sparkSession.sparkContext)
+
+    def banded(df: DataFrame, id_name: str) -> DataFrame:
+        return df.select(
+            F.col(id_name),
+            F.posexplode(sig(F.col(vec_col))).alias("table_no", "sig"),
+        )
+
+    c_idx = banded(corpus, corpus_id)
+    q_idx = banded(queries, query_id)
+
+    cand = (
+        c_idx.join(F.broadcast(q_idx), ["table_no", "sig"])
+        .select(query_id, corpus_id)
+        .distinct()
+    )
+
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cvec"))
+    scored = (
+        cand.join(c, corpus_id)
+        .join(F.broadcast(q), query_id)
+        .select(
+            query_id,
+            corpus_id,
+            F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
     return (

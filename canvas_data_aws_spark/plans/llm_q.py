@@ -181,6 +181,24 @@ def sim_search_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_clusters=16, nprobe=4)
 
 
+@register(
+    "sim_search_lsh",
+    None,  # hyperplane signatures are seed-dependent — rows-only
+    doc="LSH approximate top-k (the bucketed scale path SURVEY names "
+    "alongside IVF): signed-random-projection signatures, candidate "
+    "equi-join on (table_no, sig) shipping ids only, exact cosine rescore "
+    "of distinct candidates. operators/similarity.py::lsh_topk.",
+)
+def sim_search_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=10, n_tables=32, bits_per_table=6)
+
+
 _SCORE = {
     lang: " + ".join(
         f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words

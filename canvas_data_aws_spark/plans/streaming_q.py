@@ -157,3 +157,57 @@ def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()  # materialize before the temp dir is removed
     shutil.rmtree(workdir, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT a.user_id,
+           a.event_id AS left_id, b.event_id AS right_id,
+           a.ts AS left_ts, b.ts AS right_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    WHERE a.event_type = 'click' AND b.event_type = 'error'
+    """,
+    doc="REAL stream-stream interval join: clicks and errors staged as two "
+    "file streams, each watermarked, joined on user_id with errors within "
+    "6h after the click (streaming/ops.py::stream_stream_interval_join). "
+    "The two-sided time bound is what lets Spark evict join state; append "
+    "output after availableNow must equal the batch interval join — which "
+    "is exactly what the oracle checks.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.streaming.ops import stream_stream_interval_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    workdir = tempfile.mkdtemp(prefix="cda_ssj_")
+    click_dir = os.path.join(workdir, "clicks")
+    err_dir = os.path.join(workdir, "errors")
+    events.filter(F.col("event_type") == "click").write.mode("overwrite").parquet(click_dir)
+    events.filter(F.col("event_type") == "error").write.mode("overwrite").parquet(err_dir)
+    schema = spark.read.parquet(click_dir).schema
+
+    joined = stream_stream_interval_join(
+        file_stream_source(spark, click_dir, schema),
+        file_stream_source(spark, err_dir, schema),
+        key="user_id",
+        within="6 hours",
+    )
+    # State-store partition count is fixed at stream start (AQE never
+    # re-plans streaming stages) and each partition costs two store
+    # instances per micro-batch here; size it to the stream, not the
+    # session default (32 -> 8: measured 13s -> 2.8s at sf0.1; a real
+    # 100 TB stream would size UP the same way).
+    shuffle_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(shuffle_key)
+    spark.conf.set(shuffle_key, "8")
+    try:
+        query, name = start_available_now(joined, sink_format="memory", output_mode="append")
+        query.awaitTermination(120)
+        result = spark.table(name).cache()
+        result.count()  # materialize before the temp dir is removed
+    finally:
+        spark.conf.set(shuffle_key, old_parts)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result

@@ -94,6 +94,37 @@ def with_watermark_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """stream_stream_join: inner join of two live streams on an equi-key
+    plus an event-time interval (right.ts in [left.ts, left.ts + within]).
+
+    Both sides carry watermarks and the join condition bounds event time in
+    both directions, so Spark can size the state store: a buffered left row
+    is droppable once the watermark passes ``left.ts + within``, a right row
+    once it passes ``right.ts`` — without the time bound the state would
+    grow with the stream. Output in append mode equals the batch join
+    (proven by the oracle gate + tests/test_streaming.py).
+    """
+    a = left.withWatermark("ts", watermark).alias("a")
+    b = right.withWatermark("ts", watermark).alias("b")
+    cond = F.expr(
+        f"a.{key} = b.{key} AND b.ts >= a.ts AND b.ts <= a.ts + interval {within}"
+    )
+    return a.join(b, cond, "inner").select(
+        F.col(f"a.{key}").alias(key),
+        F.col("a.event_id").alias("left_id"),
+        F.col("b.event_id").alias("right_id"),
+        F.col("a.ts").alias("left_ts"),
+        F.col("b.ts").alias("right_ts"),
+    )
+
+
 def start_available_now(
     df: DataFrame,
     sink_format: str = "memory",

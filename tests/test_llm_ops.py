@@ -98,3 +98,29 @@ def test_multimodal_plumbing_shapes(docs, spark):
     video_ids = {r["media_id"] for r in media.filter(F.col("modality") == "video").collect()}
     assert {r["media_id"] for r in frows} == video_ids  # only videos expand
     assert all(r["frame_no"] % 10 == 0 for r in frows)
+
+
+def test_lsh_recall_against_bruteforce(emb):
+    """Hyperplane LSH, 32 tables x 6 bits (tuned for this corpus, whose
+    10th-nearest neighbors sit near cos 0.24 — weak-similarity regimes need
+    many short tables): true neighbors collide
+    in some table with high probability; candidates are rescored exactly,
+    so precision of the returned ranks is 1.0 by construction and only
+    recall is probabilistic."""
+    from canvas_data_aws_spark.operators.similarity import lsh_topk
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_topk(emb, queries, k=10, n_tables=32, bits_per_table=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"lsh recall {recall:.2f}"
+    # each query still fills k slots (candidate sets are large enough)
+    assert len(approx) == 10 * 10
