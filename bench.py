@@ -45,6 +45,8 @@ HEADLINE = [
     "text_quality",
     "corpus_decontaminate",
     "corpus_ngram_top_k",
+    "corpus_bpe_merges",
+    "text_pii_scrub",
     "doc_fingerprint",
     "multimodal_decode",
     "stream_tumbling_window",

@@ -119,3 +119,73 @@ def fingerprint_rolling(col: Column) -> Column:
         return pd.Series(out, dtype="int64")
 
     return _fp(col)
+
+
+def repetition_score(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Intra-document repetition signal (the Gopher-style "repeated n-gram
+    fraction" quality rule): 1 - distinct_kgrams / total_kgrams, where 1.0
+    means the document is one k-gram repeated and 0.0 means no k-gram ever
+    recurs. Row-local — a 100 TB pass is one scan with no shuffle; the
+    k-gram arrays never leave the row."""
+    from canvas_data_aws_spark.operators.dedup import word_shingles
+
+    all_k = word_shingles(F.col(text_col), k=k, distinct=False)
+    n_total = F.size(all_k)
+    n_distinct = F.size(F.array_distinct(all_k))
+    score = F.when(n_total <= 0, F.lit(0.0)).otherwise(
+        1.0 - n_distinct.cast("double") / n_total.cast("double")
+    )
+    return df.withColumn("rep_ratio", F.round(score, 6))
+
+
+#: Redaction patterns applied in order. Deliberately simple anchored
+#: regexes whose semantics are identical in Spark (Java regex) and ANSI
+#: SQL engines, so the scrub is oracle-checkable end-to-end.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact emails / phone numbers / SSN-shaped ids, longest-pattern
+    first (email before phone so an address containing digits never gets a
+    partial phone redaction). Pure regexp_replace chain — codegen'd,
+    row-local, no Python."""
+    out = col
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", top_k: int = 20) -> DataFrame:
+    """The innermost step of BPE tokenizer training, distributed: corpus-wide
+    frequencies of adjacent character pairs within whitespace words; the
+    argmax pair is the next merge a BPE trainer would learn.
+
+    All pair extraction is row-local JVM array logic (no Python, no UDF);
+    the only shuffle carries (pair, partial_count) — 676-ish keys after
+    map-side combine — and top-k fuses to TakeOrderedAndProject. At 100 TB
+    this is the canonical one-scan + tiny-shuffle aggregation; a full BPE
+    trainer is this operator iterated with a merge table re-broadcast each
+    round."""
+    from canvas_data_aws_spark.operators.dedup import normalize_text
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    long_enough = F.filter(words, lambda w: F.length(w) >= 2)
+    pairs_per_word = F.transform(
+        long_enough,
+        lambda w: F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1), lambda i: w.substr(i, F.lit(2))
+        ),
+    )
+    exploded = df.select(
+        F.explode(F.flatten(pairs_per_word)).alias("pair")
+    )
+    return (
+        exploded.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(top_k)
+    )

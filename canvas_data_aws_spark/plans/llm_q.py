@@ -373,3 +373,83 @@ def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return frame_sample(media, every_n=10, strict=False)
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)] AS grams
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents)
+    )
+    SELECT doc_id,
+           CASE WHEN len(grams) <= 0 THEN 0.0
+                ELSE ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+           END AS rep_ratio
+    FROM g
+    """,
+    doc="Gopher-style repetition quality rule: repeated-3-gram fraction per "
+    "document (1 - distinct/total). Row-local array ops, zero shuffle "
+    "(operators/text.py::repetition_score).",
+)
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.text import repetition_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_score(docs, k=3).select("doc_id", "rep_ratio")
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text || ' contact user' || doc_id || '@example.com or 555-123-4567 ssn 123-45-6789',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS clean_text
+    FROM documents
+    """,
+    doc="PII redaction for corpus curation: email/phone/SSN patterns -> "
+    "typed tokens via a codegen'd regexp_replace chain, no Python "
+    "(operators/text.py::pii_scrub). The query injects deterministic PII "
+    "per row so the oracle proves redaction actually fires, not just "
+    "identity on clean text.",
+)
+def text_pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.text import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 ssn 123-45-6789"),
+    )
+    return docs.select("doc_id", pii_scrub(dirty).alias("clean_text"))
+
+
+@register(
+    "corpus_bpe_merges",
+    f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS pair
+      FROM words WHERE len(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 20
+    """,
+    doc="Distributed BPE-trainer inner step: corpus-wide adjacent char-pair "
+    "frequencies within words, top-20 merge candidates. One scan, map-side "
+    "combine onto ~hundreds of keys, TakeOrdered top-k "
+    "(operators/text.py::bpe_pair_counts).",
+)
+def corpus_bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_k=20)

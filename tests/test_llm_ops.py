@@ -124,3 +124,36 @@ def test_lsh_recall_against_bruteforce(emb):
     assert recall >= 0.5, f"lsh recall {recall:.2f}"
     # each query still fills k slots (candidate sets are large enough)
     assert len(approx) == 10 * 10
+
+
+def test_repetition_score_edges(spark):
+    """Empty text scores 0 (no k-grams), a pure repeat scores near 1."""
+    from canvas_data_aws_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a b c a b c a b c a b c"), (3, "all words differ here now")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["rep_ratio"] for r in repetition_score(df, k=3).collect()}
+    assert got[1] == 0.0
+    assert got[2] > 0.6, got  # 10 3-grams, only 3 distinct
+    assert got[3] == 0.0      # every 3-gram unique
+
+
+def test_pii_scrub_patterns(spark):
+    """Email redacts before phone/SSN so digit-bearing addresses never get
+    a partial inner redaction; non-PII digits survive."""
+    from canvas_data_aws_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me: jo.smith+x@sub.example.co.uk today"),
+            (2, "call 555-123-4567 or ssn 123-45-6789"),
+            (3, "order 12345 shipped 2024-01-02"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["clean"] for r in df.select("id", pii_scrub(F.col("text")).alias("clean")).collect()}
+    assert got[1] == "mail me: <EMAIL> today"
+    assert got[2] == "call <PHONE> or ssn <SSN>"
+    assert got[3] == "order 12345 shipped 2024-01-02"
