@@ -106,8 +106,10 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash",
     None,  # MinHash signatures are seed/hash-specific — rows-only
-    doc="MinHash+LSH near-dup pairs (tier 4): MLlib MinHashLSH "
-    "approxSimilarityJoin over binary shingle features.",
+    doc="MinHash+LSH near-dup pairs (tier 4): Carter-Wegman 64-component "
+    "signatures as one grouped aggregation, banded candidate join shipping "
+    "(id, band) only, full-signature Jaccard estimate filter "
+    "(operators/dedup.py::minhash_lsh_pairs).",
 )
 def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -222,3 +223,92 @@ def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("status_or_null").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
         F.sum(cmp.isNull().cast("bigint")).cast("bigint").alias("n_3vl_unknown"),
     )
+
+
+@register(
+    "scan_orc",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="ORC round-trip (the other columnar at-rest format Spark reads "
+    "natively): write nation as ORC, read it back with pruning intact.",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    out = os.path.join(tempfile.gettempdir(), f"cda_orc_{_sf_tag(sf_dir)}", "nation")
+    nation.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "scan_jsonl",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="JSON-lines round-trip: events written as JSONL, read back with an "
+    "explicit schema (inference off — one pass, stable types), aggregated. "
+    "Timestamps stay out of the output; JSON serializes them as strings "
+    "whose parse-back is format-dependent, so the oracle pins the "
+    "value-bearing columns instead.",
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = os.path.join(tempfile.gettempdir(), f"cda_jsonl_{_sf_tag(sf_dir)}", "events")
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(ev.schema).json(out)
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Co-located join via bucketed tables: both sides bucketBy(8) on the "
+    "join key, so the fact-fact join itself runs with no shuffle exchange "
+    "on either input (bucket layout satisfies the join's distribution "
+    "requirement) — the storage lever that deletes the biggest shuffle at "
+    "100 TB. Broadcast is disabled inside the query so the bucket path is "
+    "what actually executes at oracle scale; the only remaining exchange "
+    "is the few-row rollup by priority. Plan asserted exchange-free in "
+    "tests/test_bucketing_dpp.py.",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = _sf_tag(sf_dir)
+    lt, ot = f"cda_bl_{tag}", f"cda_bo_{tag}"
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    for df, name, key in ((li, lt, "l_orderkey"), (o, ot, "o_orderkey")):
+        if not spark.catalog.tableExists(name):
+            # a fresh session's in-memory catalog forgets the table but the
+            # warehouse dir survives on disk — clear the orphan location
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+            df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(name)
+    bl, bo = spark.table(lt), spark.table(ot)
+    autob_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_autob = spark.conf.get(autob_key)
+    spark.conf.set(autob_key, "-1")
+    try:
+        out = (
+            bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lineitems"),
+                F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"),
+            )
+        )
+        out = out.cache()
+        out.count()  # plan + execute under the no-broadcast conf
+    finally:
+        spark.conf.set(autob_key, old_autob)
+    return out

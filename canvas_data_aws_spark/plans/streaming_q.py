@@ -184,8 +184,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="cda_ssj_")
     click_dir = os.path.join(workdir, "clicks")
     err_dir = os.path.join(workdir, "errors")
-    events.filter(F.col("event_type") == "click").write.mode("overwrite").parquet(click_dir)
-    events.filter(F.col("event_type") == "error").write.mode("overwrite").parquet(err_dir)
+    # coalesce staging: 2 files per side instead of 32 near-empty ones —
+    # the file-source listing and per-file task overhead dominate at test
+    # scale (a real deployment points the stream at an existing feed)
+    events.filter(F.col("event_type") == "click").coalesce(2).write.mode("overwrite").parquet(click_dir)
+    events.filter(F.col("event_type") == "error").coalesce(2).write.mode("overwrite").parquet(err_dir)
     schema = spark.read.parquet(click_dir).schema
 
     joined = stream_stream_interval_join(

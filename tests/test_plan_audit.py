@@ -80,3 +80,27 @@ def test_asof_join_aggregates_not_windows(registry, spark, sf_dir):
 def test_scans_are_vectorized_parquet(registry, spark, sf_dir):
     plan = _plan(registry, spark, sf_dir, "scan_parquet")
     assert has_operator(plan, "Scan parquet"), plan[:1500]
+
+
+def test_rowlocal_text_ops_have_no_exchange(registry, spark, sf_dir):
+    """repetition_score and pii_scrub are row-local by design: a 100 TB
+    pass must be one scan with zero shuffles."""
+    for name in ("text_repetition", "text_pii_scrub"):
+        plan = _plan(registry, spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name} shuffles: " + plan[:1500]
+
+
+def test_bpe_merges_combines_and_takes_ordered(registry, spark, sf_dir):
+    """Char-pair counting must partially aggregate before the shuffle
+    (the exchange carries ~hundreds of (pair, count) rows, not the corpus)
+    and fuse top-k into TakeOrderedAndProject."""
+    plan = _plan(registry, spark, sf_dir, "corpus_bpe_merges")
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+    assert has_operator(plan, "TakeOrderedAndProject"), plan[:2000]
+
+
+def test_lsh_probe_broadcasts_queries(registry, spark, sf_dir):
+    """The LSH candidate join must broadcast the (tiny) query signature
+    side — a shuffle there would repartition the whole corpus index."""
+    plan = _plan(registry, spark, sf_dir, "sim_search_lsh")
+    assert has_operator(plan, "BroadcastHashJoin"), plan[:2000]
