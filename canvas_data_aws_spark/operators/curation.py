@@ -21,7 +21,7 @@ Design stance at 100 TB:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from canvas_data_aws_spark.operators.dedup import spread, word_shingles
 from canvas_data_aws_spark.operators.text import quality_features, token_count_whitespace
@@ -176,3 +176,62 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(F.avg("n_tokens"), 6).alias("avg_doc_tokens"),
     )
     return totals.crossJoin(vocab)
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    order_col: str = "doc_id",
+    group_col: str | None = "source",
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training batches: within each
+    ``group_col`` stream, documents in deterministic ``order_col`` order
+    fill batches of ``capacity`` tokens by prefix sum (batch_id =
+    floor(cumulative_tokens_before / capacity)) — the streaming-friendly
+    relaxation of bin packing every sequence-packing pipeline actually
+    ships (first-fit on an ordered stream), and unlike true bin packing
+    it is deterministic and SQL-checkable.
+
+    One window over (group, order) = one shuffle partitioned by group; at
+    100 TB the group is the unit of parallelism (source, shard, …) so no
+    single ordering spans the corpus.
+    """
+    toks = (
+        F.col(token_col) if token_col else token_count_whitespace(F.col(text_col))
+    ).cast("bigint")
+    keys = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(toks).over(w), F.lit(0))
+    out_cols = keys + [order_col]
+    return df.select(
+        *out_cols,
+        toks.alias("n_tokens"),
+        F.floor(before / capacity).cast("bigint").alias("batch_id"),
+    )
+
+
+def mix_by_source_weights(
+    df: DataFrame,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic weighted mixture: keep ``weights[source]`` percent of
+    each source's documents, chosen by a stable id bucket (id % 100 <
+    weight) — the up/down-sampling step that sets a training mixture's
+    domain proportions. Row-local predicate, zero shuffle, reproducible
+    run-over-run (no RNG); sources absent from ``weights`` are dropped.
+    """
+    pct = F.lit(None).cast("int")
+    expr = None
+    for src, wgt in sorted(weights.items()):
+        cond = F.col(source_col) == src
+        expr = F.when(cond, F.lit(wgt)) if expr is None else expr.when(cond, F.lit(wgt))
+    pct = expr.otherwise(F.lit(0))
+    return df.filter(F.pmod(F.col(id_col), F.lit(100)) < pct)

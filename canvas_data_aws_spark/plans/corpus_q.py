@@ -108,3 +108,56 @@ def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "corpus_pack_batches",
+    """
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS batch_id
+    FROM toks
+    """,
+    doc="Sequence packing for training batches: per-source document streams "
+    "fill 512-token batches by prefix sum in deterministic doc_id order "
+    "(operators/curation.py::pack_sequences) — first-fit-on-a-stream, the "
+    "shape real packing pipelines ship. One window per source group = one "
+    "shuffle partitioned by the parallelism unit.",
+)
+def corpus_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.curation import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), capacity=512, group_col="source"
+    )
+
+
+@register(
+    "corpus_mix_weighted",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    WHERE doc_id % 100 < CASE source
+        WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 WHEN 'src2' THEN 100
+        WHEN 'src3' THEN 25 ELSE 0 END
+    GROUP BY source
+    """,
+    doc="Deterministic training-mixture sampling: keep N% of each source by "
+    "stable id bucket (src0 80 / src1 50 / src2 100 / src3 25; unlisted sources drop) "
+    "— row-local predicate, zero shuffle before the count, reproducible "
+    "run-over-run (operators/curation.py::mix_by_source_weights).",
+)
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.curation import mix_by_source_weights
+
+    mixed = mix_by_source_weights(
+        load_table(spark, sf_dir, "documents"),
+        weights={"src0": 80, "src1": 50, "src2": 100, "src3": 25},
+    )
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))

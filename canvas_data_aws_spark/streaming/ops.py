@@ -150,6 +150,33 @@ def start_available_now(
     return writer.start(), name
 
 
+def start_processing_time(
+    df: DataFrame,
+    interval: str = "1 second",
+    sink_format: str = "memory",
+    query_name: str | None = None,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+):
+    """schedule_daily as a *running* schedule: a ProcessingTime trigger
+    fires a micro-batch every ``interval`` over whatever new files arrived —
+    the reference's cron rule (canvas_data_aws.yaml:234-242 'rate(1 day)')
+    expressed as Spark's own scheduler instead of an external one.
+    ``availableNow`` (start_available_now) is the catch-up/backfill shape;
+    this is the steady-state daemon shape. Caller stops the query."""
+    name = query_name or f"cda_sched_{uuid.uuid4().hex[:8]}"
+    ckpt = checkpoint or os.path.join(tempfile.mkdtemp(prefix="cda_ckpt_"), "ckpt")
+    writer: DataStreamWriter = (
+        df.writeStream.outputMode(output_mode)
+        .format(sink_format)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime=interval)
+    )
+    if sink_format == "memory":
+        writer = writer.queryName(name)
+    return writer.start(), name
+
+
 def foreach_batch_upsert(curated_path: str, key_cols: list[str]):
     """stream_stateful_upsert: merge each micro-batch into a curated Parquet
     zone with last-writer-wins per key — the snapshot-mirror delete/replace

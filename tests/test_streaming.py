@@ -145,3 +145,35 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
     assert set(got) == set(want)
     mismatch = {u: (got[u], want[u]) for u in want if got[u][0] != want[u][0]}
     assert not mismatch, f"running totals diverge for {len(mismatch)} users: {list(mismatch.items())[:3]}"
+
+
+def test_processing_time_schedule_picks_up_new_files(spark, sf_dir, tmp_path):
+    """The cron-analog daemon: a ProcessingTime-triggered query ingests
+    files that arrive AFTER it starts — the reference's daily schedule as
+    Spark's own trigger loop (schedule_daily, canvas_data_aws.yaml rate
+    rule). Two drops of files must both land in the sink."""
+    import time
+
+    from canvas_data_aws_spark.streaming.ops import start_processing_time
+
+    src = str(tmp_path / "in")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id").limit(200)
+    first, second = ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = file_stream_source(spark, src, schema)
+    query, name = start_processing_time(stream, interval="1 second")
+    try:
+        deadline = time.time() + 60
+        while spark.table(name).count() < first.count() and time.time() < deadline:
+            time.sleep(0.5)
+        # drop a second batch of files while the schedule is live
+        second.coalesce(1).write.mode("append").parquet(src)
+        want = first.count() + second.count()
+        while spark.table(name).count() < want and time.time() < deadline:
+            time.sleep(0.5)
+        got = spark.table(name).count()
+    finally:
+        query.stop()
+    assert got == want, f"daemon ingested {got} of {want} rows"
