@@ -20,7 +20,8 @@ Scale levers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from canvas_data_aws_spark.sources.tsv import read_tsv_gzip
@@ -64,3 +65,63 @@ def compact_raw_tsv(
     raw = read_tsv_gzip(spark, raw_table_dir, schema)
     compact_table(raw, out_path, partition_by, target_rows_per_file)
     return spark.read.parquet(out_path)
+
+
+def zorder_value(cols: list[Column], bits: int = 16) -> Column:
+    """Z-order (Morton) key from normalized column ranks: interleave the top
+    ``bits`` bits of each input so a sort on the result clusters rows that
+    are close in EVERY dimension — per-file min/max footers then prune on
+    any of the columns, not just the leading sort key. Pure shift/or
+    expression chain, fully codegen'd."""
+    n = len(cols)
+    out = F.lit(0).cast("bigint")
+    for bit in range(bits - 1, -1, -1):
+        for ci, c in enumerate(cols):
+            out = F.shiftleft(out, 1).bitwiseOR(
+                F.shiftright(c.cast("bigint"), bit).bitwiseAND(F.lit(1))
+            )
+    return out
+
+
+def zorder_write(
+    df: DataFrame,
+    out_path: str,
+    zorder_by: list[str],
+    bits: int = 16,
+    target_rows_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Rewrite a table clustered by the Z-order of ``zorder_by`` columns —
+    the multi-dimensional data-skipping layout (Delta/Iceberg OPTIMIZE
+    ZORDER, built here from first principles on plain parquet).
+
+    Each column is min-max normalized to ``bits`` bits using one stats pass
+    (at 100 TB: footer-only min/max aggregates), rows are range-partitioned
+    then locally sorted on the Morton key, and files are written size-capped.
+    A predicate on ANY z-column then skips most files/row-groups via
+    parquet min/max stats — where a plain sort only skips on its leading
+    column. Content is untouched (lossless rewrite; the oracle gate checks
+    exactly that)."""
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__min_{c}") for c in zorder_by],
+        *[F.max(F.col(c).cast("double")).alias(f"__max_{c}") for c in zorder_by],
+    ).first()
+    scale = (1 << bits) - 1
+    norm_cols = []
+    for c in zorder_by:
+        lo, hi = stats[f"__min_{c}"], stats[f"__max_{c}"]
+        span = (hi - lo) or 1.0
+        norm_cols.append(
+            F.round((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * scale).cast("bigint")
+        )
+    keyed = df.withColumn("__z", zorder_value(norm_cols, bits))
+    n = keyed.count()
+    n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(out_path)
+    )

@@ -161,3 +161,35 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights={"src0": 80, "src1": 50, "src2": 100, "src3": 25},
     )
     return mixed.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+
+@register(
+    "layout_zorder_rewrite",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    doc="Z-order (Morton) clustering rewrite, first-principles on plain "
+    "parquet (ingest/compaction.py::zorder_write): min-max normalize each "
+    "clustered column to 16 bits in one stats pass, interleave bits with a "
+    "codegen'd shift/or chain, repartitionByRange + local sort on the key. "
+    "Per-file min/max footers then prune on ANY clustered column: measured "
+    "avg per-file span custkey 0.26 / totalprice 0.49 of global, vs 0.12 / "
+    "1.00 for a plain custkey sort (8-file layout, matching the 2-bit/1-bit "
+    "Morton split exactly; tests/test_scale_ops.py). The oracle checks the "
+    "rewrite is lossless.",
+)
+def layout_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from canvas_data_aws_spark.ingest.compaction import zorder_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"cda_zorder_{abs(hash(sf_dir)) % 10**8}", "orders"
+    )
+    zorder_write(
+        orders, out, ["o_custkey", "o_totalprice"],
+        target_rows_per_file=max(2000, orders.count() // 8),
+    )
+    return spark.read.parquet(out)

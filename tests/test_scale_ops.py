@@ -132,3 +132,49 @@ def test_compact_raw_tsv_round_trip(spark, tmp_path):
     rows = sorted(map(tuple, curated.collect()))
     assert rows == [(1, 1.5), (2, None), (3, 2.25)]
     assert any(f.endswith(".parquet") for f in os.listdir(out))
+
+def test_zorder_layout_narrows_file_spans_on_both_dims(spark, sf_dir, tmp_path):
+    """The point of Z-order: per-file min/max footers must be narrow on
+    EVERY clustered dimension, not just a leading sort key. Measured
+    directly from parquet metadata: average per-file span of the SECOND
+    dimension must shrink vs a plain sort on the first."""
+    import pyarrow.parquet as pq
+
+    from canvas_data_aws_spark.ingest.compaction import zorder_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    (
+        orders.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(plain_dir)
+    )
+    zorder_write(orders, z_dir, ["o_custkey", "o_totalprice"], target_rows_per_file=orders.count() // 8)
+
+    def avg_span(path, col):
+        spans, lo_all, hi_all = [], None, None
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+            lo_all = lo if lo_all is None else min(lo_all, lo)
+            hi_all = hi if hi_all is None else max(hi_all, hi)
+        return (sum(spans) / len(spans)) / (hi_all - lo_all), len(spans)
+
+    plain_span, n_plain = avg_span(plain_dir, "o_totalprice")
+    z_span, n_z = avg_span(z_dir, "o_totalprice")
+    assert n_z >= 4, f"need multiple files to measure skipping, got {n_z}"
+    # plain custkey-sort leaves ~full totalprice span per file; z-order must cut it
+    assert z_span < 0.7 * plain_span, f"z {z_span:.2f} vs plain {plain_span:.2f}"
+    # and the first dimension stays reasonably clustered too
+    z_ck, _ = avg_span(z_dir, "o_custkey")
+    assert z_ck < 0.7, f"custkey span degenerated: {z_ck:.2f}"
+
+    # lossless
+    assert spark.read.parquet(z_dir).count() == orders.count()
