@@ -128,3 +128,92 @@ def sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.rnk <= 25
         """
     )
+
+
+@register(
+    "sql_lateral_explode",
+    """
+    SELECT o.o_orderkey, s.yr
+    FROM (SELECT o_orderkey, year(o_orderdate) AS y0 FROM orders WHERE o_orderkey < 200) o,
+         LATERAL (SELECT unnest([y0, y0 + 1]) AS yr) s
+    ORDER BY o_orderkey, yr
+    """,
+    doc="LATERAL VIEW / table-generator in SQL: each order row expands to "
+    "(year, year+1) via explode — the SQL spelling of the UDTF surface.",
+)
+def sql_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, yr
+        FROM (SELECT o_orderkey, year(o_orderdate) AS y0
+              FROM cda_sql_orders WHERE o_orderkey < 200)
+        LATERAL VIEW explode(array(y0, y0 + 1)) t AS yr
+        ORDER BY o_orderkey, yr
+        """
+    )
+
+
+@register(
+    "sql_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS st_o,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS st_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS st_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="SQL PIVOT: order counts by priority x status as columns (oracle "
+    "spells it as FILTERed aggregates — the dialect-portable equivalent).",
+)
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT o_orderpriority, o_orderstatus FROM cda_sql_orders
+        )
+        PIVOT (COUNT(*) FOR o_orderstatus IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p))
+        """
+    ).select(
+        "o_orderpriority",
+        F.coalesce("st_o", F.lit(0)).alias("st_o"),
+        F.coalesce("st_f", F.lit(0)).alias("st_f"),
+        F.coalesce("st_p", F.lit(0)).alias("st_p"),
+    )
+
+
+@register(
+    "sql_window_in_text",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+           CAST(rnk AS INT) AS rnk,
+           ROUND(seg_share, 6) AS seg_share
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             RANK() OVER (PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk,
+             o.o_totalprice / SUM(o.o_totalprice) OVER (PARTITION BY c.c_mktsegment) AS seg_share
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    WHERE rnk <= 5
+    """,
+    doc="Window functions in SQL text (rank + ratio-to-group-total sharing "
+    "ONE partition spec/exchange), filtered on rank — the QUALIFY idiom.",
+)
+def sql_window_in_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               CAST(rnk AS INT) AS rnk,
+               ROUND(seg_share, 6) AS seg_share
+        FROM (
+          SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                 RANK() OVER (PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk,
+                 o.o_totalprice / SUM(o.o_totalprice) OVER (PARTITION BY c.c_mktsegment) AS seg_share
+          FROM cda_sql_orders o JOIN cda_sql_customer c ON c.c_custkey = o.o_custkey
+        )
+        WHERE rnk <= 5
+        """
+    )

@@ -178,3 +178,41 @@ def test_zorder_layout_narrows_file_spans_on_both_dims(spark, sf_dir, tmp_path):
 
     # lossless
     assert spark.read.parquet(z_dir).count() == orders.count()
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """First line of skew defense (before salted_join): AQE must detect a
+    hot shuffle partition at runtime and split it across tasks — the final
+    adaptive plan carries SortMergeJoin(skew=true) with a skewed
+    AQEShuffleRead. 80% of the fact lands on one key; byte thresholds are
+    lowered so test-scale data trips the detector (at 100 TB the defaults
+    do). Both broadcast paths are disabled because AQE's dynamic broadcast
+    is itself the zeroth defense and would otherwise absorb the skew."""
+    left = spark.range(0, 400_000).select(
+        (F.when(F.col("id") % 10 < 8, 7).otherwise(F.col("id") % 97)).alias("k"),
+        F.concat(F.lit("x" * 100), F.col("id").cast("string")).alias("pad"),
+    )
+    right = spark.range(0, 97).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("y" * 2000), F.col("id").cast("string")).alias("pad_r"),
+    )
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    old = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        joined = left.join(right, "k").select(F.length("pad").alias("lp"))
+        n = len(joined.collect())  # execute THIS plan so AQE finalizes it
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "isFinalPlan=true" in plan, plan[:500]
+    assert "skew=true" in plan, plan[:2000]
+    assert n == 400_000
