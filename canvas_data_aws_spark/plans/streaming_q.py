@@ -214,3 +214,87 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(shuffle_key, old_parts)
     shutil.rmtree(workdir, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_stream_join_outer",
+    """
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+    errs AS (SELECT * FROM events WHERE event_type = 'error'),
+    wm AS (SELECT LEAST(
+             (SELECT date_trunc('millisecond', MAX(ts)) FROM clicks),
+             (SELECT date_trunc('millisecond', MAX(ts)) FROM errs)
+           ) - INTERVAL 1 HOUR AS w),
+    matched AS (
+      SELECT c.user_id, c.event_id AS left_id, e.event_id AS right_id,
+             c.ts AS left_ts, e.ts AS right_ts
+      FROM clicks c JOIN errs e
+        ON c.user_id = e.user_id AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 6 HOUR
+    ),
+    unmatched AS (
+      SELECT c.user_id, c.event_id AS left_id, CAST(NULL AS BIGINT) AS right_id,
+             c.ts AS left_ts, CAST(NULL AS TIMESTAMP) AS right_ts
+      FROM clicks c, wm
+      WHERE NOT EXISTS (
+              SELECT 1 FROM errs e
+              WHERE e.user_id = c.user_id AND e.ts >= c.ts
+                AND e.ts <= c.ts + INTERVAL 6 HOUR)
+        AND c.ts + INTERVAL 6 HOUR < wm.w
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    doc="LEFT OUTER stream-stream interval join — the oracle encodes "
+    "Spark's exact emission rule: matches always emit; an unmatched click "
+    "emits null-padded only once the global watermark — the MIN of the two "
+    "streams' per-source watermarks (multipleWatermarkPolicy=min), each "
+    "stream max ms-truncated as Spark tracks it, minus the 1h delay — passes "
+    "its entire join window (click ts + 6h). Clicks whose window was still "
+    "open when the streams ended are correctly ABSENT — the semantic "
+    "difference from a batch left join, checked exactly. Staging writes "
+    "time-sliced files with strictly increasing mtimes because "
+    "FileStreamSource orders by modification time: a random file order "
+    "would put a late range first and late-drop whole batches.",
+)
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from canvas_data_aws_spark.streaming.ops import stream_stream_interval_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
+    workdir = tempfile.mkdtemp(prefix="cda_ssjo_")
+    click_dir = os.path.join(workdir, "clicks")
+    err_dir = os.path.join(workdir, "errors")
+    for etype, d in (("click", click_dir), ("error", err_dir)):
+        os.makedirs(d)
+        for i in range(4):
+            a = lo + i * span
+            b = hi if i == 3 else lo + (i + 1) * span
+            upper = F.col("ts") <= b if i == 3 else F.col("ts") < b
+            part = events.filter((F.col("event_type") == etype) & (F.col("ts") >= a) & upper)
+            sub = os.path.join(d, f"slice={i}")
+            part.coalesce(1).write.parquet(sub)
+            for f in glob.glob(os.path.join(sub, "*.parquet")):
+                os.utime(f, (1_000_000 + i, 1_000_000 + i))
+    schema = spark.read.parquet(click_dir).schema
+
+    joined = stream_stream_interval_join(
+        file_stream_source(spark, click_dir, schema, max_files_per_trigger=1),
+        file_stream_source(spark, err_dir, schema, max_files_per_trigger=1),
+        key="user_id",
+        within="6 hours",
+        how="left_outer",
+    )
+    shuffle_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(shuffle_key)
+    spark.conf.set(shuffle_key, "8")
+    try:
+        query, name = start_available_now(joined, sink_format="memory", output_mode="append")
+        query.awaitTermination(120)
+        result = spark.table(name).cache()
+        result.count()
+    finally:
+        spark.conf.set(shuffle_key, old_parts)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result

@@ -100,23 +100,28 @@ def stream_stream_interval_join(
     key: str = "user_id",
     within: str = "6 hours",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """stream_stream_join: inner join of two live streams on an equi-key
-    plus an event-time interval (right.ts in [left.ts, left.ts + within]).
+    """stream_stream_join: join two live streams on an equi-key plus an
+    event-time interval (right.ts in [left.ts, left.ts + within]).
 
     Both sides carry watermarks and the join condition bounds event time in
     both directions, so Spark can size the state store: a buffered left row
     is droppable once the watermark passes ``left.ts + within``, a right row
     once it passes ``right.ts`` — without the time bound the state would
-    grow with the stream. Output in append mode equals the batch join
-    (proven by the oracle gate + tests/test_streaming.py).
+    grow with the stream. Inner output in append mode equals the batch
+    join. With ``how='left_outer'`` an unmatched left row emits its
+    null-padded result exactly when the watermark passes its join window
+    (``left.ts + within``) — which is why outer stream joins NEED the time
+    bound at all. Both shapes are proven against batch oracles that encode
+    precisely those semantics.
     """
     a = left.withWatermark("ts", watermark).alias("a")
     b = right.withWatermark("ts", watermark).alias("b")
     cond = F.expr(
         f"a.{key} = b.{key} AND b.ts >= a.ts AND b.ts <= a.ts + interval {within}"
     )
-    return a.join(b, cond, "inner").select(
+    return a.join(b, cond, how).select(
         F.col(f"a.{key}").alias(key),
         F.col("a.event_id").alias("left_id"),
         F.col("b.event_id").alias("right_id"),
