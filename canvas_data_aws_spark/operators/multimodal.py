@@ -55,19 +55,6 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _fake_decode(content: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for a real decoder: derives (width, height,
-    n_frames) from the ASCII codes of the payload's sha256 hexdigest (a
-    formula any SQL engine can replicate, keeping the stub oracle-checkable).
-    Replace with PIL/ffmpeg in production — the calling dataflow does not
-    change."""
-    d = hashlib.sha256(content or b"").hexdigest()
-    width = 64 + (ord(d[0]) * 7 + ord(d[1])) % 192
-    height = 64 + (ord(d[2]) * 7 + ord(d[3])) % 192
-    n_frames = 1 + (ord(d[4]) * 7 + ord(d[5])) % 32
-    return width, height, n_frames
-
-
 def decode_media_stub(content: bytes) -> tuple[int, int, int]:
     """Strict-mode decoder entry point: the real implementation requires
     codec libraries not present in this environment."""
@@ -75,6 +62,27 @@ def decode_media_stub(content: bytes) -> tuple[int, int, int]:
         "media decoding requires PIL/ffmpeg/librosa; use extract_features("
         "strict=False) for the deterministic fake decoder"
     )
+
+
+def _decoder(strict: bool):
+    """Build the per-batch decode callable as a CLOSURE: cloudpickle ships
+    closures by value, so Python workers never need this package importable
+    — module-level functions captured in a UDF pickle by reference and fail
+    under drivers whose workers lack the repo on sys.path."""
+
+    def decode(content: bytes) -> tuple[int, int, int]:
+        if strict:
+            raise NotImplementedError(
+                "media decoding requires PIL/ffmpeg/librosa; use "
+                "strict=False for the deterministic fake decoder"
+            )
+        d = hashlib.sha256(content or b"").hexdigest()
+        width = 64 + (ord(d[0]) * 7 + ord(d[1])) % 192
+        height = 64 + (ord(d[2]) * 7 + ord(d[3])) % 192
+        n_frames = 1 + (ord(d[4]) * 7 + ord(d[5])) % 32
+        return width, height, n_frames
+
+    return decode
 
 
 def documents_as_media(documents: DataFrame) -> DataFrame:
@@ -100,11 +108,11 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     deterministic fake decoder stands in.
     """
 
+    decode = _decoder(strict)
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [
-                (decode_media_stub(c) if strict else _fake_decode(c)) for c in pdf["content"]
-            ]
+            decoded = [decode(c) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -144,11 +152,13 @@ def resize_images(
     schema, batch shape, downstream joins — is exercised and oracle-checked.
     """
 
+    decode = _decoder(strict)
+
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if strict:
                 for c in pdf["content"]:
-                    decode_media_stub(c)
+                    decode(c)
             tag = f":{target_w}x{target_h}".encode()
             yield pd.DataFrame(
                 {
@@ -177,13 +187,13 @@ def frame_sample(media: DataFrame, every_n: int = 10, strict: bool = False) -> D
         ]
     )
 
+    decode = _decoder(strict)
+
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, frames, hashes = [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if strict:
-                    decode_media_stub(content)
-                _w, _h, n_frames = _fake_decode(content)
+                _w, _h, n_frames = decode(content)
                 for fno in range(0, n_frames, every_n):
                     ids.append(mid)
                     frames.append(fno)

@@ -49,16 +49,19 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sliding_window",
     """
     WITH starts AS (
-      SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS window_start FROM events
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start FROM events
       UNION ALL
-      SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP) FROM events
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE FROM events
     )
     SELECT window_start, COUNT(*) AS n_events
     FROM starts
     GROUP BY window_start
     """,
     doc="Sliding 1h/30m hop windows: every event lands in exactly 2 windows "
-    "(oracle: union of the two phase-shifted tumbling assignments).",
+    "(oracle: union of the two phase-shifted tumbling assignments, via "
+    "time_bucket — naive-timestamp arithmetic; an epoch()/to_timestamp() "
+    "round-trip goes through TIMESTAMPTZ and silently shifts by the "
+    "session timezone on non-UTC hosts).",
 )
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_window_agg(load_table(spark, sf_dir, "events"), "1 hour", "30 minutes")

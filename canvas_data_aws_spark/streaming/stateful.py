@@ -37,26 +37,32 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _update_running_totals(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
-    )
-
-
 def running_totals_per_user(events: DataFrame) -> DataFrame:
     """Per-user running (n_events, total_value) maintained in the state
     store across micro-batches; emits the updated totals for keys seen in
-    each batch."""
+    each batch.
+
+    The update function is a nested closure on purpose: cloudpickle ships
+    closures BY VALUE, so Python workers never need this package on their
+    import path — a module-level function is pickled by reference and
+    breaks under any driver whose workers can't import
+    canvas_data_aws_spark (e.g. stock session from a foreign cwd)."""
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_running_totals,
+        _update,
         outputStructType=RUNNING_TOTALS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",

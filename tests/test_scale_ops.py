@@ -197,6 +197,7 @@ def test_aqe_splits_skewed_join_partition(spark):
         F.concat(F.lit("y" * 2000), F.col("id").cast("string")).alias("pad_r"),
     )
     overrides = {
+        "spark.sql.shuffle.partitions": "32",  # pin: detector math depends on it
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
