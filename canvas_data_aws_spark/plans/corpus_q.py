@@ -193,3 +193,55 @@ def layout_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_rows_per_file=max(2000, orders.count() // 8),
     )
     return spark.read.parquet(out)
+
+
+def _pagerank_oracle(iters: int = 5, d: float = 0.85) -> str:
+    sql = """
+    WITH eda AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT src, dst FROM eda UNION SELECT dst, src FROM eda),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT id, 1.0 AS rank FROM nodes)"""
+    for k in range(iters):
+        sql += f""",
+    r{k + 1} AS (
+      SELECT n.id, {1 - d} + {d} * COALESCE(SUM(p.rank / p.deg), 0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, r.rank, d.deg
+        FROM e JOIN r{k} r ON r.id = e.src JOIN deg d ON d.src = e.src
+      ) p ON p.dst = n.id
+      GROUP BY n.id)"""
+    sql += f"""
+    SELECT id, ROUND(rank, 4) AS rank FROM r{iters}"""
+    return sql
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(5),
+    doc="PageRank, 5 power iterations over the (customer <-> supplier) "
+    "purchase graph (operators/clustering.py::pagerank): each iteration is "
+    "one src-partitioned join + one dst aggregation with localCheckpoint "
+    "lineage truncation — the iterative-algorithm surface with an EXACT "
+    "oracle (5 chained CTEs in DuckDB; float summation-order noise ~1e-15 "
+    "sits far below the ROUND(4) both sides pin).",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.clustering import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    eda = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    bidir = eda.unionAll(eda.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    ranks = pagerank(bidir, iterations=5)
+    return ranks.select("id", F.round("rank", 4).alias("rank"))
