@@ -312,3 +312,40 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(autob_key, old_autob)
     return out
+
+
+@register(
+    "sink_dynamic_overwrite",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus <> 'F'
+    UNION ALL
+    SELECT o_orderkey, -o_custkey AS o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="Dynamic partition overwrite (partitionOverwriteMode=dynamic): "
+    "rewrite ONLY the partitions present in the incoming batch — the "
+    "snapshot-mirror delete/replace (sync-canvas-data-files.py:104-112) as "
+    "a single declarative write, and the 100 TB upsert path (static mode "
+    "would truncate the whole table). The query overwrites just the "
+    "status='F' partition with negated custkeys; the oracle checks the "
+    "other partitions survived untouched.",
+)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    out = os.path.join(tempfile.gettempdir(), f"cda_dynovr_{_sf_tag(sf_dir)}", "orders")
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old_mode = spark.conf.get(mode_key)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        replacement = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+            "o_custkey", -F.col("o_custkey")
+        )
+        replacement.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    finally:
+        spark.conf.set(mode_key, old_mode)
+    back = spark.read.parquet(out)
+    return back.select(
+        "o_orderkey", "o_custkey", F.col("o_orderstatus").cast("string").alias("o_orderstatus")
+    )
