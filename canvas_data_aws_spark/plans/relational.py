@@ -349,3 +349,56 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "o_orderkey", "o_custkey", F.col("o_orderstatus").cast("string").alias("o_orderstatus")
     )
+
+
+@register(
+    "scan_tsv_malformed",
+    """
+    SELECT * FROM (VALUES
+      (1, 1.5, 0),
+      (2, CAST(NULL AS DOUBLE), 0),
+      (3, CAST(NULL AS DOUBLE), 1),
+      (4, 2.25, 0),
+      (CAST(NULL AS INT), 9.9, 1)
+    ) AS t(id, v, is_corrupt)
+    """,
+    doc="Malformed-row tolerance in the raw zone: PERMISSIVE parse with a "
+    "columnNameOfCorruptRecord sidecar — bad rows (unparseable type, wrong "
+    "arity) surface as nulls + the raw line for quarantine instead of "
+    "failing the 100 TB ingest job (FAILFAST is one flipped option when a "
+    "feed must be rejected whole). Row 3 has a bad double, row 5 a bad id: "
+    "both flagged, neither aborts; parsing is per-column, so the good "
+    "columns of a corrupt row (row 5's v=9.9) still land typed.",
+)
+def scan_tsv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip as _gzip
+
+    from pyspark.sql.types import DoubleType, IntegerType, StringType, StructField, StructType
+
+    out_dir = os.path.join(tempfile.gettempdir(), f"cda_badtsv_{_sf_tag(sf_dir)}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    with _gzip.open(os.path.join(out_dir, "t-0.tsv.gz"), "wt") as f:
+        f.write("1\t1.5\n2\t\\N\n3\tnot_a_number\n4\t2.25\nbad_id\t9.9\n")
+
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("v", DoubleType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .options(
+            sep="\t",
+            header="false",
+            nullValue="\\N",
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt",
+        )
+        .csv(out_dir)
+    )
+    return raw.select(
+        "id", "v", F.col("_corrupt").isNotNull().cast("int").alias("is_corrupt")
+    )
