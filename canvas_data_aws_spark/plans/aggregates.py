@@ -237,3 +237,30 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 8).alias("cov_qty_disc"),
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    """
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus,
+           (MAX(struct_pack(n := n, p := o_orderpriority))).p AS mode_priority,
+           CAST((MAX(struct_pack(n := n, p := o_orderpriority))).n AS BIGINT) AS mode_count
+    FROM counts
+    GROUP BY o_orderstatus
+    """,
+    doc="Deterministic MODE per group: two-level aggregate (count per "
+    "value, then argmax-over-struct with the value itself as tie-break) — "
+    "both shuffles carry only (group, value, count) partials, and unlike a "
+    "bare mode() the tie behavior is pinned, so it oracle-checks exactly.",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderpriority", F.struct("n", "o_orderpriority")).alias("mode_priority"),
+        F.max("n").cast("bigint").alias("mode_count"),
+    )
