@@ -102,6 +102,11 @@ def zorder_write(
     parquet min/max stats — where a plain sort only skips on its leading
     column. Content is untouched (lossless rewrite; the oracle gate checks
     exactly that)."""
+    if not zorder_by:
+        raise ValueError("zorder_by must name at least one column")
+    # The interleaved key lives in a signed bigint: cap total bits at 63 so a
+    # wide column list can't overflow into the sign bit and corrupt the sort.
+    bits = max(1, min(bits, 63 // len(zorder_by)))
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__min_{c}") for c in zorder_by],
         *[F.max(F.col(c).cast("double")).alias(f"__max_{c}") for c in zorder_by],
@@ -110,9 +115,15 @@ def zorder_write(
     norm_cols = []
     for c in zorder_by:
         lo, hi = stats[f"__min_{c}"], stats[f"__max_{c}"]
+        if lo is None or hi is None:  # empty input or all-null column
+            lo, hi = 0.0, 0.0
         span = (hi - lo) or 1.0
         norm_cols.append(
-            F.round((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * scale).cast("bigint")
+            F.round(
+                (F.coalesce(F.col(c).cast("double"), F.lit(lo)) - F.lit(lo))
+                / F.lit(span)
+                * scale
+            ).cast("bigint")
         )
     keyed = df.withColumn("__z", zorder_value(norm_cols, bits))
     n = keyed.count()

@@ -133,7 +133,10 @@ def _http_fetch(
             http.client.HTTPException,  # e.g. IncompleteRead mid-stream
         ) as e:
             last_err = e  # transient transport error: retry (resuming)
-    if os.path.exists(part):
+    # Terminal failure. With resume on, keep the .part so a later apply()
+    # retry continues from the byte offset (it is length-verified against
+    # Content-Length on the next attempt); without resume it is dead weight.
+    if not resume and os.path.exists(part):
         os.remove(part)
     raise FetchError(f"failed to fetch {url} after {max_attempts} attempts") from last_err
 

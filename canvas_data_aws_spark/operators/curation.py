@@ -228,6 +228,8 @@ def mix_by_source_weights(
     domain proportions. Row-local predicate, zero shuffle, reproducible
     run-over-run (no RNG); sources absent from ``weights`` are dropped.
     """
+    if not weights:
+        raise ValueError("weights must map at least one source to a keep-percent")
     pct = F.lit(None).cast("int")
     expr = None
     for src, wgt in sorted(weights.items()):

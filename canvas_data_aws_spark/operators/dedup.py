@@ -40,11 +40,55 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     Small curated tables often arrive as one parquet file = ONE task, which
     serializes shingling/hashing no matter how many cores exist. Repartition
     only when under-parallel — an already-partitioned 100 TB input passes
-    through untouched (no extra shuffle)."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    through untouched (no extra shuffle).
+
+    Parallelism is judged from the scan's file listing (``df.inputFiles()``),
+    not ``df.rdd.getNumPartitions()`` — the RDD handle forces a full
+    plan-to-RDD translation per call, while the file listing is already
+    materialized in the scan relation. ≥1 task per file is guaranteed, and
+    for the few-huge-files case local file sizes against
+    ``spark.sql.files.maxPartitionBytes`` estimate the split count."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file-backed plans expose no listing
+        files = []
+    if len(files) >= target:
+        return df  # one task per file minimum — already parallel enough
+    est = _estimated_split_count(spark, files)
+    if est is not None and est >= target:
+        return df  # big files split into enough scan partitions on their own
+    return df.repartition(target)
+
+
+def _estimated_split_count(spark, files: list[str]) -> int | None:
+    """Scan-partition estimate for locally-stattable files: ceil-sum of
+    size/maxPartitionBytes. None when any file isn't local (at object-store
+    scale the file count alone already exceeds any core count)."""
+    import os
+    from urllib.parse import urlparse
+
+    if not files:
+        return None
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    digits = raw.rstrip("ib")  # "134217728b", "128m", "1g", "128mb" forms
+    mult = units.get(digits[-1], 1) if digits and digits[-1] in units else 1
+    if mult != 1:
+        digits = digits[:-1]
+    max_bytes = max(1, int(digits) * mult)
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None
+        try:
+            size = os.path.getsize(p.path or f)
+        except OSError:
+            return None
+        total += max(1, (size + max_bytes - 1) // max_bytes)
+    return total
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -137,11 +181,18 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
+    result = (
         pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Materialize the (small, thresholded) pair set eagerly so the cached
+    # inverted index can be released now — otherwise repeated calls leak
+    # cached blocks for the session lifetime. localCheckpoint also truncates
+    # the self-join lineage, so downstream reuse never re-explodes shingles.
+    result = result.localCheckpoint(eager=True)
+    exploded.unpersist(blocking=False)
+    return result
 
 
 def _simhash_from_hashes():

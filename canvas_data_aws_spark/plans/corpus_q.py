@@ -185,9 +185,9 @@ def layout_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    out = os.path.join(
-        tempfile.gettempdir(), f"cda_zorder_{abs(hash(sf_dir)) % 10**8}", "orders"
-    )
+    from canvas_data_aws_spark.plans.relational import _sf_tag
+
+    out = os.path.join(tempfile.gettempdir(), f"cda_zorder_{_sf_tag(sf_dir)}", "orders")
     zorder_write(
         orders, out, ["o_custkey", "o_totalprice"],
         target_rows_per_file=max(2000, orders.count() // 8),

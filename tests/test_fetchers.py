@@ -118,6 +118,34 @@ def test_retries_exhausted_raises(http_srv, tmp_path):
         http_fetcher(max_attempts=2, backoff_s=0.01)(_url(http_srv, "/flaky5xx"), dest)
 
 
+def test_terminal_failure_keeps_part_for_cross_call_resume(http_srv, tmp_path):
+    """With resume=True, exhausting retries must NOT discard the .part —
+    a later apply() retry continues from the byte offset instead of
+    refetching the whole file."""
+    http_srv.fail_first_n = 99
+    dest = str(tmp_path / "out.bin")
+    with pytest.raises(FetchError):
+        http_fetcher(chunk_bytes=1024, max_attempts=2, backoff_s=0.01)(
+            _url(http_srv, "/truncate"), dest
+        )
+    part = dest + ".part"
+    assert os.path.exists(part) and 0 < os.path.getsize(part) < len(BODY)
+    # the next call resumes from the kept offset and completes
+    http_srv.fail_first_n = 0
+    http_fetcher(chunk_bytes=1024, backoff_s=0.01)(_url(http_srv, "/truncate"), dest)
+    assert open(dest, "rb").read() == BODY and not os.path.exists(part)
+
+
+def test_terminal_failure_without_resume_cleans_part(http_srv, tmp_path):
+    http_srv.fail_first_n = 99
+    dest = str(tmp_path / "out.bin")
+    with pytest.raises(FetchError):
+        http_fetcher(chunk_bytes=1024, max_attempts=2, backoff_s=0.01, resume=False)(
+            _url(http_srv, "/truncate"), dest
+        )
+    assert not os.path.exists(dest + ".part")
+
+
 def test_file_url_single_code_path(tmp_path):
     src = tmp_path / "src.bin"
     src.write_bytes(BODY)

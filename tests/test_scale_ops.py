@@ -180,6 +180,44 @@ def test_zorder_layout_narrows_file_spans_on_both_dims(spark, sf_dir, tmp_path):
     assert spark.read.parquet(z_dir).count() == orders.count()
 
 
+def test_zorder_write_edge_cases(spark, tmp_path):
+    """Empty input, all-null z-column, and wide column lists must not crash
+    or overflow the 63-bit signed key (advisor r2 findings)."""
+    from pyspark.sql import functions as F
+
+    from canvas_data_aws_spark.ingest.compaction import zorder_write
+
+    base = spark.range(100).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 7 % 13).alias("b"),
+        (F.col("id") % 5).alias("c"),
+        (F.col("id") % 3).alias("d"),
+        F.lit(None).cast("double").alias("nul"),
+    )
+    # empty input: no rows, no crash
+    zorder_write(base.filter(F.lit(False)), str(tmp_path / "empty"), ["a", "b"])
+    assert spark.read.parquet(str(tmp_path / "empty")).count() == 0
+    # all-null z-column: normalizes to a constant, content lossless
+    zorder_write(base, str(tmp_path / "nul"), ["a", "nul"])
+    assert spark.read.parquet(str(tmp_path / "nul")).count() == 100
+    # 4 columns at default bits=16 would need 64 bits — must clamp, not
+    # overflow into the sign bit: key order must still cluster correctly
+    zorder_write(base, str(tmp_path / "wide"), ["a", "b", "c", "d"])
+    got = spark.read.parquet(str(tmp_path / "wide"))
+    assert got.count() == 100
+    assert sorted(r.a for r in got.collect()) == list(range(100))
+
+
+def test_mix_by_source_weights_empty_weights_raises(spark):
+    import pytest as _pytest
+
+    from canvas_data_aws_spark.operators.curation import mix_by_source_weights
+
+    df = spark.range(5).selectExpr("id AS doc_id", "'s' AS source")
+    with _pytest.raises(ValueError):
+        mix_by_source_weights(df, weights={})
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """First line of skew defense (before salted_join): AQE must detect a
     hot shuffle partition at runtime and split it across tasks — the final
