@@ -129,6 +129,7 @@ class SyncEngine:
     max_fetch_tasks: int = 16  # Spark tasks the work list spreads over
     io_threads: int = 8  # concurrent fetches within one task (I/O-bound)
     on_summary: Callable[["SyncSummary"], None] | None = None  # sink_notify
+    log_sample_cap: int = 10_000  # max per-file lines the driver retains
     log: list[str] = field(default_factory=list)
 
     def plan(self, spark: SparkSession, remote_rows: list[dict]) -> DataFrame:
@@ -166,8 +167,12 @@ class SyncEngine:
                 (r["key"], "would fetch" if r["verdict"] == "fetch" else "would delete")
                 for r in work_rows
             ]
-            for key, action in sorted(statuses):
+            for key, action in sorted(statuses)[: self.log_sample_cap]:
                 self.log.append(f"DRY RUN: {action} {key}")
+            if len(statuses) > self.log_sample_cap:
+                self.log.append(
+                    f"DRY RUN: ... ({len(statuses) - self.log_sample_cap} more files)"
+                )
         else:
             # Fetch/delete fan-out ON THE EXECUTORS (the Spark-native analog
             # of the reference's one-Lambda-per-file dispatch,
@@ -175,20 +180,40 @@ class SyncEngine:
             # across tasks and each task runs the idempotence-guarded fetch
             # body (fetch-canvas-data-file.py:25-38) with an I/O thread pool.
             # Total parallelism = max_fetch_tasks x io_threads, none of it
-            # serialized through the driver. Per-file outcomes flow back as
-            # rows (the Lambda-log analog), which are metadata-scale.
+            # serialized through the driver. Per-file outcomes are rolled up
+            # EXECUTOR-SIDE by a chained narrow stage (same job — the
+            # side-effectful worker runs exactly once): each batch reduces
+            # to (action, count, bounded key sample), so the driver holds
+            # O(tasks x actions) rows no matter how many millions of files
+            # the manifest lists. The per-file Lambda-log analog survives as
+            # a capped sample (``log_sample_cap``).
             n_tasks = max(1, self.max_fetch_tasks)
-            statuses = [
-                (r["key"], r["action"])
-                for r in work.repartition(n_tasks)
+            per_batch_cap = max(1, self.log_sample_cap // n_tasks)
+            rolled = (
+                work.repartition(n_tasks)
                 .mapInPandas(
                     _apply_worker(self.root, fetcher, self.io_threads),
                     "key string, action string",
                 )
+                .mapInPandas(
+                    _rollup_worker(per_batch_cap),
+                    "action string, n long, sample array<string>",
+                )
                 .collect()
-            ]
-            for key, action in sorted(statuses):
+            )
+            totals: dict[str, int] = {}
+            samples: list[tuple[str, str]] = []
+            for r in rolled:
+                totals[r["action"]] = totals.get(r["action"], 0) + int(r["n"])
+                samples.extend((k, r["action"]) for k in r["sample"])
+            shown = sorted(samples)[: self.log_sample_cap]
+            for key, action in shown:
                 self.log.append(f"{action}: {key}")
+            omitted = sum(totals.values()) - len(shown)
+            if omitted > 0:
+                self.log.append(
+                    f"... ({omitted} more files; log sampled at {self.log_sample_cap})"
+                )
 
         metrics = obs.get
         summary = SyncSummary(
@@ -261,6 +286,33 @@ def _apply_worker(root: str, fetcher: Callable[[str, str], None], io_threads: in
             yield pd.DataFrame({"key": pdf["key"], "action": actions})
 
     return _worker
+
+
+def _rollup_worker(sample_cap: int):
+    """Executor-side status rollup chained after ``_apply_worker`` (narrow,
+    same stage — no extra job, no re-execution of fetch side effects): each
+    (key, action) batch reduces to one row per action carrying the count
+    and at most ``sample_cap`` sorted keys. Keeps the driver's status
+    traffic bounded at any manifest size."""
+
+    def _roll(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            grouped = pdf.groupby("action", sort=True)["key"]
+            yield pd.DataFrame(
+                {
+                    "action": grouped.count().index,
+                    "n": grouped.count().values,
+                    "sample": [
+                        sorted(keys)[:sample_cap] for _, keys in grouped
+                    ],
+                }
+            )
+
+    return _roll
 
 
 def copy_fetcher(chunk_bytes: int = 8 * 1024 * 1024) -> Callable[[str, str], None]:

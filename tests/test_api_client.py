@@ -1,0 +1,213 @@
+"""Canvas Data 1 API client tests: HMAC request signing verified
+server-side, listing/schema endpoints, and the end-to-end path from a live
+(local fixture) API into SyncEngine.apply + schema_registry — the engine's
+replacement for the reference's SDK calls
+(sync-canvas-data-files.py:46-48,116)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from canvas_data_aws_spark.ingest.api_client import (
+    ApiError,
+    CanvasDataClient,
+    hmac_signature,
+    signed_headers,
+)
+from canvas_data_aws_spark.ingest.credentials import ApiCredentials
+
+CREDS = ApiCredentials(api_key="test-key", api_secret="test-secret")
+
+FILE_BODIES = {
+    ("account_dim", "account_dim-00000-aaaa.tsv.gz"): gzip.compress(b"1\tRoot\n2\tSub\n"),
+    ("user_dim", "user_dim-00000-bbbb.tsv.gz"): gzip.compress(b"10\talice\n"),
+}
+
+SCHEMA_DOC = {
+    "version": "4.2.0",
+    "schema": {
+        "account_dim": {
+            "tableName": "account_dim",
+            "description": "Accounts",
+            "columns": [
+                {"name": "id", "type": "bigint", "description": "pk"},
+                {"name": "name", "type": "varchar", "length": 256},
+            ],
+        }
+    },
+}
+
+
+class _ApiHandler(BaseHTTPRequestHandler):
+    """Serves the CD1 shapes and REJECTS any request whose HMACAuth
+    signature does not verify against the shared secret — the test proves
+    the client signs exactly what a conforming server checks."""
+
+    def log_message(self, *a):
+        pass
+
+    def _check_sig(self) -> bool:
+        auth = self.headers.get("Authorization", "")
+        date = self.headers.get("Date", "")
+        if not auth.startswith("HMACAuth ") or not date:
+            return False
+        key, _, sig = auth[len("HMACAuth "):].partition(":")
+        url = f"http://{self.headers['Host']}{self.path}"
+        expect = hmac_signature(CREDS.api_secret, "GET", url, date)
+        return key == CREDS.api_key and sig == expect
+
+    def do_GET(self):
+        srv = self.server
+        if self.path.startswith("/files/"):
+            # pre-signed data-plane URL: no auth header required (parity
+            # with the reference worker's plain GET of file_url)
+            _, _, table, filename = self.path.split("/", 3)
+            body = FILE_BODIES[(table, filename)]
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        if not self._check_sig():
+            self.send_error(401)
+            return
+        if self.path == "/api/account/self/file/sync" and srv.fail_first_n > 0:
+            srv.fail_first_n -= 1
+            self.send_error(503)
+            return
+        base = f"http://127.0.0.1:{self.server.server_address[1]}"
+        if self.path == "/api/account/self/file/sync":
+            doc = {
+                "files": [
+                    {"table": t, "filename": fn, "url": f"{base}/files/{t}/{fn}"}
+                    for (t, fn) in sorted(FILE_BODIES)
+                ],
+                "schemaVersion": "4.2.0",
+            }
+        elif self.path == "/api/schema/latest":
+            doc = SCHEMA_DOC
+        elif self.path.startswith("/api/account/self/dump"):
+            doc = {"dumps": [{"dumpId": "d1", "sequence": 1, "finished": True}]}
+        elif self.path.startswith("/api/account/self/file/byDump/"):
+            doc = {"files": [], "dumpId": self.path.rsplit("/", 1)[1]}
+        else:
+            self.send_error(404)
+            return
+        body = json.dumps(doc).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def api_srv():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _ApiHandler)
+    srv.fail_first_n = 0
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _client(srv, **kw):
+    return CanvasDataClient(
+        CREDS, base_url=f"http://127.0.0.1:{srv.server_address[1]}", backoff_s=0.01, **kw
+    )
+
+
+def test_signature_known_vector():
+    """Pin the documented message layout: [METHOD, host, content-type,
+    content-md5, path, alphabetized query, date, secret] newline-joined,
+    HMAC-SHA256 under the secret, base64."""
+    import base64
+    import hashlib
+    import hmac as hmac_mod
+
+    url = "https://portal.example.com/api/account/self/dump?limit=5&after=2"
+    date = "Thu, 13 Aug 2026 01:02:03 GMT"
+    expected_msg = "\n".join(
+        [
+            "GET",
+            "portal.example.com",
+            "",
+            "",
+            "/api/account/self/dump",
+            "after=2&limit=5",  # alphabetized, not request order
+            date,
+            "s3cret",
+        ]
+    )
+    expected = base64.b64encode(
+        hmac_mod.new(b"s3cret", expected_msg.encode(), hashlib.sha256).digest()
+    ).decode()
+    assert hmac_signature("s3cret", "GET", url, date) == expected
+
+
+def test_signed_headers_shape():
+    h = signed_headers(CREDS, "GET", "https://x.test/api/schema/latest")
+    assert h["Authorization"].startswith("HMACAuth test-key:")
+    assert "Date" in h
+
+
+def test_sync_file_urls_and_schema_roundtrip(api_srv):
+    c = _client(api_srv)
+    listing = c.get_sync_file_urls()
+    assert {f["table"] for f in listing["files"]} == {"account_dim", "user_dim"}
+    schema = c.get_schema()
+    assert schema["account_dim"]["columns"][1]["type"] == "varchar"
+    dumps = c.get_dumps(limit=5)
+    assert dumps[0]["dumpId"] == "d1"
+    by_dump = c.get_file_urls_for_dump("d1")
+    assert by_dump["dumpId"] == "d1"
+
+
+def test_bad_secret_rejected(api_srv):
+    bad = CanvasDataClient(
+        ApiCredentials("test-key", "wrong"),
+        base_url=f"http://127.0.0.1:{api_srv.server_address[1]}",
+        backoff_s=0.01,
+    )
+    with pytest.raises(ApiError):
+        bad.get_sync_file_urls()
+
+
+def test_retries_transient_503(api_srv):
+    api_srv.fail_first_n = 2
+    c = _client(api_srv)
+    assert len(c.get_sync_file_urls()["files"]) == 2
+
+
+def test_end_to_end_api_into_sync_engine(api_srv, spark, tmp_path):
+    """The verdict's done-bar: live (fixture) API -> manifest rows ->
+    SyncEngine.apply with the streamed HTTP fetcher -> files on disk; the
+    API schema -> schema_registry StructType."""
+    from canvas_data_aws_spark.ingest.fetchers import http_fetcher
+    from canvas_data_aws_spark.ingest.reconciler import SyncEngine
+    from canvas_data_aws_spark.sources.schema import schema_registry
+
+    c = _client(api_srv)
+    rows = c.sync_manifest_rows()
+    assert all(set(r) == {"table", "filename", "url"} for r in rows)
+
+    engine = SyncEngine(root=str(tmp_path), max_fetch_tasks=2, io_threads=2)
+    summary = engine.apply(spark, rows, http_fetcher(backoff_s=0.01))
+    assert summary.files_fetched == 2 and summary.files_removed == 0
+    for (table, filename), body in FILE_BODIES.items():
+        got = (tmp_path / "raw_files" / table / filename).read_bytes()
+        assert got == body
+
+    # second apply is a no-op sync (idempotent snapshot mirror)
+    summary2 = engine.apply(spark, rows, http_fetcher(backoff_s=0.01))
+    assert summary2.files_skipped == 2 and summary2.files_fetched == 0
+
+    reg = schema_registry(c.get_schema())
+    fields = {f.name: f for f in reg["account_dim"].fields}
+    assert fields["id"].dataType.typeName() == "long"
+    assert fields["name"].metadata.get("varchar_length") == 256

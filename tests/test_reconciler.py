@@ -199,3 +199,44 @@ def test_dry_run_no_side_effects(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "raw_files/users/new.gz"))
     assert any("DRY RUN: would fetch" in line for line in engine.log)
     assert any("DRY RUN: would delete" in line for line in engine.log)
+
+
+def test_apply_bounded_driver_log_at_scale(spark, tmp_path):
+    """100k-file manifest: the driver must hold only the executor-side
+    rollup (per-action counts + a capped key sample), never the full
+    per-file status list — while SyncSummary counts stay exact."""
+    root = str(tmp_path / "lake")
+    n = 100_000
+    remote = [
+        {"table": f"t{i % 50}", "filename": f"f{i}.gz", "url": "noop://x"}
+        for i in range(n)
+    ]
+
+    def noop_fetcher(url, dest):
+        open(dest, "w").close()
+
+    engine = SyncEngine(root=root, max_fetch_tasks=8, io_threads=8, log_sample_cap=500)
+    summary = engine.apply(spark, remote, noop_fetcher)
+    assert summary.total_files == n and summary.files_fetched == n
+    # capped sample + one truncation notice — not 100k lines
+    assert len(engine.log) <= 501
+    assert engine.log[-1].startswith("...") and "more files" in engine.log[-1]
+    assert all(l.startswith("fetched:") for l in engine.log[:-1])
+    # spot-check the side effects actually happened
+    assert os.path.exists(os.path.join(root, "raw_files/t0/f0.gz"))
+    assert os.path.exists(os.path.join(root, "raw_files/t49/f99999.gz"))
+
+
+def test_apply_log_complete_below_cap(spark, tmp_path):
+    """Small syncs keep the full per-file log (format unchanged)."""
+    root = str(tmp_path / "lake")
+    src = tmp_path / "src"
+    os.makedirs(src)
+    (src / "a.gz").write_text("x")
+    engine = SyncEngine(root=root)
+    engine.apply(
+        spark,
+        [{"table": "users", "filename": "a.gz", "url": f"file://{src}/a.gz"}],
+        copy_fetcher(),
+    )
+    assert engine.log == ["fetched: raw_files/users/a.gz"]
