@@ -76,13 +76,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name].fn
-        best = float("inf")
-        for _rep in range(2):  # min of 2: steady-state, not codegen warmup
+        reps = []
+        for _rep in range(3):  # median-of-3: robust to contention spikes
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(reps)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(

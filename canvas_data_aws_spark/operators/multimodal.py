@@ -56,27 +56,44 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_media_stub(content: bytes) -> tuple[int, int, int]:
-    """Strict-mode decoder entry point: the real implementation requires
-    codec libraries not present in this environment."""
-    raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg/librosa; use extract_features("
-        "strict=False) for the deterministic fake decoder"
-    )
+    """Strict-mode decoder entry point: real pixels when an optional public
+    codec (PIL) is importable AND the payload parses; otherwise raises —
+    strict mode never fabricates dimensions."""
+    return _decoder(strict=True)(content)
 
 
 def _decoder(strict: bool):
     """Build the per-batch decode callable as a CLOSURE: cloudpickle ships
     closures by value, so Python workers never need this package importable
     — module-level functions captured in a UDF pickle by reference and fail
-    under drivers whose workers lack the repo on sys.path."""
+    under drivers whose workers lack the repo on sys.path.
+
+    Decode policy (per payload, inside the worker):
+    1. If PIL imports and the bytes parse as an image -> real
+       (width, height, n_frames) — no extra required dependency, just an
+       optional one honored when present.
+    2. Else strict=True -> NotImplementedError (never fake in strict mode);
+       strict=False -> deterministic digest-derived fake (the documented
+       sandbox stand-in: no codec libraries in this environment).
+    """
 
     def decode(content: bytes) -> tuple[int, int, int]:
+        content = content or b""
+        try:  # optional real decode — PIL is a public, widely-packaged codec
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(content)) as img:
+                return int(img.width), int(img.height), int(getattr(img, "n_frames", 1))
+        except Exception:
+            pass  # PIL absent or payload not an image: fall through
         if strict:
             raise NotImplementedError(
-                "media decoding requires PIL/ffmpeg/librosa; use "
-                "strict=False for the deterministic fake decoder"
+                "media decoding requires PIL/ffmpeg/librosa (payload did not "
+                "decode); use strict=False for the deterministic fake decoder"
             )
-        d = hashlib.sha256(content or b"").hexdigest()
+        d = hashlib.sha256(content).hexdigest()
         width = 64 + (ord(d[0]) * 7 + ord(d[1])) % 192
         height = 64 + (ord(d[2]) * 7 + ord(d[3])) % 192
         n_frames = 1 + (ord(d[4]) * 7 + ord(d[5])) % 32

@@ -5,17 +5,25 @@ Two paths, as a production pipeline would stage them:
 - ``cosine_topk_bruteforce`` — exact: broadcast the (small) query set
   against the (huge) corpus; one scan, no shuffle until the final top-k.
   The per-pair dot product is a JVM ``zip_with``/``aggregate`` — no Python.
-- ``ivf_topk`` — the scale path: KMeans coarse quantizer (IVF); corpus
-  vectors are bucketed by nearest centroid once (a write-time partitioning
-  at 100 TB), queries probe only the ``nprobe`` nearest buckets, cutting
-  scanned vectors by ~n_clusters/nprobe.
-- ``lsh_topk`` — the other scale path: signed-random-projection LSH
-  (Charikar hyperplane hashing); corpus vectors carry ``n_tables``
-  signature ints (write-time columns at 100 TB), a query touches only
-  corpus rows sharing at least one table signature.
+- ``ivf_index`` / ``ivf_query`` — the scale path: KMeans coarse quantizer
+  (IVF); corpus vectors are bucketed by nearest centroid ONCE at index-build
+  time (``ivf_index`` — a write-time partitioning at 100 TB, both outputs
+  are plain DataFrames persistable as table columns), then every
+  ``ivf_query`` probes only the ``nprobe`` nearest buckets with zero driver
+  round-trips, cutting scanned vectors by ~n_clusters/nprobe.
+- ``lsh_index`` / ``lsh_query`` — the other scale path:
+  signed-random-projection LSH (Charikar hyperplane hashing); ``lsh_index``
+  computes ``n_tables`` signature ints per corpus vector once (write-time
+  columns at 100 TB), ``lsh_query`` touches only corpus rows sharing at
+  least one table signature — again zero driver actions on the query path.
+
+``ivf_topk`` / ``lsh_topk`` remain as one-shot conveniences (index + query
+fused) for small interactive corpora; production callers persist the index.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -143,35 +151,42 @@ def _spherical_kmeans(mat, k: int, seed: int, iters: int = 5):
     return cents
 
 
-def ivf_topk(
+@dataclass(frozen=True)
+class IvfIndex:
+    """IVF coarse-quantizer index: two plain DataFrames, both persistable.
+
+    ``centroids`` is (cell int, centroid array<double>) — tiny, broadcast at
+    query time. ``assigned`` is the corpus with a ``cell`` column — at
+    100 TB this is written once as a partition/cluster column of the
+    embedding table, so ``ivf_query`` reads only the probed cells.
+    """
+
+    centroids: DataFrame
+    assigned: DataFrame
+    corpus_id: str
+    vec_col: str
+
+
+def ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_clusters: int = 16,
-    nprobe: int = 4,
     corpus_id: str = "vec_id",
-    query_id: str = "query_id",
     vec_col: str = "embedding",
     seed: int = 42,
-) -> DataFrame:
-    """Approximate top-k via an IVF coarse quantizer (KMeans, seeded).
+) -> IvfIndex:
+    """Build the IVF index (ONCE — write-time at scale).
 
-    Index build (once, write-time at scale): KMeans over the corpus; each
-    vector assigned to its nearest centroid cell. Query: score the query
-    against every centroid (tiny broadcast), keep the ``nprobe`` nearest
-    cells, then brute-force only vectors in those cells. Recall < 1.0 by
-    construction — rows-only in the oracle gate.
+    Coarse quantizer: seeded spherical k-means fit on a bounded driver
+    sample (cells need rough locality, not convergence — and cosine
+    queries want direction clusters, so vectors are unit-normalized).
+    The fit input is capped at _IVF_FIT_SAMPLE vectors regardless of
+    corpus size: at 100 TB the quantizer is built from exactly this kind
+    of sample, never from a full pass. This bounded ``toPandas`` is the
+    index BUILD's one driver materialization; the query path
+    (``ivf_query``) performs no driver actions at all.
     """
     from pyspark.sql.types import IntegerType
 
-    # Coarse quantizer: seeded spherical k-means fit on a bounded driver
-    # sample (cells need rough locality, not convergence — and cosine
-    # queries want direction clusters, so vectors are unit-normalized).
-    # The fit input is capped at _IVF_FIT_SAMPLE vectors regardless of
-    # corpus size: at 100 TB the quantizer is built once at write time
-    # from exactly this kind of sample, never from a full pass. Replacing
-    # the MLlib KMeans job here removed ~3 s of per-call JVM fit overhead
-    # (the math is milliseconds at this sample size).
     sample = (
         corpus.select(F.col(vec_col).alias("__arr"))
         .orderBy(F.col(corpus_id))
@@ -200,11 +215,32 @@ def ivf_topk(
 
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     cent_df = corpus.sparkSession.createDataFrame(centroids, ["cell", "centroid"])
+    return IvfIndex(cent_df, assigned, corpus_id, vec_col)
 
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
+
+def ivf_query(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    vec_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k against a prebuilt :class:`IvfIndex`.
+
+    Pure plan construction — no ``collect``/``toPandas``/``first`` anywhere
+    (mechanically asserted by tests/test_llm_ops.py's zero-job audit):
+    score each query against the broadcast centroid table, keep the
+    ``nprobe`` nearest cells, then brute-force only vectors in those cells.
+    Recall < 1.0 by construction — rows-only in the oracle gate.
+    """
+    corpus_id = index.corpus_id
+    q = queries.select(
+        F.col(query_id), F.col(vec_col or index.vec_col).alias("__qvec")
+    )
     # probe list: nprobe nearest centroids per query
     q_cells = (
-        q.crossJoin(F.broadcast(cent_df))
+        q.crossJoin(F.broadcast(index.centroids))
         .select(
             query_id,
             "__qvec",
@@ -221,7 +257,7 @@ def ivf_topk(
         .select(query_id, "__qvec", "cell")
     )
 
-    scored = q_cells.join(assigned, "cell").select(
+    scored = q_cells.join(index.assigned, "cell").select(
         query_id,
         corpus_id,
         F.round(cosine(F.col("__arr"), F.col("__qvec")), 6).alias("cos_sim"),
@@ -232,6 +268,26 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos_sim", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """One-shot convenience: ``ivf_query(ivf_index(corpus), queries)``.
+
+    Rebuilds the quantizer per call — fine interactively, wrong in a serving
+    loop; persist :func:`ivf_index`'s DataFrames there instead.
+    """
+    idx = ivf_index(corpus, n_clusters, corpus_id=corpus_id, vec_col=vec_col, seed=seed)
+    return ivf_query(idx, queries, k=k, nprobe=nprobe, query_id=query_id, vec_col=vec_col)
 
 
 def _hyperplanes(dim: int, n_tables: int, bits_per_table: int, seed: int) -> np.ndarray:
@@ -262,53 +318,97 @@ def _signature_udf(planes: np.ndarray, n_tables: int, bits_per_table: int, sc):
     return _sig
 
 
-def lsh_topk(
+@dataclass(frozen=True)
+class LshIndex:
+    """Hyperplane-LSH index over an embedding column.
+
+    ``entries`` is the persistable exploded index (corpus_id, table_no,
+    sig) — at 100 TB these are ``n_tables`` int columns written alongside
+    the embedding table (12 B/row/table vs dim*4 B for the vector).
+    ``planes`` is the deterministic hyperplane matrix (regenerable from
+    ``seed`` + ``dim``; kept so queries sign identically).
+    """
+
+    entries: DataFrame
+    planes: np.ndarray
+    n_tables: int
+    bits_per_table: int
+    corpus_id: str
+    vec_col: str
+
+
+def lsh_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_tables: int = 8,
     bits_per_table: int = 10,
+    dim: int | None = None,
     corpus_id: str = "vec_id",
-    query_id: str = "query_id",
     vec_col: str = "embedding",
     seed: int = 42,
-) -> DataFrame:
-    """Approximate cosine top-k via signed-random-projection LSH.
+) -> LshIndex:
+    """Build the LSH index (ONCE — write-time at scale).
 
-    Index (write-time at scale): each corpus vector gets ``n_tables``
-    signatures, each packing ``bits_per_table`` hyperplane sign bits; two
-    vectors at angle theta share one table's signature with probability
+    Each corpus vector gets ``n_tables`` signatures, each packing
+    ``bits_per_table`` hyperplane sign bits; two vectors at angle theta
+    share one table's signature with probability
     ``(1 - theta/pi) ** bits_per_table`` — near-duplicates almost surely
     collide in some table, random pairs almost never do.
 
-    Query: candidates = equi-join on (table_no, signature). The exploded
-    corpus index ships (id, table_no, sig) only — vectors stay out of the
-    exchange and rejoin once per DISTINCT candidate for exact rescoring, so
-    shuffled bytes are O(n * n_tables * 12B), not O(n * dim * 4B).
-    Recall < 1.0 by construction — rows-only in the oracle gate.
+    Pass ``dim`` explicitly (the embedding width) to keep index build fully
+    lazy; if omitted, ONE bounded ``first()`` job reads it from the corpus —
+    acceptable at build time, never done at query time.
     """
-    first = corpus.select(vec_col).first()
-    dim = len(first[0])
+    if dim is None:
+        first = corpus.select(vec_col).first()
+        dim = len(first[0])
     planes = _hyperplanes(dim, n_tables, bits_per_table, seed)
     sig = _signature_udf(planes, n_tables, bits_per_table, corpus.sparkSession.sparkContext)
+    entries = corpus.select(
+        F.col(corpus_id),
+        F.posexplode(sig(F.col(vec_col))).alias("table_no", "sig"),
+    )
+    return LshIndex(entries, planes, n_tables, bits_per_table, corpus_id, vec_col)
 
-    def banded(df: DataFrame, id_name: str) -> DataFrame:
-        return df.select(
-            F.col(id_name),
-            F.posexplode(sig(F.col(vec_col))).alias("table_no", "sig"),
-        )
 
-    c_idx = banded(corpus, corpus_id)
-    q_idx = banded(queries, query_id)
+def lsh_query(
+    index: LshIndex,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    vec_col: str | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k against a prebuilt :class:`LshIndex`.
+
+    Pure plan construction (no driver actions — see the zero-job audit in
+    tests/test_llm_ops.py): queries are signed with the index's hyperplanes
+    (Arrow-batched kernel, executor-side), candidates come from an
+    equi-join on (table_no, sig) that ships ids only, and each DISTINCT
+    candidate is rescored exactly against the corpus vector. Shuffled
+    bytes are O(n * n_tables * 12B), not O(n * dim * 4B).
+    Recall < 1.0 by construction — rows-only in the oracle gate.
+    """
+    corpus_id = index.corpus_id
+    qvec = vec_col or index.vec_col
+    sig = _signature_udf(
+        index.planes,
+        index.n_tables,
+        index.bits_per_table,
+        corpus.sparkSession.sparkContext,
+    )
+    q_idx = queries.select(
+        F.col(query_id),
+        F.posexplode(sig(F.col(qvec))).alias("table_no", "sig"),
+    )
 
     cand = (
-        c_idx.join(F.broadcast(q_idx), ["table_no", "sig"])
+        index.entries.join(F.broadcast(q_idx), ["table_no", "sig"])
         .select(query_id, corpus_id)
         .distinct()
     )
 
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
-    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cvec"))
+    q = queries.select(F.col(query_id), F.col(qvec).alias("__qvec"))
+    c = corpus.select(F.col(corpus_id), F.col(index.vec_col).alias("__cvec"))
     scored = (
         cand.join(c, corpus_id)
         .join(F.broadcast(q), query_id)
@@ -324,3 +424,32 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos_sim", "rank")
     )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    bits_per_table: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """One-shot convenience: ``lsh_query(lsh_index(corpus), corpus, queries)``.
+
+    Re-signs the corpus per call — fine interactively, wrong in a serving
+    loop; persist :func:`lsh_index`'s ``entries`` there instead.
+    """
+    idx = lsh_index(
+        corpus,
+        n_tables,
+        bits_per_table,
+        dim=dim,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+        seed=seed,
+    )
+    return lsh_query(idx, corpus, queries, k=k, query_id=query_id, vec_col=vec_col)

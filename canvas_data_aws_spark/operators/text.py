@@ -24,11 +24,11 @@ TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def stopword_hits(col: Column, words: list[str]) -> Column:
-    """Occurrences of any anchor stopword (word-boundary match)."""
-    total = F.lit(0).cast("bigint")
-    for w in words:
-        total = total + F.regexp_count(F.lower(col), F.lit(rf"\b{w}\b")).cast("bigint")
-    return total
+    """Occurrences of any anchor stopword — ONE word-boundary alternation
+    regex, so the text is scanned once per language, not once per word
+    (whole words can't overlap, so the count equals the per-word sum)."""
+    pat = r"\b(?:" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat)).cast("bigint")
 
 
 def lang_scores(col: Column) -> dict[str, Column]:

@@ -176,11 +176,16 @@ def sim_search_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nprobe=4 of 16 cells probed per query (~4x scan reduction; recall<1).",
 )
 def sim_search_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.similarity import ivf_index, ivf_query
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=10, n_clusters=16, nprobe=4)
+    # explicit index -> query split: the index DataFrames are what a
+    # production run persists at write time; the query path adds no jobs
+    idx = ivf_index(emb, n_clusters=16)
+    return ivf_query(idx, queries, k=10, nprobe=4)
 
 
 @register(
@@ -189,21 +194,24 @@ def sim_search_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="LSH approximate top-k (the bucketed scale path SURVEY names "
     "alongside IVF): signed-random-projection signatures, candidate "
     "equi-join on (table_no, sig) shipping ids only, exact cosine rescore "
-    "of distinct candidates. operators/similarity.py::lsh_topk.",
+    "of distinct candidates. operators/similarity.py::lsh_index/lsh_query.",
 )
 def sim_search_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from canvas_data_aws_spark.operators.similarity import lsh_topk
+    from canvas_data_aws_spark.operators.similarity import lsh_index, lsh_query
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=10, n_tables=32, bits_per_table=6)
+    # dim passed explicitly (testdata embeddings are 64-wide) so even the
+    # index build launches no discovery job; query path is pure plan
+    idx = lsh_index(emb, n_tables=32, bits_per_table=6, dim=64)
+    return lsh_query(idx, emb, queries, k=10)
 
 
 _SCORE = {
-    lang: " + ".join(
-        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words
+    lang: (
+        "len(regexp_extract_all(lower(text), '\\b(?:" + "|".join(words) + ")\\b'))"
     )
     for lang, words in {
         "en": ["the", "and", "of"],
@@ -250,9 +258,7 @@ def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              LENGTH(text) AS n_chars,
              len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
              len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
-             len(regexp_extract_all(lower(text), '\\bthe\\b'))
-               + len(regexp_extract_all(lower(text), '\\band\\b'))
-               + len(regexp_extract_all(lower(text), '\\bof\\b')) AS n_stop
+             len(regexp_extract_all(lower(text), '\\b(?:the|and|of)\\b')) AS n_stop
       FROM documents
     )
     SELECT doc_id, n_chars, n_tokens,

@@ -85,6 +85,19 @@ def test_multimodal_strict_mode_raises():
         decode_media_stub(b"\x89PNG")
 
 
+def test_multimodal_real_decode_when_pil_present():
+    """Optional-codec path: with PIL importable, strict decode returns real
+    pixel dimensions (skipped in sandboxes without codec libraries)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10)).save(buf, format="PNG")
+    assert decode_media_stub(buf.getvalue()) == (20, 10, 1)
+
+
 def test_multimodal_plumbing_shapes(docs, spark):
     media = documents_as_media(docs.limit(60))
     feats = extract_features(media, strict=False)
@@ -124,6 +137,62 @@ def test_lsh_recall_against_bruteforce(emb):
     assert recall >= 0.5, f"lsh recall {recall:.2f}"
     # each query still fills k slots (candidate sets are large enough)
     assert len(approx) == 10 * 10
+
+
+def test_ann_query_path_launches_no_jobs(emb, spark):
+    """The verdict's done-bar for the index/query split: once an IvfIndex /
+    LshIndex exists, constructing (and planning) a query must launch ZERO
+    Spark jobs — no collect/toPandas/first hiding in the query path. Job
+    attribution via job groups: anything the query path ran would land in
+    the audit group."""
+    from canvas_data_aws_spark.operators.similarity import (
+        ivf_index,
+        ivf_query,
+        lsh_index,
+        lsh_query,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ivf_index(emb, n_clusters=8)  # build: driver sample allowed here
+    lsh = lsh_index(emb, n_tables=8, bits_per_table=6, dim=64)  # fully lazy
+
+    sc = spark.sparkContext
+    sc.setJobGroup("ann-query-audit", "query-path job audit")
+    try:
+        plan_ivf = ivf_query(ivf, queries, k=5, nprobe=2)
+        plan_lsh = lsh_query(lsh, emb, queries, k=5)
+        # force full analysis + optimization; still must not execute
+        plan_ivf.explain("formatted")
+        plan_lsh.explain("formatted")
+        assert sc.statusTracker().getJobIdsForGroup("ann-query-audit") == []
+        # mechanism sanity: executing in the same group IS recorded
+        assert plan_lsh.count() > 0
+        assert len(sc.statusTracker().getJobIdsForGroup("ann-query-audit")) > 0
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
+def test_lsh_index_query_matches_one_shot(emb):
+    """The split path returns exactly what lsh_topk returns (same seed,
+    same planes) — persisting the index changes cost, not answers."""
+    from canvas_data_aws_spark.operators.similarity import (
+        lsh_index,
+        lsh_query,
+        lsh_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    one_shot = {
+        tuple(r)
+        for r in lsh_topk(emb, queries, k=10, n_tables=16, bits_per_table=6).collect()
+    }
+    idx = lsh_index(emb, n_tables=16, bits_per_table=6, dim=64)
+    split = {tuple(r) for r in lsh_query(idx, emb, queries, k=10).collect()}
+    assert split == one_shot and len(split) == 50
 
 
 def test_repetition_score_edges(spark):
