@@ -74,9 +74,7 @@ def corpus_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              LENGTH(text) AS n_chars,
              len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
              len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
-             len(regexp_extract_all(lower(text), '\bthe\b'))
-               + len(regexp_extract_all(lower(text), '\band\b'))
-               + len(regexp_extract_all(lower(text), '\bof\b')) AS n_stop
+             len(regexp_extract_all(lower(text), '\b(?:the|and|of)\b')) AS n_stop
       FROM documents
     ),
     r AS (
@@ -168,3 +166,96 @@ def corpus_ngram_top_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return corpus_stats(docs)
+
+
+@register(
+    "corpus_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    docfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(n.n_docs / docfreq.df), 4) AS tfidf
+      FROM tf JOIN docfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="Per-document top-3 TF-IDF terms: token explode -> (doc, term) "
+    "count -> document-frequency join -> per-doc top-k window. The df "
+    "table is vocabulary-sized (broadcastable); the only big shuffle "
+    "carries (doc_id, term, tf) triples. Ordering uses the ROUNDED score "
+    "plus term tie-break so ranks are engine-portable.",
+    tags=("curation",),
+)
+def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@register(
+    "corpus_sample_stratified",
+    """
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn % 10 = 1
+    """,
+    doc="Proportional stratified sample (10% per language stratum, "
+    "systematic over doc_id order): exact per-stratum allocation via one "
+    "window. NOTE the window is one partition per stratum — right for "
+    "bounded strata (languages, sources); for huge strata at 100 TB use "
+    "the row-local arithmetic-LCG filter (corpus_split) which needs no "
+    "shuffle at all.",
+    tags=("curation",),
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") % 10 == 1)
+        .select("doc_id", "lang")
+    )

@@ -1,0 +1,232 @@
+"""Event-stream analytics over the ``events`` table: batch sessionization,
+funnel conversion, cohort retention, and SCD2 dimension building — the
+product-analytics surface a warehouse replacement needs beyond raw SQL.
+
+Every op here is a declarative DataFrame plan (windows + aggregations, no
+UDFs) so Catalyst plans them as ordinary shuffles: at 100 TB each query is
+one (or two) exchanges on ``user_id`` — the natural partitioning key — and
+every window runs inside its user partition with no global ordering.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from canvas_data_aws_spark.plans.registry import register
+from canvas_data_aws_spark.sources.parquet import load_table
+
+#: Gap (seconds) that splits two events into separate sessions.
+SESSION_GAP_S = 2 * 3600
+
+
+@register(
+    "events_sessionize",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_s
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN gap_s IS NULL OR gap_s > {SESSION_GAP_S} THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    doc="Gap-based batch sessionization (gap > 2 h starts a new session): "
+    "lag -> new-session flag -> running sum = session id, then one "
+    "per-session rollup. Single shuffle on user_id; windows and the final "
+    "groupBy reuse the same partitioning.",
+    tags=("events",),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.withColumn(
+        "is_new",
+        F.when(gap_s.isNull() | (gap_s > SESSION_GAP_S), F.lit(1)).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .cast("bigint")
+        .alias("duration_s"),
+    )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_view_click,
+           (SELECT COUNT(*) FROM s3) AS n_full_funnel,
+           (SELECT ROUND(AVG(date_diff('second', s1.t1, s3.t3)), 4)
+            FROM s1 JOIN s3 ON s1.user_id = s3.user_id) AS avg_convert_s
+    """,
+    doc="Ordered funnel view -> click -> purchase: each stage is a "
+    "conditional min-ts aggregation joined to the previous stage (strictly "
+    "increasing timestamps), so conversion respects event ORDER, not mere "
+    "presence. Three user_id-partitioned aggregations, no window fan-out.",
+    tags=("events",),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    conv = s1.join(s3, "user_id").agg(
+        F.round(F.avg(F.col("t3").cast("long") - F.col("t1").cast("long")), 4).alias(
+            "avg_convert_s"
+        )
+    )
+    counts = (
+        s1.agg(F.count("*").alias("n_view"))
+        .crossJoin(s2.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(s3.agg(F.count("*").alias("n_full_funnel")))
+    )
+    return counts.crossJoin(conv).select(
+        "n_view", "n_view_click", "n_full_funnel", "avg_convert_s"
+    )
+
+
+@register(
+    "events_retention_cohort",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS INT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Weekly retention cohorts: users bucketed by first-seen week, "
+    "activity counted per week offset. One agg for cohort assignment, a "
+    "broadcast-sized join back, one distinct-count agg — the classic "
+    "retention triangle with two shuffles total.",
+    tags=("events",),
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        e.join(F.broadcast(first_seen), "user_id")
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (
+                F.floor(
+                    (
+                        F.date_trunc("week", F.col("ts")).cast("long")
+                        - F.col("cohort_week").cast("long")
+                    )
+                    / (7 * 24 * 3600)
+                )
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "scd2_dimension_build",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type AS status, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM changes
+    """,
+    doc="Type-2 slowly-changing dimension built from an event log: collapse "
+    "consecutive identical statuses (lag filter), then derive "
+    "[valid_from, valid_to) intervals with lead — the standard "
+    "change-data-capture -> dimension pattern. Both windows share one "
+    "user_id partitioning; no self-join.",
+    tags=("events", "warehouse"),
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .drop("prev_type")
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -61,6 +61,7 @@ def _load_all_modules() -> None:
         aggregates,
         corpus_q,
         curation_q,
+        events_q,
         functions_extra_q,
         functions_q,
         ingest_q,
@@ -75,6 +76,7 @@ def _load_all_modules() -> None:
         sql_surface_q,
         star_q,
         streaming_q,
+        warehouse_q,
         windows_extra_q,
         windows_q,
     )
