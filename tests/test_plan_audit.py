@@ -104,3 +104,47 @@ def test_lsh_probe_broadcasts_queries(registry, spark, sf_dir):
     side — a shuffle there would repartition the whole corpus index."""
     plan = _plan(registry, spark, sf_dir, "sim_search_lsh")
     assert has_operator(plan, "BroadcastHashJoin"), plan[:2000]
+
+
+def test_sessionize_single_user_shuffle(registry, spark, sf_dir):
+    """Sessionization = lag window + running-sum window + per-session
+    rollup, ALL partitioned by user_id: exactly one hash exchange. A second
+    exchange would re-shuffle the event log per window at 100 TB."""
+    plan = explain_str(registry["events_sessionize"].fn(spark, sf_dir), mode="simple")
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 user_id exchange, saw {n}: " + plan[:2000]
+
+
+def test_scd2_single_user_shuffle(registry, spark, sf_dir):
+    """SCD2 build: lag-filter + lead intervals share one user_id
+    partitioning — one exchange, no self-join."""
+    plan = explain_str(registry["scd2_dimension_build"].fn(spark, sf_dir), mode="simple")
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 user_id exchange, saw {n}: " + plan[:2000]
+    assert not has_operator(plan, "Join"), "SCD2 degraded to a self-join"
+
+
+def test_retention_cohort_join_broadcasts(registry, spark, sf_dir):
+    """The cohort-assignment join back to the event log must broadcast the
+    per-user first-seen side, not shuffle the full log twice."""
+    plan = _plan(registry, spark, sf_dir, "events_retention_cohort")
+    assert has_operator(plan, "BroadcastHashJoin"), plan[:2000]
+
+
+def test_merge_upsert_is_one_key_shuffle(registry, spark, sf_dir):
+    """MERGE = one full-outer SMJ on the merge key: both sides exchange on
+    o_orderkey once and nothing else shuffles."""
+    plan = explain_str(registry["table_merge_upsert"].fn(spark, sf_dir), mode="simple")
+    assert "FullOuter" in plan, plan[:2000]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 2, f"expected 2 exchanges (one per merge side), saw {n}: " + plan[:2000]
+
+
+def test_triangle_count_reuses_edge_exchange(registry, spark, sf_dir):
+    """Degree orientation consumes the distinct-edge set several times
+    (degrees, orientation, closing edges): the plan must reuse one edge
+    Exchange, not rebuild the lineitem self-join per consumer."""
+    df = registry["graph_triangle_count"].fn(spark, sf_dir)
+    df.collect()  # ReuseExchange lands in the AQE-finalized plan
+    final = explain_str(df, mode="simple")
+    assert has_operator(final, "ReusedExchange"), final[:3000]
