@@ -53,6 +53,13 @@ HEADLINE = [
     "stream_session_window",
     "stream_stream_join",
     "sync_reconcile_scale",
+    # round 3: product analytics + warehouse maintenance + curation
+    "events_sessionize",
+    "events_funnel",
+    "scd2_dimension_build",
+    "table_merge_upsert",
+    "corpus_tfidf_top_terms",
+    "graph_triangle_count",
 ]
 
 
