@@ -259,3 +259,41 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") % 10 == 1)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "corpus_chunk_sliding",
+    """
+    WITH positions AS (
+      SELECT doc_id, text, unnest(generate_series(1, GREATEST(n_chars, 1), 80)) AS pos
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((pos - 1) / 80 AS INT) AS chunk_id,
+           md5(substring(text, pos, 120)) AS chunk_md5,
+           CAST(length(substring(text, pos, 120)) AS INT) AS chunk_len
+    FROM positions
+    """,
+    doc="Sliding-window document chunking (120-char window, 80-char stride "
+    "-> 40-char overlap): start offsets come from sequence()+explode so "
+    "chunking is a row-local flatMap — the context-length packing "
+    "preprocessor for training pipelines. Zero shuffle; md5 of each chunk "
+    "keeps the oracle comparison exact without shipping chunk text.",
+    tags=("curation", "llm"),
+)
+def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("n_chars"), F.lit(1)).cast("int"), F.lit(80))
+        ).alias("pos"),
+    )
+    chunk = F.substring(F.col("text"), F.col("pos"), 120)
+    return pos.select(
+        "doc_id",
+        ((F.col("pos") - 1) / 80).cast("int").alias("chunk_id"),
+        F.md5(chunk).alias("chunk_md5"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+    )

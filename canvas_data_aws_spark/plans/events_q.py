@@ -230,3 +230,106 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "ts_resample_ffill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ROUND(AVG(value), 4) AS day_avg
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans
+    )
+    SELECT g.user_id, g.day,
+           LAST_VALUE(d.day_avg IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS UNBOUNDED PRECEDING) AS value_ffill,
+           d.day_avg IS NULL AS was_gap
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+    doc="Hypertable-style resample + forward fill: per-user daily averages "
+    "snapped onto the user's full daily grid (sequence+explode — no "
+    "driver-side calendar), gaps forward-filled with last(ignorenulls) over "
+    "the same user_id partitioning. Grid build, join, and fill share one "
+    "user_id shuffle family; no cross-user ordering exists anywhere.",
+    tags=("events", "timeseries"),
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("day_avg"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("day_avg", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("day_avg").isNull().alias("was_gap"),
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH scored AS (
+      SELECT user_id, value,
+             AVG(value) OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sigma,
+             COUNT(*) OVER w AS n_hist
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_scored,
+           CAST(SUM(CASE WHEN n_hist >= 10 AND sigma > 0
+                          AND ABS((value - mu) / sigma) > 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM scored GROUP BY user_id
+    """,
+    doc="Trailing-window anomaly detection: each event scored against the "
+    "mean/stddev of its user's previous 30 events (works on an ordered "
+    "stream — no global statistics, no second pass), |z| > 3 flagged once "
+    "at least 10 history rows exist. One user_id shuffle shared by the "
+    "window and the rollup; integer outputs keep the cross-engine "
+    "comparison exact despite windowed float accumulation.",
+    tags=("events", "timeseries"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-30, -1)
+    scored = e.select(
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_hist"),
+    )
+    is_outlier = (
+        (F.col("n_hist") >= 10)
+        & (F.col("sigma") > 0)
+        & (F.abs((F.col("value") - F.col("mu")) / F.col("sigma")) > 3)
+    )
+    return scored.groupBy("user_id").agg(
+        F.count("*").alias("n_scored"),
+        F.sum(F.when(is_outlier, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+    )

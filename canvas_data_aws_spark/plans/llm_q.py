@@ -461,3 +461,81 @@ def corpus_bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.text import bpe_pair_counts
 
     return bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_k=20)
+
+
+@register(
+    "sim_knn_join",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Exact k-NN self-join (every vector -> 3 nearest neighbors): "
+    "blocked-GEMM scan with per-block partial top-k, so the merge window "
+    "sees k*n_blocks candidates per query instead of the full n^2 score "
+    "matrix (operators/similarity.py::knn_join). The exact counterpart of "
+    "the ANN paths, and the oracle-checked one.",
+    tags=("llm", "similarity"),
+)
+def sim_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = knn_join(emb, queries, k=3, n_blocks=8, exclude_self=True)
+    return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "embed_normalize_quantize",
+    """
+    WITH normed AS (
+      SELECT vec_id,
+             sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                x -> x * x), 'sum')) AS l2_norm,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS n_dims,
+           ROUND(l2_norm, 6) AS l2_norm,
+           list_transform(v, x -> CAST(ROUND(x / l2_norm * 127) AS TINYINT)) AS q8
+    FROM normed
+    """,
+    doc="Row-local embedding maintenance: L2 norm (JVM aggregate over the "
+    "array), unit-normalize, symmetric int8 quantization (x/norm*127) — the "
+    "storage-shrink step before ANN indexing, 4x smaller vectors. Zero "
+    "shuffle; int8 output keeps the oracle comparison exact.",
+    tags=("llm", "similarity"),
+)
+def embed_normalize_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        emb.withColumn("__v", v)
+        .withColumn("__norm", norm)
+        .select(
+            "vec_id",
+            F.size("__v").cast("int").alias("n_dims"),
+            F.round(F.col("__norm"), 6).alias("l2_norm"),
+            F.transform(
+                F.col("__v"),
+                lambda x: F.round(x / F.col("__norm") * 127, 0).cast("tinyint"),
+            ).alias("q8"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""Data-quality operators: rule-based expectation checks and referential-
+integrity audits — the validation pass a warehouse sync (reference:
+sync-canvas-data-files.py registering typed tables) needs before publishing
+a snapshot. Both are single-scan conditional aggregations / anti-joins:
+no per-rule extra pass, no driver-side row iteration.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from canvas_data_aws_spark.plans.registry import register
+from canvas_data_aws_spark.sources.parquet import load_table
+
+
+@register(
+    "dq_expectations",
+    """
+    SELECT
+      COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+      CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS qty_out_of_range,
+      CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS disc_out_of_range,
+      CAST(SUM(CASE WHEN l_shipdate IS NULL OR l_shipdate < DATE '1993-06-01' THEN 1 ELSE 0 END) AS BIGINT) AS bad_shipdate,
+      CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_returnflag,
+      CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price
+    FROM lineitem
+    """,
+    doc="Expectation suite over lineitem (null / range / ordering / domain / "
+    "positivity rules) evaluated as ONE conditional aggregation: a 100 TB "
+    "validation pass costs exactly one scan regardless of rule count, and "
+    "every rule partially aggregates map-side to a single summary row.",
+    tags=("quality",),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def viol(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        viol(F.col("l_orderkey").isNull()).alias("null_orderkey"),
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 45)).alias(
+            "qty_out_of_range"
+        ),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 0.08)).alias(
+            "disc_out_of_range"
+        ),
+        viol(
+            F.col("l_shipdate").isNull()
+            | (F.col("l_shipdate") < F.lit("1993-06-01").cast("date"))
+        ).alias("bad_shipdate"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R")).alias("bad_returnflag"),
+        viol(F.col("l_extendedprice") <= 0).alias("nonpositive_price"),
+    )
+
+
+@register(
+    "dq_fk_integrity",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_lineitems,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS orphan_orders,
+      (SELECT COUNT(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        AS orphan_customers
+    """,
+    doc="Referential-integrity audit across the FK chain lineitem -> orders "
+    "-> customer -> nation: each check is a left-anti join on the FK (the "
+    "dimension side broadcasts when small; the fact-fact check shuffles "
+    "both sides on the key once) feeding a count — never a row-level "
+    "collect. The post-sync gate for the reference's typed star schema.",
+    tags=("quality",),
+)
+def dq_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    orphan_li = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphan_lineitems"))
+    )
+    orphan_o = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphan_orders"))
+    )
+    orphan_c = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_anti")
+        .agg(F.count("*").alias("orphan_customers"))
+    )
+    return orphan_li.crossJoin(orphan_o).crossJoin(orphan_c)

@@ -68,6 +68,7 @@ def _load_all_modules() -> None:
         joins_q,
         llm_q,
         misc_q,
+        quality_q,
         relational,
         reshape_q,
         scale_q,
