@@ -197,10 +197,13 @@ def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rank <= 3
     """,
     doc="Per-document top-3 TF-IDF terms: token explode -> (doc, term) "
-    "count -> document-frequency join -> per-doc top-k window. The df "
-    "table is vocabulary-sized (broadcastable); the only big shuffle "
-    "carries (doc_id, term, tf) triples. Ordering uses the ROUNDED score "
-    "plus term tie-break so ranks are engine-portable.",
+    "count -> document-frequency join -> per-doc top-k window. The "
+    "docfreq join is a plain equi-join on term: raw-web vocabulary is "
+    "unbounded (URLs, ids, typos), so no broadcast hint — docfreq arrives "
+    "already partitioned on term from its agg, tf re-shuffles on term "
+    "once, and AQE still broadcasts genuinely small vocabularies at "
+    "runtime. Ordering uses the ROUNDED score plus term tie-break so "
+    "ranks are engine-portable.",
     tags=("curation",),
 )
 def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,7 +218,7 @@ def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(docfreq), "term")
+        tf.join(docfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -157,8 +157,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Weekly retention cohorts: users bucketed by first-seen week, "
     "activity counted per week offset. One agg for cohort assignment, a "
-    "broadcast-sized join back, one distinct-count agg — the classic "
-    "retention triangle with two shuffles total.",
+    "co-partitioned join back (first_seen has one row per distinct user — "
+    "its cardinality grows with the data, so no broadcast hint: both sides "
+    "already hash-partition on user_id and AQE may still broadcast a "
+    "genuinely small cohort table at runtime), one distinct-count agg.",
     tags=("events",),
 )
 def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +169,7 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     return (
-        e.join(F.broadcast(first_seen), "user_id")
+        e.join(first_seen, "user_id")
         .select(
             F.col("cohort_week").cast("date").alias("cohort_week"),
             (
