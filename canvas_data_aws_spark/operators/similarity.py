@@ -537,3 +537,110 @@ def knn_join(
             "rank",
         )
     )
+
+
+def knn_join_self(
+    corpus: DataFrame,
+    k: int = 10,
+    n_blocks: int = 4,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact self-k-NN (every corpus row -> its k nearest corpus rows,
+    cosine) with ZERO driver materialization — the corpus never leaves the
+    executors.
+
+    Exact all-pairs requires every block pair to meet, so the corpus is hash-
+    blocked into ``n_blocks`` and each row is replicated ``n_blocks`` times
+    twice — once in the query role (its own block paired with every corpus
+    block) and once in the corpus role (every query block paired with its own
+    block). ``groupBy(query_block, corpus_block)`` then lands each of the
+    n_blocks^2 pairings on one executor, where a single normalized GEMM emits
+    only that pairing's LOCAL top-k per query; the global window merges
+    k * n_blocks candidates per query, never the n^2 score matrix.
+
+    Cost model (be honest at 100 TB): the shuffle carries 2 * n_blocks copies
+    of the corpus and compute is inherently O(n^2 / n_blocks) per block-pair
+    row — exact self-k-NN is quadratic no matter the engine. This operator is
+    the exact/oracle-checkable counterpart; corpus-scale serving belongs to
+    the ANN paths (ivf_query / lsh_query), which this operator's output
+    validates (recall measurement).
+
+    Determinism: similarities round to 6 decimals inside the kernel and ties
+    break by corpus id ascending, so per-pairing selection is the global
+    criterion restricted to the pairing and the merge is exact.
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    b = int(n_blocks)
+    all_blocks = F.array([F.lit(j) for j in range(b)])
+    base = corpus.select(
+        F.col(corpus_id).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(b)).cast("int").alias("__blk"),
+    )
+    q_side = base.select(
+        "__id",
+        "__vec",
+        F.col("__blk").alias("__qb"),
+        F.explode(all_blocks).alias("__cb"),
+        F.lit(True).alias("__is_q"),
+    )
+    c_side = base.select(
+        "__id",
+        "__vec",
+        F.explode(all_blocks).alias("__qb"),
+        F.col("__blk").alias("__cb"),
+        F.lit(False).alias("__is_q"),
+    )
+    both = q_side.unionByName(c_side)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("corpus_id", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame({"query_id": [], "corpus_id": [], "cos_sim": []})
+
+    def _unit(pdf: pd.DataFrame):
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        return mat / np.where(norms == 0, 1.0, norms)
+
+    def _pair_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[pdf["__is_q"]]
+        c = pdf[~pdf["__is_q"]].sort_values("__id")  # id-asc => stable tie-break
+        if q.empty or c.empty:
+            return empty
+        qids = q["__id"].to_numpy()
+        cids = c["__id"].to_numpy()
+        sims = np.round(_unit(q) @ _unit(c).T, 6)  # (n_q, n_c)
+        kk = min(k + (1 if exclude_self else 0), len(cids))
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, kk),
+                "corpus_id": cids[order].ravel(),
+                "cos_sim": np.take_along_axis(sims, order, axis=1).ravel(),
+            }
+        )
+
+    cand = both.groupBy("__qb", "__cb").applyInPandas(_pair_topk, out_schema)
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("corpus_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").alias("query_id"),
+            F.col("corpus_id").alias(corpus_id),
+            "cos_sim",
+            "rank",
+        )
+    )

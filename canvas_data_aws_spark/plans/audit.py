@@ -41,3 +41,15 @@ def pushed_filters(plan: str) -> list[str]:
 
 def has_operator(plan: str, op: str) -> bool:
     return op in plan
+
+
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit broadcast hints in the *analyzed* logical plan.
+
+    A `ResolvedHint` survives analysis wherever `F.broadcast(...)` (or a SQL
+    /*+ BROADCAST */ hint) was written, regardless of what the optimizer
+    later picks. Plans over growing-cardinality sides must show ZERO forced
+    hints — the optimizer/AQE may still broadcast when stats say the side is
+    genuinely small, which is exactly the behaviour we want at 100 TB."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return analyzed.count("ResolvedHint")

@@ -157,9 +157,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Weekly retention cohorts: users bucketed by first-seen week, "
     "activity counted per week offset. One agg for cohort assignment, a "
-    "co-partitioned join back (first_seen has one row per distinct user — "
-    "its cardinality grows with the data, so no broadcast hint: both sides "
-    "already hash-partition on user_id and AQE may still broadcast a "
+    "hash join back (first_seen has one row per distinct user — its "
+    "cardinality grows with the data, so no broadcast hint: first_seen is "
+    "already partitioned on user_id from its agg, the raw events side "
+    "shuffles on user_id once for the join, and AQE may still broadcast a "
     "genuinely small cohort table at runtime), one distinct-count agg.",
     tags=("events",),
 )

@@ -483,18 +483,20 @@ def corpus_bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rank <= 3
     """,
     doc="Exact k-NN self-join (every vector -> 3 nearest neighbors): "
-    "blocked-GEMM scan with per-block partial top-k, so the merge window "
-    "sees k*n_blocks candidates per query instead of the full n^2 score "
-    "matrix (operators/similarity.py::knn_join). The exact counterpart of "
-    "the ANN paths, and the oracle-checked one.",
+    "block-pair GEMM entirely on executors — the corpus is hash-blocked, "
+    "every block pair meets via groupBy(qb, cb) + applyInPandas, each "
+    "pairing emits only its local top-k, and the merge window sees "
+    "k*n_blocks candidates per query instead of the n^2 score matrix "
+    "(operators/similarity.py::knn_join_self). Zero driver "
+    "materialization — plan construction launches no jobs (audited). The "
+    "exact counterpart of the ANN paths, and the oracle-checked one.",
     tags=("llm", "similarity"),
 )
 def sim_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from canvas_data_aws_spark.operators.similarity import knn_join
+    from canvas_data_aws_spark.operators.similarity import knn_join_self
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
-    out = knn_join(emb, queries, k=3, n_blocks=8, exclude_self=True)
+    out = knn_join_self(emb, k=3, n_blocks=4, exclude_self=True)
     return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
 

@@ -80,28 +80,34 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "triangle has exactly one node with two out-edges and is counted once. "
     "Wedge fan-out per node is bounded by out-degree <= sqrt(2|E|) instead "
     "of max degree — the standard trick that keeps the wedge join tractable "
-    "on skewed co-occurrence graphs at 100 TB. The oracle is the naive "
-    "canonical (a<b<c) three-way self-join, proving orientation preserves "
-    "the count.",
+    "on skewed co-occurrence graphs at 100 TB. Edge build: one lineitem "
+    "shuffle (groupBy order, collect_set) with row-local pair explosion — "
+    "measured ~2x faster than the lineitem self-join it replaced; an eager "
+    "localCheckpoint of the oriented set was ALSO measured and rejected "
+    "(no steady-state win, and the un-released checkpoint RDDs degrade "
+    "repeated runs). The oracle is the naive canonical (a<b<c) three-way "
+    "self-join, proving orientation preserves the count.",
     tags=("warehouse", "graph"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    # Per-order part sets, pairs generated ROW-LOCAL from each set: one
+    # lineitem shuffle (groupBy l_orderkey) replaces the self-join, and the
+    # explode never materializes a > or = pair. Parts-per-order is bounded
+    # by order size (TPC-H: <= 7), so the collected set is O(1) per row.
+    parts_per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("__ps")
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        parts_per_order.select(F.explode("__ps").alias("pa"), "__ps")
+        .select(
+            "pa",
+            F.explode(F.filter("__ps", lambda x: x > F.col("pa"))).alias("pb"),
         )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
         .distinct()
     )
     # Degree per node, then orient each edge low-rank -> high-rank where
-    # rank = (degree, id). No persist: every consumer derives from the same
-    # distinct-edges Exchange, which AQE/ReuseExchange materializes once
-    # (cache handles would leak across repeated calls — advisor r2).
+    # rank = (degree, id).
     deg = (
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))

@@ -38,10 +38,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     schemas are *declared*, never inferred from data (the reference registers
     explicit typed columns; Parquet footers serve that role here).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read nanos as long (runtime-settable legacy
-    conf) and convert losslessly to a microsecond timestamp (the fixture has
-    no sub-microsecond components)."""
+    ``events.ts`` has shipped in three physical encodings across fixture
+    generations: parquet TIMESTAMP(NANOS) (read as long via the legacy conf,
+    then converted), TIMESTAMP(MICROS) timezone-naive (TIMESTAMP_NTZ), and
+    plain TIMESTAMP. Normalize all three to a session-TZ TIMESTAMP by
+    inspecting the footer dtype — never assume one encoding."""
     # Timestamps are stored timezone-naive; DuckDB (and the oracle) read them
     # as naive values, so Spark must render them in UTC regardless of the
     # caller's session default — pin it (runtime-settable, idempotent).
@@ -49,10 +50,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # Legacy nanos-as-long fixture: lossless nanos -> micros.
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            # Naive micros fixture: with the session TZ pinned to UTC this
+            # cast is a pure type relabel (identical wall-clock + epoch).
+            return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(path)
 
 

@@ -226,3 +226,40 @@ def test_pii_scrub_patterns(spark):
     assert got[1] == "mail me: <EMAIL> today"
     assert got[2] == "call <PHONE> or ssn <SSN>"
     assert got[3] == "order 12345 shipped 2024-01-02"
+
+
+def test_knn_join_self_matches_probe_batch_exact(emb, spark):
+    """knn_join_self (distributed block-pair GEMM, zero driver collect) must
+    produce the identical exact result as knn_join fed the whole corpus as a
+    probe batch — same ids, same rounded sims, same ranks."""
+    from canvas_data_aws_spark.operators.similarity import knn_join, knn_join_self
+
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    expected = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cos_sim"])
+        for r in knn_join(emb, queries, k=3, n_blocks=4, exclude_self=True).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cos_sim"])
+        for r in knn_join_self(emb, k=3, n_blocks=4, exclude_self=True).collect()
+    }
+    assert got == expected
+
+
+def test_knn_join_self_plan_build_launches_no_jobs(emb, spark):
+    """The registered sim_knn_join path must not materialize corpus-sized
+    data on the driver: constructing + planning the query launches ZERO
+    Spark jobs (knn_join, by contract, collects its probe batch — the self
+    variant must not)."""
+    from canvas_data_aws_spark.operators.similarity import knn_join_self
+
+    sc = spark.sparkContext
+    sc.setJobGroup("knn-self-audit", "knn_join_self plan-build job audit")
+    try:
+        plan = knn_join_self(emb, k=3, n_blocks=4)
+        plan.explain("formatted")
+        assert sc.statusTracker().getJobIdsForGroup("knn-self-audit") == []
+        assert plan.count() > 0  # mechanism sanity: execution IS recorded
+        assert len(sc.statusTracker().getJobIdsForGroup("knn-self-audit")) > 0
+    finally:
+        sc.setJobGroup(None, None)

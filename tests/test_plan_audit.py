@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 from canvas_data_aws_spark.plans.audit import (
+    broadcast_hint_count,
     explain_str,
     has_operator,
     pushed_filters,
@@ -124,11 +125,25 @@ def test_scd2_single_user_shuffle(registry, spark, sf_dir):
     assert not has_operator(plan, "Join"), "SCD2 degraded to a self-join"
 
 
-def test_retention_cohort_join_broadcasts(registry, spark, sf_dir):
-    """The cohort-assignment join back to the event log must broadcast the
-    per-user first-seen side, not shuffle the full log twice."""
-    plan = _plan(registry, spark, sf_dir, "events_retention_cohort")
-    assert has_operator(plan, "BroadcastHashJoin"), plan[:2000]
+def test_retention_cohort_no_forced_broadcast(registry, spark, sf_dir):
+    """first_seen has one row per distinct user — cardinality grows with the
+    data, so the cohort join must NOT carry a forced broadcast hint (OOM at
+    100 TB). The optimizer/AQE may still broadcast when stats are small.
+    Exchange ceiling: user_id agg + distinct-count pair + (at scale) the
+    events probe side = at most 4 hash exchanges."""
+    df = registry["events_retention_cohort"].fn(spark, sf_dir)
+    assert broadcast_hint_count(df) == 0, "forced broadcast hint on a per-user table"
+    plan = explain_str(df, mode="simple")
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 4, f"retention plan shuffles too much ({n} exchanges): " + plan[:2000]
+
+
+def test_tfidf_no_forced_vocab_broadcast(registry, spark, sf_dir):
+    """The docfreq side of the TF-IDF join is vocabulary-sized — unbounded on
+    raw web text — so it must not be force-broadcast. The single allowed hint
+    is the one-row n_docs crossJoin (literally one row at any scale)."""
+    df = registry["corpus_tfidf_top_terms"].fn(spark, sf_dir)
+    assert broadcast_hint_count(df) <= 1, "docfreq must not be force-broadcast"
 
 
 def test_merge_upsert_is_one_key_shuffle(registry, spark, sf_dir):
