@@ -149,6 +149,26 @@ class CanvasDataClient:
             for f in files
         ]
 
+    def dump_manifest_rows(self, dump_id: str) -> list[dict]:
+        """``get_file_urls_for_dump`` flattened to the reconciler's row
+        shape. The byDump endpoint has shipped two documented shapes — a
+        flat ``files`` list and a per-table ``artifactsByTable`` map — so
+        accept both; feeds ``SyncEngine.sync_dumps``."""
+        doc = self.get_file_urls_for_dump(dump_id)
+        files = doc.get("files")
+        if isinstance(files, list):
+            return [
+                {"table": f["table"], "filename": f["filename"], "url": f.get("url")}
+                for f in files
+            ]
+        rows: list[dict] = []
+        for table, artifact in sorted(doc.get("artifactsByTable", {}).items()):
+            for f in artifact.get("files", []):
+                rows.append(
+                    {"table": table, "filename": f["filename"], "url": f.get("url")}
+                )
+        return rows
+
     # -- transport ----------------------------------------------------------
 
     def _get_json(self, path: str, params: Mapping[str, Any] | None = None) -> Any:

@@ -74,25 +74,36 @@ def local_listing(spark: SparkSession, root: str, prefix: str = RAW_PREFIX) -> D
     return spark.createDataFrame(keys, StructType([StructField("key", StringType(), False)]))
 
 
-def reconcile(remote: DataFrame, local: DataFrame, prefix: str = RAW_PREFIX) -> DataFrame:
-    """diff_fetch_set + diff_delete_set as ONE full-outer join.
+def reconcile(
+    remote: DataFrame,
+    local: DataFrame,
+    prefix: str = RAW_PREFIX,
+    additive: bool = False,
+) -> DataFrame:
+    """diff_fetch_set + diff_delete_set as ONE join.
 
-    Returns columns (key, table, filename, url, verdict) where verdict in
-    ('skip', 'fetch', 'delete'). The two anti-joins of the reference fall
-    out of one exchange instead of two.
+    Mirror mode (default): full-outer join; verdict in ('skip', 'fetch',
+    'delete') — converge local to exactly the remote snapshot. The two
+    anti-joins of the reference fall out of one exchange instead of two.
+
+    Additive mode (``additive=True``): left join from the remote manifest;
+    verdict in ('skip', 'fetch') only. This is the dump-incremental
+    contract — a dump manifest lists just that dump's files, so local files
+    it doesn't mention (other tables, earlier dumps) are NOT deletions.
     """
     r = with_key(remote, prefix).alias("r")
     l = local.select(F.col("key").alias("lkey")).alias("l")
-    joined = r.join(l, F.col("r.key") == F.col("l.lkey"), "full_outer")
+    how = "left_outer" if additive else "full_outer"
+    joined = r.join(l, F.col("r.key") == F.col("l.lkey"), how)
+    verdict = F.when(F.col("l.lkey").isNull(), F.lit("fetch"))
+    if not additive:
+        verdict = verdict.when(F.col("r.key").isNull(), F.lit("delete"))
     return joined.select(
         F.coalesce(F.col("r.key"), F.col("l.lkey")).alias("key"),
         F.col("r.table").alias("table"),
         F.col("r.filename").alias("filename"),
         F.col("r.url").alias("url"),
-        F.when(F.col("l.lkey").isNull(), F.lit("fetch"))
-        .when(F.col("r.key").isNull(), F.lit("delete"))
-        .otherwise(F.lit("skip"))
-        .alias("verdict"),
+        verdict.otherwise(F.lit("skip")).alias("verdict"),
     )
 
 
@@ -132,16 +143,22 @@ class SyncEngine:
     log_sample_cap: int = 10_000  # max per-file lines the driver retains
     log: list[str] = field(default_factory=list)
 
-    def plan(self, spark: SparkSession, remote_rows: list[dict]) -> DataFrame:
+    def plan(
+        self,
+        spark: SparkSession,
+        remote_rows: list[dict],
+        additive: bool = False,
+    ) -> DataFrame:
         remote = manifest_from_rows(spark, remote_rows)
         local = local_listing(spark, self.root, self.prefix)
-        return reconcile(remote, local, self.prefix)
+        return reconcile(remote, local, self.prefix, additive=additive)
 
     def apply(
         self,
         spark: SparkSession,
         remote_rows: list[dict],
         fetcher: Callable[[str, str], None],
+        additive: bool = False,
     ) -> SyncSummary:
         from pyspark.sql import Observation
 
@@ -152,7 +169,7 @@ class SyncEngine:
         # below cannot push past the observe node, so metrics see every
         # reconciled file.
         obs = Observation("sync_metrics")
-        observed = self.plan(spark, remote_rows).observe(
+        observed = self.plan(spark, remote_rows, additive=additive).observe(
             obs,
             F.count(F.lit(1)).alias("total"),
             F.sum((F.col("verdict") == "fetch").cast("long")).alias("fetch"),
@@ -229,6 +246,71 @@ class SyncEngine:
         if self.on_summary is not None:
             self.on_summary(summary)
         return summary
+
+    # -- dump-incremental mode ---------------------------------------------
+
+    #: Watermark file under the lake root recording the highest dump
+    #: sequence already applied. The reference is snapshot-only
+    #: (sync-canvas-data-files.py:47); dump mode is this engine's cheaper
+    #: extension: reconcile only the files each NEW dump ships.
+    DUMP_STATE_FILE = "_dump_sync_state.json"
+
+    def last_synced_sequence(self) -> int:
+        import json
+        import os
+
+        path = os.path.join(self.root, self.DUMP_STATE_FILE)
+        if not os.path.exists(path):
+            return -1
+        with open(path) as f:
+            return int(json.load(f).get("last_sequence", -1))
+
+    def _write_synced_sequence(self, sequence: int) -> None:
+        import json
+        import os
+
+        path = os.path.join(self.root, self.DUMP_STATE_FILE)
+        os.makedirs(self.root, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_sequence": int(sequence)}, f)
+        os.replace(tmp, path)  # atomic: a crash never corrupts the watermark
+
+    def sync_dumps(
+        self,
+        spark: SparkSession,
+        client,
+        fetcher: Callable[[str, str], None],
+    ) -> list[tuple[str, SyncSummary]]:
+        """Incremental sync: discover dumps newer than the watermark via the
+        API (``get_dumps(after=...)``), apply each IN SEQUENCE ORDER as an
+        additive reconcile (fetch-only — a dump manifest never implies
+        deletion of files it doesn't list), and advance the watermark after
+        each dump so a crash resumes at the first unapplied dump.
+
+        ``client`` needs ``get_dumps(after=...)`` and
+        ``dump_manifest_rows(dump_id)`` (``CanvasDataClient`` provides
+        both). Returns ``[(dump_id, summary), ...]`` for the dumps applied.
+        Unfinished dumps are skipped (still being written portal-side) and
+        NOT watermarked past, so they are retried next run — matching the
+        at-least-once semantics of the snapshot mode's idempotent fetch.
+        """
+        after = self.last_synced_sequence()
+        dumps = client.get_dumps(after=after if after >= 0 else None)
+        ready: list[dict] = []
+        for d in sorted(dumps, key=lambda d: d.get("sequence", 0)):
+            if d.get("sequence", 0) <= after:
+                continue  # server ignored `after`; filter client-side too
+            if not d.get("finished", True):
+                break  # stop at the first unfinished dump — keep ordering
+            ready.append(d)
+        results: list[tuple[str, SyncSummary]] = []
+        for d in ready:
+            rows = client.dump_manifest_rows(d["dumpId"])
+            summary = self.apply(spark, rows, fetcher, additive=True)
+            self._write_synced_sequence(d["sequence"])
+            results.append((d["dumpId"], summary))
+        return results
 
 
 def json_line_notifier(path: str) -> Callable[[SyncSummary], None]:

@@ -92,9 +92,22 @@ class _ApiHandler(BaseHTTPRequestHandler):
         elif self.path == "/api/schema/latest":
             doc = SCHEMA_DOC
         elif self.path.startswith("/api/account/self/dump"):
-            doc = {"dumps": [{"dumpId": "d1", "sequence": 1, "finished": True}]}
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query)
+            after = int(q["after"][0]) if "after" in q else -1
+            doc = {
+                "dumps": [d for d in srv.dumps if d["sequence"] > after]
+            }
         elif self.path.startswith("/api/account/self/file/byDump/"):
-            doc = {"files": [], "dumpId": self.path.rsplit("/", 1)[1]}
+            dump_id = self.path.rsplit("/", 1)[1]
+            doc = {
+                "files": [
+                    {"table": t, "filename": fn, "url": f"{base}/files/{t}/{fn}"}
+                    for (t, fn) in srv.dump_files.get(dump_id, [])
+                ],
+                "dumpId": dump_id,
+            }
         else:
             self.send_error(404)
             return
@@ -110,6 +123,8 @@ class _ApiHandler(BaseHTTPRequestHandler):
 def api_srv():
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _ApiHandler)
     srv.fail_first_n = 0
+    srv.dumps = [{"dumpId": "d1", "sequence": 1, "finished": True}]
+    srv.dump_files = {"d1": []}
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv
@@ -211,3 +226,69 @@ def test_end_to_end_api_into_sync_engine(api_srv, spark, tmp_path):
     fields = {f.name: f for f in reg["account_dim"].fields}
     assert fields["id"].dataType.typeName() == "long"
     assert fields["name"].metadata.get("varchar_length") == 256
+
+
+def test_dump_incremental_sync_end_to_end(api_srv, spark, tmp_path):
+    """Dump-mode incremental sync (round-3 verdict item 4): two successive
+    dumps discovered via get_dumps/get_file_urls_for_dump against the live
+    fixture API, applied additively in sequence order with the watermark
+    advancing; re-runs are no-ops; files from earlier dumps are never
+    deleted by later ones."""
+    from canvas_data_aws_spark.ingest.fetchers import http_fetcher
+    from canvas_data_aws_spark.ingest.reconciler import SyncEngine
+
+    (d1_file,), (d2_file,) = sorted(FILE_BODIES)[:1], sorted(FILE_BODIES)[1:]
+    api_srv.dumps = [
+        {"dumpId": "d1", "sequence": 1, "finished": True},
+        {"dumpId": "d2", "sequence": 2, "finished": True},
+    ]
+    api_srv.dump_files = {"d1": [sorted(FILE_BODIES)[0]], "d2": [sorted(FILE_BODIES)[1]]}
+
+    c = _client(api_srv)
+    assert c.dump_manifest_rows("d1")[0]["table"] == sorted(FILE_BODIES)[0][0]
+
+    engine = SyncEngine(root=str(tmp_path), max_fetch_tasks=2, io_threads=2)
+    fetch = http_fetcher(backoff_s=0.01)
+
+    applied = engine.sync_dumps(spark, c, fetch)
+    assert [dump_id for dump_id, _ in applied] == ["d1", "d2"]
+    assert all(s.files_fetched == 1 and s.files_removed == 0 for _, s in applied)
+    assert engine.last_synced_sequence() == 2
+    for (table, filename), body in FILE_BODIES.items():
+        assert (tmp_path / "raw_files" / table / filename).read_bytes() == body
+
+    # steady state: nothing new -> no dumps applied, watermark unchanged
+    assert engine.sync_dumps(spark, c, fetch) == []
+    assert engine.last_synced_sequence() == 2
+
+    # a third dump appears; only IT is applied, and dump-1/2 files survive
+    # (additive mode: the d3 manifest doesn't list them, yet no deletion)
+    api_srv.dumps.append({"dumpId": "d3", "sequence": 3, "finished": True})
+    api_srv.dump_files["d3"] = [sorted(FILE_BODIES)[0]]  # re-ships one file
+    applied3 = engine.sync_dumps(spark, c, fetch)
+    assert [dump_id for dump_id, _ in applied3] == ["d3"]
+    assert applied3[0][1].files_skipped == 1  # idempotence guard: on disk
+    assert engine.last_synced_sequence() == 3
+    for (table, filename), body in FILE_BODIES.items():
+        assert (tmp_path / "raw_files" / table / filename).read_bytes() == body
+
+
+def test_dump_sync_stops_at_unfinished_dump(api_srv, spark, tmp_path):
+    """An unfinished dump blocks itself AND everything after it (ordering
+    guarantee); the watermark stays put so the next run retries."""
+    from canvas_data_aws_spark.ingest.fetchers import http_fetcher
+    from canvas_data_aws_spark.ingest.reconciler import SyncEngine
+
+    api_srv.dumps = [
+        {"dumpId": "d1", "sequence": 1, "finished": True},
+        {"dumpId": "d2", "sequence": 2, "finished": False},
+        {"dumpId": "d3", "sequence": 3, "finished": True},
+    ]
+    api_srv.dump_files = {
+        "d1": [sorted(FILE_BODIES)[0]],
+        "d3": [sorted(FILE_BODIES)[1]],
+    }
+    engine = SyncEngine(root=str(tmp_path), max_fetch_tasks=2, io_threads=2)
+    applied = engine.sync_dumps(spark, _client(api_srv), http_fetcher(backoff_s=0.01))
+    assert [dump_id for dump_id, _ in applied] == ["d1"]
+    assert engine.last_synced_sequence() == 1
