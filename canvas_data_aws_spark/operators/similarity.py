@@ -214,7 +214,12 @@ def ivf_index(
     ).withColumn("cell", _nearest_cell(F.col("__arr")))
 
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
-    cent_df = corpus.sparkSession.createDataFrame(centroids, ["cell", "centroid"])
+    # cell pinned to int: it must match BOTH the assignment column's type
+    # and the type a partitioned write's directory values read back as —
+    # any cast on the join key defeats dynamic partition pruning.
+    cent_df = corpus.sparkSession.createDataFrame(
+        centroids, ["cell", "centroid"]
+    ).withColumn("cell", F.col("cell").cast("int"))
     return IvfIndex(cent_df, assigned, corpus_id, vec_col)
 
 
@@ -233,31 +238,53 @@ def ivf_query(
     score each query against the broadcast centroid table, keep the
     ``nprobe`` nearest cells, then brute-force only vectors in those cells.
     Recall < 1.0 by construction — rows-only in the oracle gate.
+
+    When ``index.assigned`` is stored partitioned by ``cell`` (the 100 TB
+    layout), dynamic partition pruning makes this query READ only the probed
+    cell directories — demonstrated behaviorally in
+    tests/test_llm_ops.py::test_ivf_partitioned_index_prunes_to_probed_cells.
+    Two Spark preconditions, both encoded here: the probe list must reach
+    the join as a broadcast WITHOUT a shuffle in its build side (hence the
+    row-local top-nprobe below instead of a window), and neither input may
+    be ``.cache()``d (the cache manager's plan substitution blocks
+    broadcast-reuse pruning).
     """
     corpus_id = index.corpus_id
     q = queries.select(
         F.col(query_id), F.col(vec_col or index.vec_col).alias("__qvec")
     )
-    # probe list: nprobe nearest centroids per query
+    # Probe list: nprobe nearest centroids per query, computed ROW-LOCAL —
+    # the centroid table folds to a one-row array (tiny: n_clusters rows),
+    # each query row sorts its own scores and explodes the top nprobe cells.
+    # Deliberately NOT a window: a window's hash exchange in this build side
+    # disqualifies the plan from dynamic partition pruning, which is what
+    # makes a cell-partitioned ``assigned`` table scan only the probed cell
+    # directories. Ordering matches the old window: (cent_sim desc, cell asc)
+    # via ascending sort on struct(-sim, cell).
+    cent_arr = index.centroids.agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("__cents")
+    )
+    scored_cells = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (-cosine(F.col("__qvec"), c["centroid"])).alias("negsim"),
+            c["cell"].alias("cell"),
+        ),
+    )
     q_cells = (
-        q.crossJoin(F.broadcast(index.centroids))
-        .select(
-            query_id,
-            "__qvec",
-            "cell",
-            cosine(F.col("__qvec"), F.col("centroid")).alias("cent_sim"),
-        )
-        .withColumn(
-            "cent_rank",
-            F.row_number().over(
-                Window.partitionBy(query_id).orderBy(F.col("cent_sim").desc(), F.col("cell"))
-            ),
-        )
-        .filter(F.col("cent_rank") <= nprobe)
-        .select(query_id, "__qvec", "cell")
+        q.crossJoin(F.broadcast(cent_arr))
+        .withColumn("__probe", F.slice(F.array_sort(scored_cells), 1, nprobe))
+        .select(query_id, "__qvec", F.explode(F.col("__probe.cell")).alias("cell"))
     )
 
-    scored = q_cells.join(index.assigned, "cell").select(
+    # Broadcast the probe list (nprobe rows per query, probe-batch-sized by
+    # contract — bounded at any corpus scale). Besides skipping a shuffle of
+    # the corpus side, the broadcast is what lets Spark's dynamic partition
+    # pruning reuse it: when ``index.assigned`` is stored partitioned by
+    # ``cell``, the scan prunes to exactly the probed cell directories
+    # (asserted behaviorally in tests/test_llm_ops.py by corrupting every
+    # non-probed cell's files and still getting the right answer).
+    scored = F.broadcast(q_cells).join(index.assigned, "cell").select(
         query_id,
         corpus_id,
         F.round(cosine(F.col("__arr"), F.col("__qvec")), 6).alias("cos_sim"),

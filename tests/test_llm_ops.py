@@ -263,3 +263,58 @@ def test_knn_join_self_plan_build_launches_no_jobs(emb, spark):
         assert len(sc.statusTracker().getJobIdsForGroup("knn-self-audit")) > 0
     finally:
         sc.setJobGroup(None, None)
+
+
+def test_ivf_partitioned_index_prunes_to_probed_cells(emb, spark, sf_dir, tmp_path):
+    """The 100 TB claim behind IvfIndex.assigned, demonstrated: write the
+    assignment table partitioned by cell, corrupt every file of every
+    NON-probed cell directory, and ivf_query still answers — proof (via
+    dynamic partition pruning off the broadcast probe list) that the query
+    reads only the nprobe probed cell directories. Also asserts the result
+    matches the unpartitioned index exactly."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from canvas_data_aws_spark.operators.similarity import (
+        IvfIndex,
+        ivf_index,
+        ivf_query,
+    )
+
+    idx = ivf_index(emb, n_clusters=8)
+    d = str(tmp_path / "ivf_assigned")
+    idx.assigned.write.partitionBy("cell").mode("overwrite").parquet(d)
+    on_disk = IvfIndex(idx.centroids, spark.read.parquet(d), idx.corpus_id, idx.vec_col)
+    # Cache must be cold for the pruning claim: Spark's cache manager
+    # substitutes InMemoryRelation into ANY matching plan (including a
+    # fresh load of the same parquet), and a cached probe side makes
+    # dynamic partition pruning degenerate to a full scan (verified:
+    # dynamicpruningexpression(true) in the AQE final plan when the `emb`
+    # fixture's cache is live). Production probe batches arrive uncached.
+    spark.catalog.clearCache()
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    expected = sorted(map(tuple, ivf_query(idx, queries, k=5, nprobe=2).collect()))
+
+    # probe set derived independently in test code from the tiny centroid table
+    cents = {r["cell"]: np.asarray(r["centroid"]) for r in idx.centroids.collect()}
+    probed: set[int] = set()
+    for r in queries.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        sims = {c: float(v @ (u / np.linalg.norm(u))) for c, u in cents.items()}
+        probed.update(sorted(sims, key=lambda c: (-sims[c], c))[:2])
+    assert len(probed) < len(cents), "fixture degenerated: every cell probed"
+
+    out = ivf_query(on_disk, queries, k=5, nprobe=2)
+    for cdir in glob.glob(os.path.join(d, "cell=*")):
+        if int(cdir.rsplit("=", 1)[1]) not in probed:
+            for f in glob.glob(os.path.join(cdir, "*.parquet")):
+                with open(f, "wb") as fh:
+                    fh.write(b"X" * os.path.getsize(f))  # unreadable if opened
+
+    got = sorted(map(tuple, out.collect()))
+    assert got == expected
