@@ -63,6 +63,55 @@ HEADLINE = [
 ]
 
 
+def _prebuilt_ann_entries(spark, sf_dir: str) -> dict:
+    """Steady-state ANN bench variants: the index is built AND persisted to
+    parquet here (untimed — that's the write-time cost a production run pays
+    once), so the timed body measures only the query path against the
+    on-disk index. The registry's sim_search_ivf/lsh entries keep the
+    one-shot (index+query fused) shape; these report what a serving user
+    actually waits for."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from canvas_data_aws_spark.operators.similarity import (
+        IvfIndex,
+        LshIndex,
+        ivf_index,
+        ivf_query,
+        lsh_index,
+        lsh_query,
+    )
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = tempfile.mkdtemp(prefix="cda_bench_idx_")
+
+    ivf = ivf_index(emb, n_clusters=16)
+    ivf.assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{base}/ivf_a")
+    ivf.centroids.write.mode("overwrite").parquet(f"{base}/ivf_c")
+    ivf_disk = IvfIndex(
+        spark.read.parquet(f"{base}/ivf_c"),
+        spark.read.parquet(f"{base}/ivf_a"),
+        "vec_id",
+        "embedding",
+    )
+
+    lsh = lsh_index(emb, n_tables=32, bits_per_table=6, dim=64)
+    lsh.entries.write.mode("overwrite").parquet(f"{base}/lsh_e")
+    lsh_disk = LshIndex(
+        spark.read.parquet(f"{base}/lsh_e"), lsh.planes, 32, 6, "vec_id", "embedding"
+    )
+
+    return {
+        "sim_search_ivf_prebuilt": lambda s, d: ivf_query(ivf_disk, queries, k=10, nprobe=4),
+        "sim_search_lsh_prebuilt": lambda s, d: lsh_query(lsh_disk, emb, queries, k=10),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -81,8 +130,9 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
-    for name in names:
-        fn = registry[name].fn
+    to_time = [(name, registry[name].fn) for name in names]
+    to_time += sorted(_prebuilt_ann_entries(spark, sf_dir).items())
+    for name, fn in to_time:
         reps = []
         for _rep in range(3):  # median-of-3: robust to contention spikes
             t0 = time.perf_counter()

@@ -163,3 +163,35 @@ def test_triangle_count_reuses_edge_exchange(registry, spark, sf_dir):
     df.collect()  # ReuseExchange lands in the AQE-finalized plan
     final = explain_str(df, mode="simple")
     assert has_operator(final, "ReusedExchange"), final[:3000]
+
+
+def test_stratified_sample_is_one_scan_one_exchange(registry, spark, sf_dir):
+    """Stratified sampling = one documents scan + one hash exchange on the
+    stratum key feeding the per-stratum window; the scan must prune to the
+    two output columns. A second scan or exchange would double the cost of
+    a 100 TB sampling pass."""
+    plan = _plan(registry, spark, sf_dir, "corpus_sample_stratified")
+    simple = explain_str(
+        registry["corpus_sample_stratified"].fn(spark, sf_dir), mode="simple"
+    )
+    assert simple.count("FileScan parquet") == 1, simple[:2000]
+    n = simple.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 stratum exchange, saw {n}: " + simple[:2000]
+    cols = read_schema_columns(plan)
+    assert "text" not in cols and "n_chars" not in cols, f"scan reads too much: {cols}"
+
+
+def test_dq_expectations_single_scan_partial_agg(registry, spark, sf_dir):
+    """The whole expectation suite must cost ONE lineitem scan with map-side
+    partial aggregation — rule count never multiplies scans."""
+    simple = explain_str(registry["dq_expectations"].fn(spark, sf_dir), mode="simple")
+    assert simple.count("FileScan parquet") == 1, simple[:2000]
+    assert simple.count("HashAggregate") >= 2, "no partial/final agg pair: " + simple[:2000]
+
+
+def test_dq_fk_integrity_is_anti_joins(registry, spark, sf_dir):
+    """Each FK check is a LeftAnti join feeding a count — three anti-joins,
+    no cartesian product, and no row-level result shipping."""
+    simple = explain_str(registry["dq_fk_integrity"].fn(spark, sf_dir), mode="simple")
+    assert simple.count("LeftAnti") == 3, simple[:3000]
+    assert "CartesianProduct" not in simple, simple[:3000]
