@@ -245,3 +245,55 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bidir = eda.unionAll(eda.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     ranks = pagerank(bidir, iterations=5)
     return ranks.select("id", F.round("rank", 4).alias("rank"))
+
+
+@register(
+    "dedup_collapse_best",
+    _EDGE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , bidir AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    walk(v, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT b.dst, w.lab FROM walk w JOIN bidir b ON b.src = w.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(lab) AS component FROM walk GROUP BY v)
+    SELECT doc_id, component, n_in_cluster FROM (
+      SELECT d.doc_id, c.component,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_in_cluster,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rk
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ) WHERE rk = 1
+    """,
+    doc="Duplicate-cluster COLLAPSE — the step dedup pipelines actually ship: "
+    "near-dup clusters (connected components over the exact-Jaccard pair "
+    "graph) reduced to ONE survivor each, chosen deterministically by "
+    "(n_chars desc, doc_id asc), with the cluster size kept for provenance. "
+    "Scale shape: the survivor pick is one window over (component) — "
+    "cluster sizes are bounded by the dedup threshold, so no partition is "
+    "hot — and singleton docs pass through the same path untouched. The "
+    "oracle re-derives components via a recursive CTE and applies the same "
+    "window, value-checking the full cluster->survivor pipeline.",
+    tags=("llm", "iterative"),
+)
+def dedup_collapse_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, k=3, threshold=0.2).select("id_a", "id_b")
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id"
+    ).select(F.col("id").alias("doc_id"), "component")
+    scored = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component")
+    wr = w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("n_in_cluster", F.count("*").over(w))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "component", "n_in_cluster")
+    )

@@ -336,3 +336,52 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_scored"),
         F.sum(F.when(is_outlier, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
     )
+
+
+@register(
+    "events_top_paths",
+    """
+    WITH paths AS (
+      SELECT user_id,
+             STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM (
+        SELECT user_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn <= 5
+      GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+    doc="Top-20 entry paths (first 5 events per user, ordered, joined with "
+    "'>'): the product-analytics 'common journeys' query. One user_id "
+    "exchange feeds BOTH the per-user window and the path assembly "
+    "(sort_array over collect_list keeps ordering engine-portable, with "
+    "event_id as the deterministic tie-break within equal timestamps); the "
+    "path-frequency agg partially combines map-side and the final top-k "
+    "fuses to TakeOrderedAndProject — no global sort of the path table.",
+    tags=("events",),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    paths = first5.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )

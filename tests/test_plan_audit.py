@@ -195,3 +195,15 @@ def test_dq_fk_integrity_is_anti_joins(registry, spark, sf_dir):
     simple = explain_str(registry["dq_fk_integrity"].fn(spark, sf_dir), mode="simple")
     assert simple.count("LeftAnti") == 3, simple[:3000]
     assert "CartesianProduct" not in simple, simple[:3000]
+
+
+def test_top_paths_one_user_exchange_topk_fused(registry, spark, sf_dir):
+    """events_top_paths: the per-user window and the path assembly share ONE
+    user_id exchange (a second would re-shuffle the event log); the path
+    frequency agg adds one more; the final top-20 must fuse to
+    TakeOrderedAndProject, never a global sort."""
+    simple = explain_str(registry["events_top_paths"].fn(spark, sf_dir), mode="simple")
+    n = simple.count("Exchange hashpartitioning")
+    assert n == 2, f"expected 2 exchanges (user_id + path), saw {n}: " + simple[:2000]
+    assert has_operator(simple, "TakeOrderedAndProject"), simple[:2000]
+    assert "Exchange rangepartitioning" not in simple, "top-k fell back to global sort"
