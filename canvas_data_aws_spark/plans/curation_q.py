@@ -300,3 +300,57 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(chunk).alias("chunk_md5"),
         F.length(chunk).cast("int").alias("chunk_len"),
     )
+
+
+@register(
+    "corpus_repeated_passages",
+    "WITH "
+    + _SHINGLES_CTE.format(km1=2)
+    + """
+    , ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+      FROM sh WHERE len(shingles) > 0
+    ),
+    dfq AS (SELECT shingle, COUNT(*) AS dfreq FROM ex GROUP BY shingle)
+    SELECT e.doc_id,
+           CAST(ANY_VALUE(e.n_sh) AS INT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.dfreq >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           ROUND(SUM(CASE WHEN d.dfreq >= 3 THEN 1 ELSE 0 END)::DOUBLE
+                 / ANY_VALUE(e.n_sh), 4) AS common_frac
+    FROM ex e JOIN dfq d USING (shingle)
+    GROUP BY e.doc_id
+    """,
+    doc="Repeated-passage coverage: for every document, the fraction of its "
+    "3-word shingles that occur in >= 3 distinct documents — the "
+    "boilerplate / template-contamination signal used to drop "
+    "mostly-duplicated pages that exact and near-dup dedup both miss "
+    "(navigation chrome, license headers, mirrored passages). Shape: "
+    "shingles are distinct-per-doc so the doc-frequency agg is one "
+    "exchange on the shingle key with map-side partial counts; the "
+    "frequency join is the same inverted-index equi-join as "
+    "dedup_ngram_jaccard (never all-pairs), and the per-doc rollup is one "
+    "doc_id exchange. The doc-frequency table is vocabulary-sized — no "
+    "broadcast hint; AQE decides at runtime.",
+    tags=("llm", "curation"),
+)
+def corpus_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = sh.filter(F.col("n_sh") > 0).select(
+        "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+    )
+    dfq = ex.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    common = F.sum(F.when(F.col("dfreq") >= 3, 1).otherwise(0))
+    return (
+        ex.join(dfq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_sh").cast("int").alias("n_shingles"),
+            common.cast("bigint").alias("n_common"),
+            F.round(common / F.first("n_sh"), 4).alias("common_frac"),
+        )
+    )

@@ -541,3 +541,160 @@ def embed_normalize_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q8"),
         )
     )
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs (DuckDB list ops): the
+    same deterministic init (k lowest vec_id), assignment (min squared
+    distance, ties to the lower cluster id) and element-wise-mean update as
+    the Spark path, so the final partition is value-comparable."""
+    parts = [
+        f"""c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             embedding AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT {k}
+    )"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.embedding::DOUBLE[],
+                                        c.centroid::DOUBLE[]), c.cluster
+               ) AS rk
+        FROM embeddings e CROSS JOIN {prev} c
+      ) WHERE rk = 1
+    )"""
+        )
+        parts.append(
+            f"""c{i} AS (
+      SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
+        SELECT q.cluster, q.pos, AVG(q.val) AS m FROM (
+          SELECT a2.cluster, unnest(e.embedding::DOUBLE[]) AS val,
+                 generate_subscripts(e.embedding, 1) AS pos
+          FROM a{i} a2 JOIN embeddings e USING (vec_id)
+        ) q GROUP BY q.cluster, q.pos
+      ) GROUP BY cluster
+    )"""
+        )
+        prev = f"c{i}"
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT a.cluster, COUNT(*) AS n_vecs,
+           ROUND(sqrt(list_aggregate(
+             list_transform(c.centroid, x -> x*x), 'sum')), 4) AS centroid_norm
+    FROM a{iters} a JOIN c{iters} c USING (cluster)
+    GROUP BY a.cluster, c.centroid
+    """
+    )
+
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+@register(
+    "embed_kmeans",
+    _kmeans_oracle_sql(_KMEANS_K, _KMEANS_ITERS),
+    doc="Distributed Lloyd's k-means over the embedding corpus — the "
+    "clustering primitive behind IVF index builds, corpus topic bucketing "
+    "and diversity sampling. Centroids are DRIVER state (k x dim doubles, "
+    "bounded by the algorithm constant k — the MLlib/production layout), "
+    "so each iteration is: (1) a row-local assignment against a centroid "
+    "literal array (squared-L2 via JVM zip_with/aggregate, argmin via "
+    "array_position, ties to the lower cluster id — zero shuffle, zero "
+    "join), then (2) one element-wise-mean update: posexplode to "
+    "(cluster, pos, val) where partial map-side aggregation combines each "
+    "partition down to k*dim rows BEFORE the exchange, so the shuffle is "
+    "O(k * dim * partitions) regardless of corpus size, and only k*dim "
+    "averaged doubles ever reach the driver. Init is deterministic (the k "
+    "lowest vec_id vectors); the oracle unrolls the same three iterations "
+    "as chained CTEs, value-checking sizes and centroid norms.",
+    tags=("llm", "similarity", "iterative"),
+)
+def embed_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("__v")
+    )
+    # Deterministic init: k lowest-id vectors. A bounded driver collect of
+    # exactly k rows (k is an algorithm constant, not data-sized).
+    centroids = [
+        (int(r["vec_id"]), list(r["__v"]))
+        for r in emb.orderBy("vec_id").limit(_KMEANS_K).collect()
+    ]
+    ids = list(range(len(centroids)))
+    cents = [c for _, c in centroids]
+
+    def assign(id_list: list[int], cent_list: list[list[float]]) -> DataFrame:
+        cents_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cent_list]
+        )
+        ids_lit = F.array(*[F.lit(int(i)) for i in id_list])
+        dists = F.transform(
+            cents_lit,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("__v"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # array_position finds the FIRST minimum -> ties break to the lower
+        # cluster id, matching the oracle's ORDER BY (dist, cluster).
+        idx = F.array_position(dists, F.array_min(dists)).cast("int")
+        return emb.withColumn("cluster", F.element_at(ids_lit, idx))
+
+    def update(assigned: DataFrame) -> tuple[list[int], list[list[float]]]:
+        # Element-wise mean per cluster: partial agg combines map-side, the
+        # exchange carries only k*dim rows per input partition, and the
+        # driver receives exactly k*dim averaged values.
+        rows = (
+            assigned.select("cluster", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        new_ids = sorted(by_cluster)
+        new_cents = [
+            [by_cluster[i][p] for p in sorted(by_cluster[i])] for i in new_ids
+        ]
+        return new_ids, new_cents
+
+    # Oracle alignment: the reported partition is the ITERS-th assignment
+    # (made against the (ITERS-1)-th centroids); the reported centroids are
+    # the means OF that assignment.
+    assigned = assign(ids, cents)
+    for _ in range(_KMEANS_ITERS - 1):
+        ids, cents = update(assigned)
+        assigned = assign(ids, cents)
+    ids, cents = update(assigned)
+    # Final partition sizes ride one hash agg; the centroid norm is computed
+    # driver-side from the k bounded centroids and attached via a map
+    # literal — no join, no extra job.
+    norm_map = F.create_map(
+        *[
+            lit
+            for i, c in zip(ids, cents)
+            for lit in (
+                F.lit(int(i)),
+                F.lit(round(sum(x * x for x in c) ** 0.5, 4)),
+            )
+        ]
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n_vecs"))
+        .select(
+            "cluster",
+            "n_vecs",
+            F.element_at(norm_map, F.col("cluster")).alias("centroid_norm"),
+        )
+    )

@@ -96,3 +96,40 @@ def dq_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("orphan_customers"))
     )
     return orphan_li.crossJoin(orphan_o).crossJoin(orphan_c)
+
+
+@register(
+    "dq_skew_profile",
+    """
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_per_key,
+           ROUND(quantile_cont(n, 0.5), 2) AS p50_per_key,
+           ROUND(quantile_cont(n, 0.99), 2) AS p99_per_key,
+           ROUND(MAX(n) / AVG(n), 4) AS skew_ratio
+    FROM per_key
+    """,
+    doc="Key-distribution (skew) profile of the events log's shuffle key — "
+    "the diagnostic run BEFORE choosing a partition/salting strategy: key "
+    "count, max and p50/p99 rows-per-key, and max/mean skew ratio. Shape: "
+    "one partially-aggregated count per key, then one single-row summary "
+    "agg; the per-key table is the only exchange and the profile itself "
+    "never leaves the executors until the final row. A skew_ratio >> 1 "
+    "says the key needs salting (see join_salted_hot_key) before a 100 TB "
+    "join/groupBy on it.",
+    tags=("quality",),
+)
+def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    per_key = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_per_key"),
+        F.round(F.expr("percentile(n, 0.5)"), 2).alias("p50_per_key"),
+        F.round(F.expr("percentile(n, 0.99)"), 2).alias("p99_per_key"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+    )

@@ -161,3 +161,55 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |E| = total out-degree — rides the adjacency table, no extra edge scan.
     n_edges = adj.agg(F.sum(F.size("nbrs")).cast("bigint").alias("n_edges"))
     return n_edges.crossJoin(tri)
+
+
+@register(
+    "table_incremental_agg",
+    """
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="Incremental materialized-view maintenance: a per-customer order "
+    "aggregate kept as STATE (orders before the cutoff) merged with a "
+    "DELTA batch (orders on/after the cutoff) by combining partial "
+    "aggregates — count adds, sum adds — in one full-outer join on the "
+    "group key. This is the 100 TB pattern for keeping rollups fresh: the "
+    "daily delta is orders-of-magnitude smaller than the state, so the "
+    "merge costs one delta-sized shuffle plus a co-partitioned state read "
+    "(at rest the state table is bucketed on the key; AQE broadcasts a "
+    "genuinely small delta). Both input filters push to the parquet scan. "
+    "The oracle is the full recompute over all orders — proving "
+    "partial-aggregate merge equals recomputation.",
+    tags=("warehouse",),
+)
+def table_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "2000-01-01"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    state = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_s"), F.sum("o_totalprice").alias("sp_s"))
+    )
+    delta = (
+        o.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_d"), F.sum("o_totalprice").alias("sp_d"))
+    )
+    merged = state.join(
+        delta.withColumnRenamed("o_custkey", "d_custkey"),
+        F.col("o_custkey") == F.col("d_custkey"),
+        "full_outer",
+    )
+    return merged.select(
+        F.coalesce("o_custkey", "d_custkey").alias("o_custkey"),
+        (F.coalesce("n_s", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
+        F.round(
+            F.coalesce("sp_s", F.lit(0.0)) + F.coalesce("sp_d", F.lit(0.0)), 2
+        ).alias("total_spend"),
+    )
