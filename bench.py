@@ -60,6 +60,10 @@ HEADLINE = [
     "table_merge_upsert",
     "corpus_tfidf_top_terms",
     "graph_triangle_count",
+    # round 5: iterative clustering + passage-level dedup + MV maintenance
+    "embed_kmeans",
+    "corpus_repeated_passages",
+    "table_incremental_agg",
 ]
 
 

