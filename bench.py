@@ -64,6 +64,8 @@ HEADLINE = [
     "embed_kmeans",
     "corpus_repeated_passages",
     "table_incremental_agg",
+    "sim_search_quantized",
+    "corpus_curation_funnel",
 ]
 
 

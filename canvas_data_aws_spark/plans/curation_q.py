@@ -354,3 +354,109 @@ def corpus_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         common.cast("bigint").alias("n_common"),
         F.round(common / F.first("n_sh"), 4).alias("common_frac"),
     )
+
+
+@register(
+    "corpus_curation_funnel",
+    "WITH "
+    + _SHINGLES_CTE.format(km1=7)
+    + r"""
+    , norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+               FROM documents),
+    surv AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY nt),
+    f AS (
+      SELECT doc_id,
+             LENGTH(text) AS n_chars,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+             len(regexp_extract_all(lower(text), '\b(?:the|and|of)\b')) AS n_stop
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             (n_chars BETWEEN 100 AND 1000000)
+             AND (ROUND((n_chars - n_tokens + 1) / n_tokens, 6) BETWEEN 3.0 AND 10.0)
+             AND (ROUND(n_punct / GREATEST(n_chars, 1), 6) <= 0.2)
+             AND (ROUND(n_stop / GREATEST(n_tokens, 1), 6) >= 0.01) AS keep
+      FROM f
+    ),
+    ev AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 <> 0),
+    hits AS (SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tr
+             JOIN ev USING (shingle) GROUP BY tr.doc_id),
+    flags AS (
+      SELECT d.doc_id,
+             s.doc_id IS NOT NULL AS is_exact,
+             COALESCE(r.keep, FALSE) AS passes_q,
+             d.doc_id % 20 <> 0 AS is_train,
+             COALESCE(h.n, 0) >= 1 AS contaminated
+      FROM documents d
+      LEFT JOIN surv s ON s.doc_id = d.doc_id
+      LEFT JOIN r ON r.doc_id = d.doc_id
+      LEFT JOIN hits h ON h.doc_id = d.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN is_exact AND passes_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN is_exact AND passes_q AND is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN is_exact AND passes_q AND is_train AND NOT contaminated
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM flags
+    """,
+    doc="End-to-end curation funnel — the accountable one-row report a "
+    "training-data pipeline publishes per snapshot: raw docs -> exact-dedup "
+    "survivors (min doc_id per normalized-text group) -> quality-rule "
+    "passers -> train-slice members -> eval-decontaminated. Each stage "
+    "reuses the exact operator semantics of dedup_exact, "
+    "corpus_quality_filter and corpus_decontaminate; the stages compose as "
+    "per-doc boolean flags joined on doc_id, and the whole funnel "
+    "aggregates to ONE row with map-side partial conditional sums — so the "
+    "100 TB cost is the three underlying passes plus doc_id-keyed flag "
+    "joins, never a per-stage rescan of text. The eval shingle universe "
+    "stays bounded (eval suites are tiny); the exact-dedup and quality "
+    "flags are one scan each.",
+    tags=("llm", "curation"),
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = dedup_exact(docs).select(
+        F.col("kept_id").alias("doc_id"), F.lit(True).alias("is_exact")
+    )
+    q = quality_filter(docs.select("doc_id", "text"), min_stop_ratio=0.01).select(
+        "doc_id", F.col("keep").alias("passes_q")
+    )
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    cont = decontaminate(train, eval_df, k=8, min_hits=1).select(
+        "doc_id", "contaminated"
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(surv, "doc_id", "left")
+        .join(q, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            F.coalesce("is_exact", F.lit(False)).alias("is_exact"),
+            F.coalesce("passes_q", F.lit(False)).alias("passes_q"),
+            (F.col("doc_id") % 20 != 0).alias("is_train"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+    def cnt(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    e, p, t, c = (
+        F.col("is_exact"),
+        F.col("passes_q"),
+        F.col("is_train"),
+        F.col("contaminated"),
+    )
+    return flags.agg(
+        F.count("*").alias("n_raw"),
+        cnt(e).alias("n_exact"),
+        cnt(e & p).alias("n_quality"),
+        cnt(e & p & t).alias("n_train"),
+        cnt(e & p & t & ~c).alias("n_clean"),
+    )

@@ -698,3 +698,77 @@ def embed_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(norm_map, F.col("cluster")).alias("centroid_norm"),
         )
     )
+
+
+@register(
+    "sim_search_quantized",
+    """
+    WITH normed AS (
+      SELECT vec_id,
+             sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                x -> x * x), 'sum')) AS l2_norm,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(ROUND(x / l2_norm * 127) AS INT)) AS qv
+      FROM normed
+    ),
+    probes AS (SELECT vec_id AS query_id, qv AS pv FROM q8 WHERE vec_id < 5),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             CAST(list_dot_product(c.qv, p.pv) AS BIGINT) AS score_q8
+      FROM q8 c CROSS JOIN probes p
+    )
+    SELECT query_id, vec_id, score_q8, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, vec_id, score_q8,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_q8 DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="Quantized (int8) brute-force top-10 — the asymmetric-distance scan "
+    "over compressed vectors that serves ANN rescoring at 100 TB: corpus "
+    "and probes are unit-normalized and symmetric-int8 quantized row-local "
+    "(embed_normalize_quantize's formula), so the scan reads 4x fewer "
+    "bytes and the score is an INTEGER dot product (exact arithmetic — "
+    "which is why this has a full value oracle while the float ANN paths "
+    "are rows-only). Probe batch is bounded by construction (5 vectors) — "
+    "the broadcast hint is size-justified; one corpus scan, per-query "
+    "top-k window. Ranking by int8 dot approximates cosine ranking with "
+    "quantization error <= 1/254 per component.",
+    tags=("llm", "similarity"),
+)
+def sim_search_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    q8 = emb.select(
+        "vec_id",
+        F.transform(v, lambda x: F.round(x / norm * 127, 0).cast("int")).alias(
+            "qv"
+        ),
+    )
+    probes = q8.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("pv")
+    )
+    scored = q8.crossJoin(F.broadcast(probes)).select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.zip_with("qv", "pv", lambda x, y: (x * y).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("score_q8"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q8").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "score_q8", F.col("rank").cast("int").alias("rank"))
+    )

@@ -225,3 +225,17 @@ def test_repeated_passages_one_shingle_exchange(registry, spark, sf_dir):
     n = simple.count("Exchange hashpartitioning")
     assert n == 2, f"expected 2 exchanges (shingle + doc_id), saw {n}: " + simple[:2000]
     assert simple.count("FileScan parquet") == 1, simple[:2000]
+
+
+def test_quantized_scan_broadcasts_probes_single_scan(registry, spark, sf_dir):
+    """sim_search_quantized: the bounded probe batch must broadcast (a
+    shuffle there repartitions the whole quantized corpus) and the corpus
+    must be scanned exactly once — quantization is row-local, so the only
+    exchange is the per-query top-k window's."""
+    simple = explain_str(
+        registry["sim_search_quantized"].fn(spark, sf_dir), mode="simple"
+    )
+    assert has_operator(simple, "BroadcastNestedLoopJoin") or has_operator(
+        simple, "BroadcastHashJoin"
+    ), simple[:2000]
+    assert simple.count("FileScan parquet") <= 2, simple[:2000]
