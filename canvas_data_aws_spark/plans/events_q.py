@@ -385,3 +385,60 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(20)
     )
+
+
+@register(
+    "events_dau_wau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    days AS (SELECT DISTINCT day FROM ud),
+    wau AS (
+      SELECT dy.day, COUNT(DISTINCT ud.user_id) AS wau
+      FROM days dy JOIN ud ON ud.day BETWEEN dy.day - 6 AND dy.day
+      GROUP BY dy.day
+    )
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           ROUND(d.dau / CAST(w.wau AS DOUBLE), 4) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+    doc="DAU / trailing-7-day WAU / stickiness per active day — the "
+    "engagement rollup every product-analytics stack ships. Exact rolling "
+    "DISTINCT does not window (distinct state is not mergeable across "
+    "frame slides), so the scale shape is: (1) dedupe to (user, day) — one "
+    "exchange, map-side partial — then (2) each (user, day) row CONTRIBUTES "
+    "row-locally to the 7 window-days it falls in (explode of a 7-element "
+    "date sequence — fan-out bounded by the window length, not the data) "
+    "and (3) one count-distinct per window-day. The join back to DAU keeps "
+    "only observed days. At 100 TB the (user, day) table is ~3 orders "
+    "smaller than the event log, and approx paths (HLL sketch union — see "
+    "agg_approx_count_distinct) swap in when exactness is negotiable.",
+    tags=("events",),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(F.col("dau") / F.col("wau").cast("double"), 4).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -402,3 +402,37 @@ def scan_tsv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(
         "id", "v", F.col("_corrupt").isNotNull().cast("int").alias("is_corrupt")
     )
+
+
+@register(
+    "scan_schema_evolution",
+    """
+    SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    doc="Schema evolution across snapshots — the lakehouse reality the "
+    "reference's daily re-registration sidesteps (it rewrites the Glue "
+    "DDL wholesale each sync): an old snapshot written WITHOUT a column "
+    "and a new snapshot WITH it are read back as one dataset via "
+    "mergeSchema, absent columns null-filled. At 100 TB, footer-level "
+    "schema merge is the cheap path (no data rewrite on column add — "
+    "metadata only); the oracle pins the widened-schema semantics "
+    "(old rows carry NULL, new rows carry values).",
+    tags=("relational",),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = os.path.join(tempfile.gettempdir(), f"cda_evo_{_sf_tag(sf_dir)}")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "snap=1"))
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(os.path.join(base, "snap=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "snap=1"), os.path.join(base, "snap=2")
+    )
+    return back.select("doc_id", "lang", F.col("n_chars").cast("bigint"))
