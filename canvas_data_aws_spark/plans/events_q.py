@@ -442,3 +442,56 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_path_markov",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 4)
+             AS p_transition
+    FROM trans
+    """,
+    doc="First-order Markov transition matrix over user event streams: "
+    "within-user consecutive event pairs (lead over one user_id-partitioned "
+    "window, event_id tie-break) counted into (from, to) transitions with "
+    "row-normalized probabilities — the 'where do users go next' model "
+    "behind funnel discovery. Shape: ONE user_id exchange for the lead "
+    "window, one transition agg (map-side partial — the exchange carries "
+    "at most |event_type|^2 partial rows per partition), and the "
+    "normalizing sum is a window over the transition matrix itself, which "
+    "is event-type-cardinality sized — tiny at any data scale.",
+    tags=("events",),
+)
+def events_path_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wn = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(F.col("n") / F.sum("n").over(wn).cast("double"), 4).alias(
+            "p_transition"
+        ),
+    )

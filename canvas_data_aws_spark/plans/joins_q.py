@@ -316,3 +316,45 @@ def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("asof_orderkey"),
         F.col("o_orderdate").alias("asof_orderdate"),
     )
+
+
+@register(
+    "join_null_safe_equi",
+    """
+    WITH l AS (
+      SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, COUNT(*) AS n_docs
+      FROM (SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang
+            FROM documents)
+      GROUP BY lang
+    )
+    SELECT l.doc_id, l.lang, r.n_docs
+    FROM l JOIN r ON l.lang IS NOT DISTINCT FROM r.lang
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH "
+    "each other instead of silently dropping — the semantics a sync diff "
+    "needs when a nullable column is part of the key. Stays a hash join "
+    "(EqualNullSafe is a valid hash key: NULL hashes to a bucket like any "
+    "value), so the plan is identical in shape to join_sortmerge_equi — "
+    "no fallback to BNLJ. The NULL bucket is also the canonical skew "
+    "hazard: at 100 TB a mostly-null key column funnels to one partition, "
+    "which is exactly what join_salted_hot_key's salting fixes.",
+    tags=("joins",),
+)
+def join_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    null_lang = F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+        F.col("lang")
+    )
+    left = docs.select("doc_id", null_lang.alias("lang"))
+    right = (
+        docs.select(null_lang.alias("rlang"))
+        .groupBy("rlang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return left.join(right, left.lang.eqNullSafe(right.rlang)).select(
+        "doc_id", "lang", "n_docs"
+    )
