@@ -460,3 +460,55 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(e & p & t).alias("n_train"),
         cnt(e & p & t & ~c).alias("n_clean"),
     )
+
+
+@register(
+    "corpus_unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+      WHERE LENGTH(trim(text)) > 0
+    ),
+    freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(n) AS total FROM freq)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-ln(f.n / tot.total)), 4) AS avg_neg_logprob
+    FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    doc="Unigram-LM scoring — the cheap 'perplexity' proxy quality "
+    "pipelines use to rank documents before an expensive model pass: "
+    "corpus-wide unigram frequencies (one token-key exchange, map-side "
+    "partial counts), each document scored by its mean negative "
+    "log-probability under that LM. High scores = rare-token-heavy docs "
+    "(gibberish, codes, OCR noise); low = templated/common text. The "
+    "frequency table is vocabulary-sized — joined on the token key with "
+    "NO broadcast hint (unbounded on raw web text; AQE decides), and the "
+    "grand-total is a one-row crossJoin. Per-doc rollup is one doc_id "
+    "exchange.",
+    tags=("llm", "curation"),
+)
+def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("n") / F.col("total"))), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )

@@ -495,3 +495,77 @@ def events_path_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+@register(
+    "events_attribution",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             FIRST_VALUE(CASE WHEN event_type IN ('view','click')
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+             LAST_VALUE(CASE WHEN event_type IN ('view','click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+             LAST_VALUE(CASE WHEN event_type IN ('view','click')
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch_ts
+      FROM events
+    )
+    SELECT first_touch, last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(AVG(epoch_us(ts) - epoch_us(last_touch_ts)) / 1000000.0, 2)
+             AS avg_s_from_last_touch
+    FROM marked
+    WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+    GROUP BY first_touch, last_touch
+    """,
+    doc="Marketing attribution: every purchase credited to the user's FIRST "
+    "and LAST preceding touch (view/click), rolled up into a (first, last) "
+    "attribution matrix with mean seconds-from-last-touch. Shape: ONE "
+    "user_id exchange carries all three running windows (first/last touch "
+    "type + last touch time share a frame over the same sort), then one "
+    "tiny matrix agg (|touch_types|^2 rows) with map-side partials — the "
+    "same single-shuffle discipline as events_sessionize; no self-join of "
+    "the event log against itself (the naive formulation at 100 TB).",
+    tags=("events",),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    touch_type = F.when(is_touch, F.col("event_type"))
+    touch_ts = F.when(is_touch, F.col("ts"))
+    marked = e.select(
+        "event_type",
+        "ts",
+        F.first(touch_type, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch_type, ignorenulls=True).over(w).alias("last_touch"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("last_touch_ts"),
+    )
+    return (
+        marked.filter(
+            (F.col("event_type") == "purchase") & F.col("last_touch").isNotNull()
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            F.round(
+                F.avg(
+                    F.unix_micros("ts") - F.unix_micros("last_touch_ts")
+                )
+                / 1000000.0,
+                2,
+            ).alias("avg_s_from_last_touch"),
+        )
+    )
