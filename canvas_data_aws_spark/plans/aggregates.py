@@ -264,3 +264,32 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderpriority", F.struct("n", "o_orderpriority")).alias("mode_priority"),
         F.max("n").cast("bigint").alias("mode_count"),
     )
+
+
+@register(
+    "agg_linear_fit",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, epoch_us(ts) / 3600000000.0), 5) AS slope_per_hour,
+           ROUND(regr_intercept(value, epoch_us(ts) / 3600000000.0), 4) AS intercept,
+           ROUND(corr(value, epoch_us(ts) / 3600000000.0), 5) AS r
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Per-group OLS trend (value vs. time-in-hours) via the closed-form "
+    "regression AGGREGATES (regr_slope / regr_intercept / corr) — trend "
+    "detection as one scan with map-side partial moments (sum, sum-sq, "
+    "cross-product), never a per-group model fit or driver loop. The "
+    "moments merge associatively, so the same query incrementalizes the "
+    "way table_incremental_agg does.",
+)
+def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / 3.6e9
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.regr_slope("value", x), 5).alias("slope_per_hour"),
+        F.round(F.regr_intercept("value", x), 4).alias("intercept"),
+        F.round(F.corr("value", x), 5).alias("r"),
+    )

@@ -98,3 +98,32 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("maybe").cast("bigint")).cast("bigint").alias("n_maybe"),
         F.count(F.lit(1)).alias("n_probed"),
     )
+
+
+@register(
+    "sketch_hll_partitioned",
+    None,  # HLL register contents are implementation-specific — rows-only;
+    # the <=5% relative-error bound is asserted in tests/test_sketches.py
+    doc="Mergeable HLL distinct-count maintenance — the incremental pattern "
+    "exact COUNT(DISTINCT) cannot do: one HLL sketch per day (hll_sketch_agg, "
+    "map-side mergeable), then weekly distincts by UNIONING the daily "
+    "sketches (hll_union_agg) — never re-touching the event log. At 100 TB "
+    "this is the difference between re-scanning history per report and "
+    "merging KB-sized sketches: daily sketches persist as a tiny state "
+    "table, any rollup window (week, month, trailing-28d) is a merge over "
+    "it. Estimate error is ~1.6% at the default lgConfigK=12.",
+    tags=("sketch",),
+)
+def sketch_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    )
+    daily = e.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week")
+    ).agg(F.hll_union_agg("sk").alias("wsk"), F.count("*").alias("n_days"))
+    return weekly.select(
+        "week",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate("wsk").cast("bigint").alias("est_weekly_users"),
+    )

@@ -34,3 +34,30 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     if non_members > 0:
         fp_rate = (n_maybe - n_members) / non_members
         assert fp_rate < 0.1, f"false-positive rate {fp_rate:.2%}"
+
+
+def test_hll_weekly_union_within_error_bound(spark, sf_dir):
+    """sketch_hll_partitioned: the weekly estimate from UNIONED daily
+    sketches must land within 5% of the exact weekly distinct count (HLL
+    default lgConfigK=12 gives ~1.6% standard error), proving daily
+    sketches are a valid incremental state for any rollup window."""
+    import pyspark.sql.functions as F
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    est = {
+        r["week"]: r["est_weekly_users"]
+        for r in all_queries()["sketch_hll_partitioned"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", "ts").cast("date").alias("week"), "user_id"
+    )
+    exact = {
+        r["week"]: r["n"]
+        for r in e.groupBy("week").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for wk, n in exact.items():
+        rel = abs(est[wk] - n) / max(n, 1)
+        assert rel <= 0.05, f"week {wk}: est {est[wk]} vs exact {n} ({rel:.2%})"
