@@ -139,3 +139,38 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "win_ntile_buckets",
+    """
+    WITH t AS (
+      SELECT o_orderstatus, o_totalprice,
+             NTILE(10) OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT o_orderstatus, CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS decile_min,
+           ROUND(MAX(o_totalprice), 2) AS decile_max
+    FROM t GROUP BY o_orderstatus, decile
+    """,
+    doc="Decile bucketing per status (NTILE) rolled into decile boundary "
+    "stats — the spend-band segmentation query. One exchange on the "
+    "partition key feeds both the ntile and the rollup (deterministic "
+    "order via the o_orderkey tie-break); NTILE at 100 TB needs only the "
+    "per-partition ordering, never a global sort.",
+)
+def win_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("o_orderstatus", F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("decile_min"),
+            F.round(F.max("o_totalprice"), 2).alias("decile_max"),
+        )
+    )
