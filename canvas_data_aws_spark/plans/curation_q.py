@@ -512,3 +512,47 @@ def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "corpus_cross_dedup",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    state AS (SELECT nt FROM norm WHERE doc_id % 10 < 8),
+    delta AS (SELECT doc_id, nt FROM norm WHERE doc_id % 10 >= 8),
+    fresh AS (
+      SELECT d.doc_id, d.nt FROM delta d
+      WHERE NOT EXISTS (SELECT 1 FROM state s WHERE s.nt = d.nt)
+    )
+    SELECT MIN(doc_id) AS kept_id, CAST(COUNT(*) AS BIGINT) AS n_copies_in_delta
+    FROM fresh GROUP BY nt
+    """,
+    doc="Incremental (cross-snapshot) dedup — the shape a daily ingest "
+    "actually runs: the DELTA batch is deduped AGAINST THE EXISTING STATE "
+    "(anti-join of normalized-text hashes: delta docs whose content the "
+    "corpus already holds are dropped without touching state), then "
+    "exact-deduped within itself (min-id per group). At 100 TB the state "
+    "side is a persisted (hash)-bucketed table, so the anti-join "
+    "co-locates and the daily cost scales with the delta, not the corpus; "
+    "only hashes cross the exchange, never text. Within-delta dedup is "
+    "one delta-sized hash agg.",
+    tags=("llm", "curation"),
+)
+def corpus_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    norm = docs.select("doc_id", nt.alias("nt"))
+    state = norm.filter(F.col("doc_id") % 10 < 8).select(
+        F.sha2("nt", 256).alias("h")
+    )
+    delta = norm.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", "nt", F.sha2("nt", 256).alias("h")
+    )
+    fresh = delta.join(state, "h", "left_anti")
+    return fresh.groupBy("nt").agg(
+        F.min("doc_id").alias("kept_id"),
+        F.count("*").cast("bigint").alias("n_copies_in_delta"),
+    ).select("kept_id", "n_copies_in_delta")
