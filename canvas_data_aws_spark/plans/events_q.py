@@ -569,3 +569,90 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_s_from_last_touch"),
         )
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type AS status, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM changes
+    )
+    SELECT d.status AS status_at_purchase,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(p.value), 2) AS sum_value
+    FROM events p
+    JOIN dim d ON d.user_id = p.user_id
+              AND d.valid_from <= p.ts
+              AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    WHERE p.event_type = 'purchase'
+    GROUP BY d.status
+    """,
+    doc="Point-in-time (SCD2) lookup: every purchase credited to the "
+    "dimension STATUS valid at its timestamp. The oracle states it as the "
+    "textbook interval join against the SCD2 table; the Spark plan "
+    "implements the equivalent UNION-AS-OF shape — status-change rows and "
+    "fact rows unioned into one stream, ordered per user, the running "
+    "last(status, ignorenulls) window carrying the valid version onto "
+    "each fact — because at 100 TB the union-window costs ONE user_id "
+    "exchange with zero join fan-out, while the interval join must "
+    "sort-merge facts against every candidate version. Change rows order "
+    "before their own fact row at equal (ts, event_id), pinning the "
+    "open/closed boundary exactly as [valid_from, valid_to).",
+    tags=("events", "warehouse"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(0).alias("tag"),
+            F.col("event_type").alias("status"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("string").alias("status"),
+        "value",
+    )
+    wu = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = changes.unionAll(facts).withColumn(
+        "status_at", F.last("status", ignorenulls=True).over(wu)
+    )
+    return (
+        merged.filter(F.col("tag") == 1)
+        .groupBy(F.col("status_at").alias("status_at_purchase"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -239,3 +239,16 @@ def test_quantized_scan_broadcasts_probes_single_scan(registry, spark, sf_dir):
         simple, "BroadcastHashJoin"
     ), simple[:2000]
     assert simple.count("FileScan parquet") <= 2, simple[:2000]
+
+
+def test_scd2_point_in_time_is_union_window_not_join(registry, spark, sf_dir):
+    """scd2_point_in_time_join must compile to the union-as-of shape: NO
+    join operator anywhere (the interval-join formulation fans facts out
+    against every candidate version), one user_id exchange for the merged
+    stream's window plus one for the final rollup."""
+    simple = explain_str(
+        registry["scd2_point_in_time_join"].fn(spark, sf_dir), mode="simple"
+    )
+    assert "Join" not in simple, simple[:2000]
+    n = simple.count("Exchange hashpartitioning")
+    assert n <= 3, f"expected <=3 exchanges, saw {n}: " + simple[:2000]
