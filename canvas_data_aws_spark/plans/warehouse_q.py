@@ -130,9 +130,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("pa") < F.col("pb"))
     )
+    # The checkpointed edge RDD carries no reliable size stats, so the
+    # compile-time planner would happily pick IT as a broadcast build side
+    # (measured: an 8 GiB hashed relation at a 10x probe — an executor OOM
+    # at real scale). shuffle_hash hints pin the build to the degree side;
+    # AQE may still upgrade to broadcast at runtime from REAL shuffle sizes.
     oriented = (
-        edges.join(da, "pa")
-        .join(db, "pb")
+        edges.join(da.hint("shuffle_hash"), "pa")
+        .join(db.hint("shuffle_hash"), "pb")
         .select(
             F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
             F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
@@ -153,7 +158,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", F.explode("nbrs").alias("dst"), F.col("nbrs").alias("src_nbrs")
     )
     adj_dst = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("dst_nbrs"))
-    tri = ewn.join(adj_dst, "dst").agg(
+    # Same stats hazard as above: ewn explodes a checkpoint scan, so pin the
+    # hash build to the adjacency side instead of trusting estimates.
+    tri = ewn.join(adj_dst.hint("shuffle_hash"), "dst").agg(
         F.sum(F.size(F.array_intersect("src_nbrs", "dst_nbrs")))
         .cast("bigint")
         .alias("n_triangles")
