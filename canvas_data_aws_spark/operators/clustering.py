@@ -50,8 +50,14 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iterations):
+        # labels comes off a localCheckpoint, whose RDD scan carries no
+        # reliable size stats — without a hint the compile-time planner may
+        # pick the (data-sized) label set as a broadcast build (the 8 GiB
+        # abort class found in graph_triangle_count's 10x probe). Pin the
+        # hash build explicitly; AQE still upgrades to broadcast at runtime
+        # when the measured shuffle is genuinely small.
         via_edges = (
-            bidir.join(labels, bidir.src == labels.v)
+            bidir.join(labels.hint("shuffle_hash"), bidir.src == labels.v)
             .select(F.col("dst").alias("v"), "component")
         )
         # eager checkpoint: the label set is tiny (dup population), so
@@ -65,7 +71,7 @@ def connected_components(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "v")
+            .join(labels.alias("o").hint("shuffle_hash"), "v")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
@@ -116,8 +122,11 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iterations):
+        # ranks comes off a localCheckpoint (no reliable size stats): pin
+        # the hash build so the node-sized rank table is never chosen as a
+        # compile-time broadcast (same hazard class as connected_components).
         contribs = (
-            e.join(ranks, e.src == ranks.id)
+            e.join(ranks.hint("shuffle_hash"), e.src == ranks.id)
             .join(out_deg, "src")
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("id")
