@@ -168,6 +168,12 @@ def test_triangle_count_adjacency_intersect_shape(registry, spark, sf_dir):
     assert "FileScan parquet" not in final, final[:3000]
     assert "array_intersect" in final, final[:3000]
     assert "LeftSemi" not in final, final[:3000]
+    # Checkpoint scans carry no reliable size stats, so the compile-time
+    # planner must NEVER pick a broadcast build here (measured: an 8 GiB
+    # hashed relation of the edge set at a 10x probe). The close join is
+    # pinned to a shuffled hash build; AQE may upgrade at runtime only.
+    assert "ShuffledHashJoin" in final, final[:3000]
+    assert "BroadcastHashJoin" not in final, final[:3000]
 
 
 def test_stratified_sample_is_one_scan_one_exchange(registry, spark, sf_dir):
