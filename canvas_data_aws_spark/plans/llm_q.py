@@ -772,3 +772,38 @@ def sim_search_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id", "score_q8", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "multimodal_dedup",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             sha256(text) AS h
+      FROM documents
+    )
+    SELECT modality, MIN(media_id) AS kept_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM media GROUP BY modality, h
+    """,
+    doc="Exact media dedup by payload digest — tier 1 of the multimodal "
+    "dedup cascade (the perceptual tiers ride the same plumbing with a "
+    "pHash in place of sha2): one hash-groupBy of (modality, sha2(bytes)), "
+    "min-id survivor, copy count for provenance. Only 64-byte digests ever "
+    "reach the exchange — the payloads stay in place, which is the entire "
+    "point at 100 TB of media.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return (
+        media.groupBy("modality", F.sha2("content", 256).alias("__h"))
+        .agg(
+            F.min("media_id").alias("kept_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+        .select("modality", "kept_id", "n_copies")
+    )

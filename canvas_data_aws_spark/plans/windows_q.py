@@ -157,10 +157,15 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t GROUP BY o_orderstatus, decile
     """,
     doc="Decile bucketing per status (NTILE) rolled into decile boundary "
-    "stats — the spend-band segmentation query. One exchange on the "
-    "partition key feeds both the ntile and the rollup (deterministic "
-    "order via the o_orderkey tie-break); NTILE at 100 TB needs only the "
-    "per-partition ordering, never a global sort.",
+    "stats — the spend-band segmentation query, with the o_orderkey "
+    "tie-break pinning determinism. Honest scale note: the partition key "
+    "here is LOW-cardinality (three statuses), so exact NTILE funnels "
+    "each status into one sorted window partition — fine at warehouse "
+    "dimension sizes, but at a 100 TB fact table the right shape is "
+    "approx percentile boundaries (one mergeable-sketch agg) + a "
+    "row-local bucket lookup, trading exact decile edges for a "
+    "shuffle-free pass; this query intentionally exercises the exact "
+    "window surface.",
 )
 def win_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
