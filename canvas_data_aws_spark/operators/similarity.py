@@ -671,3 +671,84 @@ def knn_join_self(
             "rank",
         )
     )
+
+
+def ivf_query_adc(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 30,
+    query_id: str = "query_id",
+    vec_col: str | None = None,
+) -> DataFrame:
+    """IVF + int8 asymmetric-distance scan — the FAISS-style serving combo:
+    probe ``nprobe`` cells (scan reduction), score candidates with INTEGER
+    dot products over symmetric-int8 vectors (4x less memory bandwidth than
+    the float scan), keep a ``shortlist`` per query, then exact-cosine
+    rescore only the shortlist (restoring float ranking quality on the few
+    rows that matter). Pure plan construction — zero driver actions, same
+    contract as :func:`ivf_query`. At 100 TB the ``__q8`` column is written
+    next to the vectors at index-build time; here it is derived row-local
+    in the same scan, which costs nothing extra at the exchange (only the
+    probed cells are read either way).
+    """
+    corpus_id = index.corpus_id
+
+    def _q8(col: Column) -> Column:
+        v = _as_double(col)
+        nrm = l2_norm(v)
+        return F.transform(v, lambda x: F.round(x / nrm * 127, 0).cast("int"))
+
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col or index.vec_col).alias("__qvec"),
+    ).withColumn("__p8", _q8(F.col("__qvec")))
+    # Probe list: identical row-local construction to ivf_query (broadcast
+    # centroid fold, per-row sort, top-nprobe explode) — keeps the build
+    # side shuffle-free so a cell-partitioned index still prunes.
+    cent_arr = index.centroids.agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("__cents")
+    )
+    scored_cells = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (-cosine(F.col("__qvec"), c["centroid"])).alias("negsim"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_arr))
+        .withColumn("__probe", F.slice(F.array_sort(scored_cells), 1, nprobe))
+        .select(
+            query_id, "__qvec", "__p8", F.explode(F.col("__probe.cell")).alias("cell")
+        )
+    )
+    assigned_q = index.assigned.withColumn("__q8", _q8(F.col("__arr")))
+    adc = F.aggregate(
+        F.zip_with("__q8", "__p8", lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        F.broadcast(q_cells)
+        .join(assigned_q, "cell")
+        .select(query_id, corpus_id, "__arr", "__qvec", adc.alias("score_q8"))
+    )
+    ws = Window.partitionBy(query_id).orderBy(
+        F.col("score_q8").desc(), F.col(corpus_id)
+    )
+    short = cand.withColumn("__r", F.row_number().over(ws)).filter(
+        F.col("__r") <= shortlist
+    )
+    rescored = short.select(
+        query_id,
+        corpus_id,
+        F.round(cosine(F.col("__arr"), F.col("__qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )

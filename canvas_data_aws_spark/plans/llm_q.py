@@ -807,3 +807,26 @@ def multimodal_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("modality", "kept_id", "n_copies")
     )
+
+
+@register(
+    "sim_search_ivf_quantized",
+    None,  # KMeans cells are seed-dependent — rows-only; recall floor and
+    # zero-job query path asserted in tests/test_llm_ops.py
+    doc="IVF + int8 ADC + exact rescore — the production ANN serving combo "
+    "(operators/similarity.py::ivf_query_adc): probed cells cut the scan "
+    "to nprobe/n_clusters of the corpus, integer dot products over "
+    "symmetric-int8 vectors cut the scanned bytes 4x, and the float "
+    "rescore touches only the per-query shortlist. Zero driver actions on "
+    "the query path.",
+    tags=("llm", "similarity"),
+)
+def sim_search_ivf_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.similarity import ivf_index, ivf_query_adc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = ivf_index(emb, n_clusters=16)
+    return ivf_query_adc(idx, queries, k=10, nprobe=4)

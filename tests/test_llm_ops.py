@@ -318,3 +318,36 @@ def test_ivf_partitioned_index_prunes_to_probed_cells(emb, spark, sf_dir, tmp_pa
 
     got = sorted(map(tuple, out.collect()))
     assert got == expected
+
+
+def test_ivf_adc_recall_and_zero_job_query(emb, spark):
+    """IVF + int8 ADC + exact rescore: (a) recall against brute force must
+    hold the same floor as the float IVF path (the rescore undoes
+    quantization noise on the shortlist), and (b) the query path must
+    launch zero Spark jobs, like every other ANN query path."""
+    from canvas_data_aws_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_index,
+        ivf_query_adc,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = ivf_index(emb, n_clusters=8)
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf-adc-audit", "adc query-path job audit")
+    try:
+        plan = ivf_query_adc(idx, queries, k=10, nprobe=4)
+        plan.explain("formatted")
+        assert sc.statusTracker().getJobIdsForGroup("ivf-adc-audit") == []
+    finally:
+        sc.setJobGroup(None, None)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=10).collect()
+    }
+    approx = {(r["query_id"], r["vec_id"]) for r in plan.collect()}
+    assert len(approx) == 10 * 10
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ivf+adc recall {recall:.2f}"
