@@ -85,6 +85,7 @@ def _prebuilt_ann_entries(spark, sf_dir: str) -> dict:
         LshIndex,
         ivf_index,
         ivf_query,
+        ivf_query_adc,
         lsh_index,
         lsh_query,
     )
@@ -114,6 +115,9 @@ def _prebuilt_ann_entries(spark, sf_dir: str) -> dict:
 
     return {
         "sim_search_ivf_prebuilt": lambda s, d: ivf_query(ivf_disk, queries, k=10, nprobe=4),
+        "sim_search_ivf_adc_prebuilt": lambda s, d: ivf_query_adc(
+            ivf_disk, queries, k=10, nprobe=4
+        ),
         "sim_search_lsh_prebuilt": lambda s, d: lsh_query(lsh_disk, emb, queries, k=10),
     }
 

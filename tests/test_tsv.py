@@ -71,3 +71,64 @@ def test_tsv_round_trip(spark, tmp_path):
     assert written
     back = read_tsv_gzip(spark, out, struct)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_events_ts_loads_across_physical_encodings(spark, tmp_path):
+    """CORRECTNESS_r04 regression: the events fixture has shipped ts as
+    (a) TIMESTAMP_NTZ micros, (b) plain TIMESTAMP, and (c) bigint
+    nanoseconds — load_table must normalize ALL THREE to a session-TZ
+    TIMESTAMP with identical epoch values, never assuming one encoding."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    base = dt.datetime(2025, 3, 1, 12, 0, 0)
+    rows = [(1, base), (2, base + dt.timedelta(seconds=90))]
+    want_micros = [
+        int(r[1].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        for r in rows
+    ]
+
+    def check(dirname):
+        df = load_table(spark, dirname, "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType), df.schema
+        got = [
+            r["us"]
+            for r in df.select(F.unix_micros("ts").alias("us"))
+            .orderBy("us")
+            .collect()
+        ]
+        assert got == want_micros, (dirname, got, want_micros)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # (a) TIMESTAMP_NTZ
+    d_ntz = str(tmp_path / "ntz")
+    spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+        ])
+    ).write.mode("overwrite").parquet(f"{d_ntz}/events.parquet")
+    check(d_ntz)
+    # (b) plain TIMESTAMP
+    d_ts = str(tmp_path / "ts")
+    spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ])
+    ).write.mode("overwrite").parquet(f"{d_ts}/events.parquet")
+    check(d_ts)
+    # (c) bigint nanoseconds (the legacy nanosAsLong fixture shape)
+    d_ns = str(tmp_path / "ns")
+    spark.createDataFrame(
+        [(i, us * 1000) for (i, _), us in zip(rows, want_micros)],
+        T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+        ]),
+    ).write.mode("overwrite").parquet(f"{d_ns}/events.parquet")
+    check(d_ns)
