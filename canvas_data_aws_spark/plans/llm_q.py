@@ -543,11 +543,12 @@ def embed_normalize_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(k: int, iters: int) -> str:
+def _kmeans_cte_sql(k: int, iters: int) -> str:
     """Unrolled Lloyd's iterations as chained CTEs (DuckDB list ops): the
     same deterministic init (k lowest vec_id), assignment (min squared
     distance, ties to the lower cluster id) and element-wise-mean update as
-    the Spark path, so the final partition is value-comparable."""
+    the Spark path, so the final partition is value-comparable. Ends with
+    the assignment CTE ``a{iters}`` open for composition."""
     parts = [
         f"""c0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
@@ -582,9 +583,13 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
     )"""
         )
         prev = f"c{i}"
+    return "WITH " + ",".join(parts)
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd's + the final (sizes, centroid-norm) report."""
     return (
-        "WITH "
-        + ",".join(parts)
+        _kmeans_cte_sql(k, iters)
         + f"""
     SELECT a.cluster, COUNT(*) AS n_vecs,
            ROUND(sqrt(list_aggregate(
@@ -599,26 +604,12 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
 
-@register(
-    "embed_kmeans",
-    _kmeans_oracle_sql(_KMEANS_K, _KMEANS_ITERS),
-    doc="Distributed Lloyd's k-means over the embedding corpus — the "
-    "clustering primitive behind IVF index builds, corpus topic bucketing "
-    "and diversity sampling. Centroids are DRIVER state (k x dim doubles, "
-    "bounded by the algorithm constant k — the MLlib/production layout), "
-    "so each iteration is: (1) a row-local assignment against a centroid "
-    "literal array (squared-L2 via JVM zip_with/aggregate, argmin via "
-    "array_position, ties to the lower cluster id — zero shuffle, zero "
-    "join), then (2) one element-wise-mean update: posexplode to "
-    "(cluster, pos, val) where partial map-side aggregation combines each "
-    "partition down to k*dim rows BEFORE the exchange, so the shuffle is "
-    "O(k * dim * partitions) regardless of corpus size, and only k*dim "
-    "averaged doubles ever reach the driver. Init is deterministic (the k "
-    "lowest vec_id vectors); the oracle unrolls the same three iterations "
-    "as chained CTEs, value-checking sizes and centroid norms.",
-    tags=("llm", "similarity", "iterative"),
-)
-def embed_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_assign(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[int], list[list[float]]]:
+    """Shared Lloyd's driver: returns (assigned DF with vec_id/__v/cluster,
+    final cluster ids, final centroids). Consumed by embed_kmeans (report)
+    and corpus_semdedup (cluster blocking)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("__v")
     )
@@ -676,6 +667,30 @@ def embed_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids, cents = update(assigned)
         assigned = assign(ids, cents)
     ids, cents = update(assigned)
+    return assigned, ids, cents
+
+
+@register(
+    "embed_kmeans",
+    _kmeans_oracle_sql(_KMEANS_K, _KMEANS_ITERS),
+    doc="Distributed Lloyd's k-means over the embedding corpus — the "
+    "clustering primitive behind IVF index builds, corpus topic bucketing "
+    "and diversity sampling. Centroids are DRIVER state (k x dim doubles, "
+    "bounded by the algorithm constant k — the MLlib/production layout), "
+    "so each iteration is: (1) a row-local assignment against a centroid "
+    "literal array (squared-L2 via JVM zip_with/aggregate, argmin via "
+    "array_position, ties to the lower cluster id — zero shuffle, zero "
+    "join), then (2) one element-wise-mean update: posexplode to "
+    "(cluster, pos, val) where partial map-side aggregation combines each "
+    "partition down to k*dim rows BEFORE the exchange, so the shuffle is "
+    "O(k * dim * partitions) regardless of corpus size, and only k*dim "
+    "averaged doubles ever reach the driver. Init is deterministic (the k "
+    "lowest vec_id vectors); the oracle unrolls the same three iterations "
+    "as chained CTEs, value-checking sizes and centroid norms.",
+    tags=("llm", "similarity", "iterative"),
+)
+def embed_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, ids, cents = _kmeans_assign(spark, sf_dir)
     # Final partition sizes ride one hash agg; the centroid norm is computed
     # driver-side from the k bounded centroids and attached via a map
     # literal — no join, no extra job.
@@ -830,3 +845,67 @@ def sim_search_ivf_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = ivf_index(emb, n_clusters=16)
     return ivf_query_adc(idx, queries, k=10, nprobe=4)
+
+
+@register(
+    "corpus_semdedup",
+    _kmeans_cte_sql(_KMEANS_K, _KMEANS_ITERS)
+    + f"""
+    , sdpairs AS (
+      SELECT b.vec_id AS dropped
+      FROM a{_KMEANS_ITERS} a
+      JOIN a{_KMEANS_ITERS} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                   eb.embedding::DOUBLE[]) >= 0.3
+      GROUP BY b.vec_id
+    )
+    SELECT a.cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN p.dropped IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM a{_KMEANS_ITERS} a LEFT JOIN sdpairs p ON p.dropped = a.vec_id
+    GROUP BY a.cluster
+    """,
+    doc="SemDeDup (Abbas et al. 2023): semantic deduplication INSIDE "
+    "k-means clusters — the published recipe for pruning embedding-level "
+    "near-duplicates from web-scale corpora. Clusters come from the same "
+    "deterministic Lloyd's driver as embed_kmeans (so the whole pipeline "
+    "oracle-checks end-to-end: clustering AND dedup); within each cluster "
+    "a vector is dropped when a lower-id cluster-mate sits above the "
+    "cosine threshold (keep-lowest greedy — deterministic, order-free). "
+    "Scale shape: the quadratic pair step is BLOCKED by cluster exactly "
+    "as the paper prescribes — cluster population ~n/k bounds each "
+    "block, k grows with the corpus, and the pair join is cluster-keyed "
+    "(never all-pairs); the drop set ships ids only. Reported per "
+    "cluster: population and survivors.",
+    tags=("llm", "similarity", "iterative"),
+)
+def corpus_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, _, _ = _kmeans_assign(spark, sf_dir)
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("vec_id"), F.col("__v").alias("__vb")
+    )
+    from canvas_data_aws_spark.operators.similarity import cosine
+
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("vec_id"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= 0.3)
+        .select("vec_id")
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("__dropped").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
