@@ -556,3 +556,78 @@ def corpus_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("kept_id"),
         F.count("*").cast("bigint").alias("n_copies_in_delta"),
     ).select("kept_id", "n_copies_in_delta")
+
+
+@register(
+    "corpus_importance_weights",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(regexp_split_to_array(
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    raw AS (SELECT tok, COUNT(*) AS n_r FROM toks GROUP BY tok),
+    tgt AS (SELECT tok, COUNT(*) AS n_t FROM toks WHERE lang = 'en' GROUP BY tok),
+    freq AS (
+      SELECT r.tok, r.n_r, COALESCE(t.n_t, 0) AS n_t
+      FROM raw r LEFT JOIN tgt t USING (tok)
+    ),
+    tot AS (
+      SELECT SUM(n_r) AS big_n_r, SUM(n_t) AS big_n_t, COUNT(*) AS v FROM freq
+    )
+    SELECT k.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(ln(((f.n_t + 1) / (tot.big_n_t + tot.v))
+                        / ((f.n_r + 1) / (tot.big_n_r + tot.v)))), 4)
+             AS importance_logweight
+    FROM toks k JOIN freq f USING (tok) CROSS JOIN tot
+    GROUP BY k.doc_id
+    """,
+    doc="DSIR-style importance weights (Xie et al. 2023, unigram feature "
+    "space): every document scored by the log-likelihood ratio of its "
+    "tokens under the TARGET distribution (here: the English slice) vs "
+    "the raw corpus — the data-selection signal used to resample a raw "
+    "crawl toward a target domain. Laplace smoothing keeps "
+    "absent-from-target tokens finite. Shape: two token-keyed frequency "
+    "aggs off ONE tokenization pass (map-side partials), a "
+    "vocabulary-sized left join with NO broadcast hint (AQE decides), a "
+    "one-row totals crossJoin, and a doc_id rollup — the same "
+    "scale skeleton as corpus_unigram_logprob, reused for a different "
+    "published selector.",
+    tags=("llm", "curation"),
+)
+def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(norm, " ")).alias("tok")
+    )
+    raw = toks.groupBy("tok").agg(F.count("*").alias("n_r"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_t"))
+    )
+    freq = raw.join(tgt, "tok", "left").select(
+        "tok", "n_r", F.coalesce("n_t", F.lit(0)).alias("n_t")
+    )
+    tot = freq.agg(
+        F.sum("n_r").alias("big_n_r"),
+        F.sum("n_t").alias("big_n_t"),
+        F.count("*").alias("v"),
+    )
+    ratio = F.log(
+        ((F.col("n_t") + 1) / (F.col("big_n_t") + F.col("v")))
+        / ((F.col("n_r") + 1) / (F.col("big_n_r") + F.col("v")))
+    )
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(ratio), 4).alias("importance_logweight"),
+        )
+    )
