@@ -488,7 +488,11 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frequency table is vocabulary-sized — joined on the token key with "
     "NO broadcast hint (unbounded on raw web text; AQE decides), and the "
     "grand-total is a one-row crossJoin. Per-doc rollup is one doc_id "
-    "exchange.",
+    "exchange. Plan note: the tokenization (scan + regex split + explode) "
+    "feeds two consumers (frequency agg, scoring join) and re-runs per "
+    "consumer here; a 100 TB run materializes the token table once and "
+    "both passes read it — the re-tokenization is a deliberate "
+    "small-scale trade, not a hidden cost.",
     tags=("llm", "curation"),
 )
 def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,11 +593,12 @@ def corpus_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the raw corpus — the data-selection signal used to resample a raw "
     "crawl toward a target domain. Laplace smoothing keeps "
     "absent-from-target tokens finite. Shape: two token-keyed frequency "
-    "aggs off ONE tokenization pass (map-side partials), a "
-    "vocabulary-sized left join with NO broadcast hint (AQE decides), a "
-    "one-row totals crossJoin, and a doc_id rollup — the same "
-    "scale skeleton as corpus_unigram_logprob, reused for a different "
-    "published selector.",
+    "aggs (map-side partials), a vocabulary-sized left join with NO "
+    "broadcast hint (AQE decides), a one-row totals crossJoin, and a "
+    "doc_id rollup — the same scale skeleton as corpus_unigram_logprob, "
+    "reused for a different published selector; like it, the tokenization "
+    "re-runs per consumer here (three scans), where a 100 TB run "
+    "materializes the token table once.",
     tags=("llm", "curation"),
 )
 def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
