@@ -293,3 +293,35 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("value", x), 4).alias("intercept"),
         F.round(F.corr("value", x), 5).alias("r"),
     )
+
+
+@register(
+    "agg_corr_matrix",
+    """
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 5) AS qty_price,
+           ROUND(corr(l_quantity, l_discount), 5) AS qty_disc,
+           ROUND(corr(l_quantity, l_tax), 5) AS qty_tax,
+           ROUND(corr(l_extendedprice, l_discount), 5) AS price_disc,
+           ROUND(corr(l_extendedprice, l_tax), 5) AS price_tax,
+           ROUND(corr(l_discount, l_tax), 5) AS disc_tax
+    FROM lineitem
+    """,
+    doc="Pairwise correlation matrix of the lineitem measures in ONE scan: "
+    "all six corr aggregates share a single pass with map-side partial "
+    "moments (count, sums, cross-products) that merge associatively — the "
+    "feature-screening step before a model fit, at 100 TB the same cost "
+    "as any one of them.",
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice", "qty_price"),
+        ("l_quantity", "l_discount", "qty_disc"),
+        ("l_quantity", "l_tax", "qty_tax"),
+        ("l_extendedprice", "l_discount", "price_disc"),
+        ("l_extendedprice", "l_tax", "price_tax"),
+        ("l_discount", "l_tax", "disc_tax"),
+    ]
+    return li.agg(
+        *[F.round(F.corr(a, b), 5).alias(name) for a, b, name in pairs]
+    )
