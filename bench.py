@@ -66,6 +66,8 @@ HEADLINE = [
     "table_incremental_agg",
     "sim_search_quantized",
     "corpus_curation_funnel",
+    "scd2_point_in_time_join",
+    "corpus_semdedup",
 ]
 
 

@@ -883,24 +883,28 @@ def sim_search_ivf_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _, _ = _kmeans_assign(spark, sf_dir)
-    a = assigned.select(
-        "cluster", F.col("vec_id").alias("id_a"), F.col("__v").alias("__va")
+    # Three consumers below (both pair sides + the final rollup) and the
+    # assignment expression is HOF-heavy (k distance folds per row):
+    # materialize it once. Checkpoint scans carry no size stats, so every
+    # downstream join pins its hash build explicitly (the broadcast-hazard
+    # rule from graph_triangle_count's 10x probe).
+    assigned = assigned.localCheckpoint(eager=True)
+    # Within-cluster pairs via the per-block GEMM kernel (one normalized
+    # matrix product per cluster on its executor) — the pair-join with an
+    # interpreted per-pair cosine fold measured ~3x slower here, the same
+    # lesson SCALE.md records for dedup_embedding_cosine. The drop set is
+    # the higher id of every pair >= threshold (keep-lowest greedy).
+    pairs = embedding_near_dup_pairs(
+        assigned, id_col="vec_id", vec_col="__v", block_col="cluster",
+        threshold=0.3,
     )
-    b = assigned.select(
-        "cluster", F.col("vec_id").alias("vec_id"), F.col("__v").alias("__vb")
-    )
-    from canvas_data_aws_spark.operators.similarity import cosine
-
     dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("vec_id"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= 0.3)
-        .select("vec_id")
+        pairs.select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("__dropped", F.lit(True))
     )
     return (
-        assigned.join(dropped, "vec_id", "left")
+        assigned.join(dropped.hint("shuffle_hash"), "vec_id", "left")
         .groupBy("cluster")
         .agg(
             F.count("*").cast("bigint").alias("n_vecs"),
