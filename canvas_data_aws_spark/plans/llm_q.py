@@ -10,6 +10,8 @@ probabilistic, not value-exact.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -623,22 +625,27 @@ def _kmeans_assign(
     cents = [c for _, c in centroids]
 
     def assign(id_list: list[int], cent_list: list[list[float]]) -> DataFrame:
-        cents_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in cent_list]
+        # Arrow-batched argmin against the (k x dim) centroid matrix — one
+        # NumPy broadcast-subtract + row argmin per batch. The equivalent
+        # Catalyst HOF fold (transform over k aggregate lambdas) runs
+        # interpreted per row (the SCALE.md shingle/simhash lesson) and
+        # measured ~4x slower end-to-end at sf0.1. np.argmin takes the
+        # FIRST minimum and id_list is ascending, so ties break to the
+        # lower cluster id — matching the oracle's ORDER BY (dist, cluster).
+        from pyspark.sql.types import IntegerType
+
+        bc = spark.sparkContext.broadcast(
+            (np.array(cent_list, dtype=np.float64), np.array(id_list))
         )
-        ids_lit = F.array(*[F.lit(int(i)) for i in id_list])
-        dists = F.transform(
-            cents_lit,
-            lambda c: F.aggregate(
-                F.zip_with(F.col("__v"), c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        # array_position finds the FIRST minimum -> ties break to the lower
-        # cluster id, matching the oracle's ORDER BY (dist, cluster).
-        idx = F.array_position(dists, F.array_min(dists)).cast("int")
-        return emb.withColumn("cluster", F.element_at(ids_lit, idx))
+
+        @F.pandas_udf(IntegerType())
+        def _nearest(vs: pd.Series) -> pd.Series:
+            cents, idl = bc.value
+            m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(idl[np.argmin(d, axis=1)].astype("int32"))
+
+        return emb.withColumn("cluster", _nearest(F.col("__v")))
 
     def update(assigned: DataFrame) -> tuple[list[int], list[list[float]]]:
         # Element-wise mean per cluster: partial agg combines map-side, the
