@@ -636,3 +636,47 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(ratio), 4).alias("importance_logweight"),
         )
     )
+
+
+@register(
+    "corpus_token_budget_plan",
+    r"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT COUNT(*) AS n_sources FROM per_source)
+    SELECT s.source, s.n_docs, s.n_tokens,
+           ROUND(100000.0 / tot.n_sources, 2) AS target_tokens,
+           ROUND((100000.0 / tot.n_sources) / s.n_tokens, 4) AS epochs
+    FROM per_source s CROSS JOIN tot
+    """,
+    doc="Token-budget mixture plan — the pre-training data-recipe table: "
+    "per-source document and token counts, the per-source share of a "
+    "100k-token budget under a uniform mixture, and the implied epoch "
+    "count (share / available tokens; >1 means that source repeats, the "
+    "signal to re-weight). One scan with map-side partial counts, a "
+    "source-keyed agg (sources are few — the exchange is tiny), and a "
+    "one-row total crossJoin. Feeds corpus_mix_weighted, which executes "
+    "a chosen mixture deterministically.",
+    tags=("llm", "curation"),
+)
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    per_source = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_source.agg(F.count("*").alias("n_sources"))
+    target = F.lit(100000.0) / F.col("n_sources")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(target, 2).alias("target_tokens"),
+        F.round(target / F.col("n_tokens"), 4).alias("epochs"),
+    )

@@ -920,3 +920,53 @@ def corpus_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+@register(
+    "embed_outlier_scores",
+    _kmeans_cte_sql(_KMEANS_K, _KMEANS_ITERS)
+    + f"""
+    SELECT vec_id, cluster, dist FROM (
+      SELECT a.vec_id, a.cluster,
+             ROUND(list_distance(e.embedding::DOUBLE[], c.centroid::DOUBLE[]), 4)
+               AS dist,
+             ROW_NUMBER() OVER (ORDER BY
+               list_distance(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+               a.vec_id) AS rk
+      FROM a{_KMEANS_ITERS} a
+      JOIN embeddings e USING (vec_id)
+      JOIN c{_KMEANS_ITERS} c USING (cluster)
+    ) WHERE rk <= 20
+    """,
+    doc="Embedding outlier detection: distance from each vector to its own "
+    "k-means centroid, global top-20 — the corpus-QA pass that surfaces "
+    "mislabeled/garbage embeddings before they poison ANN recall or "
+    "semantic dedup. Reuses the deterministic Lloyd's driver (same "
+    "composable oracle CTEs as embed_kmeans/corpus_semdedup); scoring is "
+    "one Arrow argmin-distance pass against the k bounded centroids and "
+    "the global top-20 fuses to TakeOrderedAndProject — no full sort.",
+    tags=("llm", "similarity", "iterative"),
+)
+def embed_outlier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, ids, cents = _kmeans_assign(spark, sf_dir)
+    cmap = {i: np.array(c, dtype=np.float64) for i, c in zip(ids, cents)}
+    bc = spark.sparkContext.broadcast(cmap)
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _dist(vs: pd.Series, cl: pd.Series) -> pd.Series:
+        cm = bc.value
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        cents_m = np.array([cm[int(c)] for c in cl])
+        return pd.Series(np.sqrt(((m - cents_m) ** 2).sum(axis=1)))
+
+    scored = assigned.select(
+        "vec_id", "cluster", _dist(F.col("__v"), F.col("cluster")).alias("__d")
+    )
+    # rank on the UNROUNDED distance (as the oracle does) so rounding ties
+    # can never shift the top-20 cutoff; round only in the output.
+    return (
+        scored.orderBy(F.col("__d").desc(), "vec_id")
+        .limit(20)
+        .select("vec_id", "cluster", F.round("__d", 4).alias("dist"))
+    )
