@@ -51,6 +51,7 @@ def asof_join(
     right_ts: str,
     tie_breakers: list[str] | None = None,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for every left row, the single latest right row with
     ``right_ts <= left_ts`` on the same key (SURVEY.md §2 B.3 `join_asof`).
@@ -58,6 +59,10 @@ def asof_join(
     Semantics pinned (SURVEY.md §7 hard part c): backward-looking, inclusive
     (``<=``), ties broken by ``tie_breakers`` descending (must make the right
     side unique for determinism). ``how='left'`` keeps unmatched left rows.
+    ``direction='forward'`` flips both: the EARLIEST right row with
+    ``right_ts >= left_ts``, ties ascending (pandas merge_asof's other
+    direction) — same argmin/argmax-aggregate shape, so the scale behavior
+    is identical.
 
     Implementation: equi-range join + per-left-row argmax via MAX over a
     (right_ts, tie_breakers..., right columns) struct. The aggregation gets
@@ -72,12 +77,17 @@ def asof_join(
     right_cols = right.columns
     # Tag every left row uniquely so the argmax groups by exactly one left row.
     ltagged = left.select(F.monotonically_increasing_id().alias("__asof_lid"), "*")
-    cond = (ltagged[left_key] == right[right_key]) & (right[right_ts] <= ltagged[left_ts])
+    if direction == "forward":
+        rng = right[right_ts] >= ltagged[left_ts]
+    else:
+        rng = right[right_ts] <= ltagged[left_ts]
+    cond = (ltagged[left_key] == right[right_key]) & rng
     joined = ltagged.join(right, cond, "left" if how == "left" else "inner")
 
     ordered_fields = [right_ts] + tie_breakers
     rest = [c for c in right_cols if c not in ordered_fields]
-    best = F.max(F.struct(*ordered_fields, *rest)).alias("__asof_best")
+    pick = F.min if direction == "forward" else F.max
+    best = pick(F.struct(*ordered_fields, *rest)).alias("__asof_best")
     agg = joined.groupBy("__asof_lid").agg(
         *[F.first(c).alias(c) for c in left_cols], best
     )

@@ -358,3 +358,47 @@ def join_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(right, left.lang.eqNullSafe(right.rlang)).select(
         "doc_id", "lang", "n_docs"
     )
+
+
+@register(
+    "join_asof_forward",
+    """
+    WITH j AS (
+      SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+    )
+    SELECT event_id,
+           o_orderkey   AS next_orderkey,
+           o_orderdate  AS next_orderdate
+    FROM j WHERE rn = 1
+    """,
+    doc="Forward as-of join: the EARLIEST order at-or-after each event's "
+    "timestamp per customer (pandas merge_asof direction='forward' — the "
+    "'what happened next' lookup behind conversion and time-to-action "
+    "analyses). Same argmin-aggregate shape as join_asof: the join "
+    "fan-out collapses map-side to one row per event BEFORE the exchange, "
+    "never a window over the full fan-out.",
+    tags=("joins",),
+)
+def join_asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    j = asof_join(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        tie_breakers=["o_orderkey"],
+        how="inner",
+        direction="forward",
+    )
+    return j.select(
+        "event_id",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_orderdate").alias("next_orderdate"),
+    )

@@ -133,3 +133,43 @@ def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n, 0.99)"), 2).alias("p99_per_key"),
         F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
     )
+
+
+@register(
+    "dq_row_count_drift",
+    """
+    WITH per_day AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY day
+    ),
+    stats AS (
+      SELECT quantile_cont(n, 0.5) AS med FROM per_day
+    )
+    SELECT p.day, CAST(p.n AS BIGINT) AS n_rows,
+           ROUND(p.n / s.med, 4) AS vs_median,
+           p.n < 0.5 * s.med OR p.n > 2.0 * s.med AS is_anomalous
+    FROM per_day p CROSS JOIN stats s
+    """,
+    doc="Load-volume drift check: per-day row counts scored against the "
+    "median day — the monitor that catches a half-empty or doubled "
+    "partition BEFORE it poisons downstream aggregates (the reference's "
+    "sync has no such gate; a truncated extract lands silently). One "
+    "map-side-combined count per day, a one-row median, and a row-local "
+    "flag; the per-day table is calendar-sized, so every step after the "
+    "first agg is negligible at any data scale.",
+    tags=("quality",),
+)
+def dq_row_count_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    per_day = e.groupBy("day").agg(F.count("*").alias("n"))
+    stats = per_day.agg(F.expr("percentile(n, 0.5)").alias("med"))
+    return per_day.crossJoin(F.broadcast(stats)).select(
+        "day",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("n") / F.col("med"), 4).alias("vs_median"),
+        ((F.col("n") < 0.5 * F.col("med")) | (F.col("n") > 2.0 * F.col("med"))).alias(
+            "is_anomalous"
+        ),
+    )
