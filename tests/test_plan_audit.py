@@ -258,3 +258,12 @@ def test_scd2_point_in_time_is_union_window_not_join(registry, spark, sf_dir):
     assert "Join" not in simple, simple[:2000]
     n = simple.count("Exchange hashpartitioning")
     assert n <= 3, f"expected <=3 exchanges, saw {n}: " + simple[:2000]
+
+
+def test_cross_dedup_is_hash_anti_join(registry, spark, sf_dir):
+    """corpus_cross_dedup: the delta-vs-state step must be a hash-keyed
+    LEFT ANTI join (only 64-byte digests cross the exchange) and the text
+    column must never reach the state side's scan output."""
+    simple = explain_str(registry["corpus_cross_dedup"].fn(spark, sf_dir), mode="simple")
+    assert "LeftAnti" in simple, simple[:2000]
+    assert "CartesianProduct" not in simple, simple[:2000]
