@@ -1,0 +1,112 @@
+"""Embedding-matrix operators: distributed PCA (fit + project).
+
+The scale contract mirrors the engine's k-means driver (plans/llm_q.py::
+_kmeans_assign): executors never hold more than a batch, the DRIVER never
+holds more than O(dim^2) — the d x d second-moment matrix — regardless of
+corpus size. The eigendecomposition of that d x d matrix is driver-side
+numpy by design (d is 64-4096 for real embedding models; the matrix is
+KB-MB, data-independent), exactly how Spark MLlib's own PCA computes it
+(Gramian aggregate + local eigh). Projection is an Arrow-batched GEMM.
+
+Second moments, not raw vectors, cross the wire: each Arrow batch emits
+one partial-moment row (count, sum-vector, flattened X^T X), partials are
+reduced by a (pos, value) element-wise sum — a shuffle of
+O(partitions * d^2) skinny rows, bounded by cluster width times dimension,
+never by row count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class PcaModel:
+    mean: np.ndarray  # (d,)
+    components: np.ndarray  # (k, d) orthonormal rows, deterministic sign
+    explained_variance: np.ndarray  # (k,) descending
+
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 4) -> PcaModel:
+    """Fit PCA on an embedding column.
+
+    One pass over the data: mapInPandas turns each Arrow batch into a single
+    partial-moment row; the partials reduce via posexplode + groupBy(pos) —
+    a fully distributed element-wise sum whose key space is d^2 + d + 1.
+    The driver materializes only the reduced moments (O(d^2) doubles), forms
+    the covariance, and runs a local symmetric eigendecomposition.
+
+    Sign convention (eigenvectors are sign-ambiguous): each component is
+    flipped so its largest-|coordinate| entry is positive — deterministic
+    whenever eigenvalues are distinct, making results reproducible across
+    runs and cluster layouts.
+    """
+    moment_schema = T.StructType(
+        [T.StructField("m", T.ArrayType(T.DoubleType()), False)]
+    )
+
+    def _partial_moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n = float(len(x))
+            s = x.sum(axis=0)
+            g = x.T @ x
+            yield pd.DataFrame(
+                {"m": [np.concatenate(([n], s, g.ravel())).tolist()]}
+            )
+
+    partials = df.select(vec_col).mapInPandas(_partial_moments, moment_schema)
+    reduced = (
+        partials.select(F.posexplode("m").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+        .collect()  # d^2 + d + 1 rows — dimension-bounded, data-independent
+    )
+    flat = np.zeros(max(r["pos"] for r in reduced) + 1)
+    for r in reduced:
+        flat[r["pos"]] = r["val"]
+    n = flat[0]
+    d = int(round((-1 + np.sqrt(1 + 4 * (len(flat) - 1))) / 2))
+    mean = flat[1 : 1 + d] / n
+    gram = flat[1 + d :].reshape(d, d)
+    cov = gram / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    for j in range(comps.shape[0]):
+        if comps[j, np.argmax(np.abs(comps[j]))] < 0:
+            comps[j] = -comps[j]
+    return PcaModel(
+        mean=mean,
+        components=comps,
+        explained_variance=np.maximum(evals[order], 0.0),
+    )
+
+
+def pca_project(
+    df: DataFrame, model: PcaModel, vec_col: str = "embedding", out_col: str = "pca"
+) -> DataFrame:
+    """Project vectors onto the fitted components: (x - mean) @ C^T as one
+    Arrow-batched GEMM per batch. The (k, d) component matrix ships in the
+    UDF closure (KBs); no shuffle — projection is row-local."""
+    comps_t = model.components.T.copy()  # (d, k)
+    mu = model.mean.copy()
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _proj(vs: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        out = (x - mu) @ comps_t
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))

@@ -94,3 +94,63 @@ def asof_join(
     return agg.select(
         *left_cols, *[F.col(f"__asof_best.{c}").alias(c) for c in right_cols]
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair whose date intervals
+    [left_start, left_end] and [right_start, right_end] overlap.
+
+    A naive formulation (``l.start <= r.end AND r.start <= l.end``) has no
+    equi-key, so Spark plans a broadcast-nested-loop / cartesian — O(|L||R|)
+    comparisons, a non-starter at scale. This operator builds the classic
+    *temporal-grid* equi-join instead: each interval is exploded to the
+    month buckets it spans (bounded fan-out for bounded interval length),
+    the two sides equi-join on the bucket, and the overlap predicate runs
+    as a residual. Duplicate elimination is free — a pair is emitted only
+    from the single bucket containing ``greatest(l.start, r.start)`` (the
+    first month both intervals are live), so no ``distinct`` pass and no
+    second shuffle.
+
+    Scale: shuffle keys are months — at 100 TB pick the grid grain so
+    per-bucket row counts stay executor-sized (day grain for dense data);
+    AQE skew-split handles hot buckets. Fan-out = interval length / grain.
+    """
+    l_buck = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.trunc(F.col(left_start), "month"),
+                F.trunc(F.col(left_end), "month"),
+                F.expr("interval 1 month"),
+            )
+        ),
+    )
+    r_buck = right.withColumn(
+        "__rbucket",
+        F.explode(
+            F.sequence(
+                F.trunc(F.col(right_start), "month"),
+                F.trunc(F.col(right_end), "month"),
+                F.expr("interval 1 month"),
+            )
+        ),
+    )
+    cond = (
+        (l_buck["__bucket"] == r_buck["__rbucket"])
+        & (l_buck[left_start] <= r_buck[right_end])
+        & (r_buck[right_start] <= l_buck[left_end])
+        # emit each overlapping pair exactly once: from the bucket where
+        # the overlap begins (no distinct needed afterwards)
+        & (
+            l_buck["__bucket"]
+            == F.trunc(F.greatest(l_buck[left_start], r_buck[right_start]), "month")
+        )
+    )
+    return l_buck.join(r_buck, cond).drop("__bucket", "__rbucket")

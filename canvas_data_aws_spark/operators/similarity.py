@@ -79,6 +79,39 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact radius (threshold) search: every corpus vector with
+    cosine >= threshold per query — the retrieval primitive under
+    contamination screens and RAG recall sets, where "how many neighbors"
+    is unknown a priori (top-k's dual).
+
+    Same shape as :func:`cosine_topk_bruteforce` minus the ranking window:
+    queries broadcast, one corpus scan, the dot product in codegen, and the
+    threshold applied as a row-local filter — so the plan has ZERO
+    exchanges; output size is data-dependent but each partition filters
+    independently. The predicate tests the ROUNDED similarity so the
+    decision boundary is reproducible across engines.
+    """
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cvec"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            query_id,
+            corpus_id,
+            F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

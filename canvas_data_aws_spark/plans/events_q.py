@@ -656,3 +656,51 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "events_churn_by_cohort",
+    """
+    WITH gmax AS (SELECT MAX(ts) AS max_ts FROM events),
+    per_user AS (
+      SELECT user_id,
+             date_trunc('week', MIN(ts)) AS cohort_week,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN last_ts < g.max_ts - INTERVAL 14 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+           ROUND(SUM(CASE WHEN last_ts < g.max_ts - INTERVAL 14 DAY
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS churn_rate
+    FROM per_user CROSS JOIN gmax g
+    GROUP BY cohort_week
+    """,
+    doc="Churn by signup cohort: per-user (first week, last activity) in "
+    "ONE user_id exchange, churn = inactive for 14 days before the corpus "
+    "high-water mark (a 1-row scalar crossJoin, broadcast for free), then "
+    "a cohort rollup over the already-tiny per-user table. Counts only — "
+    "fully deterministic; at 100 TB the user agg is the only data-sized "
+    "shuffle and it map-side combines.",
+    tags=("events",),
+)
+def events_churn_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    gmax = e.agg(F.max("ts").alias("max_ts"))
+    per_user = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.max("ts").alias("last_ts"),
+    )
+    churned = F.when(
+        F.col("last_ts") < F.col("max_ts") - F.expr("interval 14 days"), 1
+    ).otherwise(0)
+    return (
+        per_user.crossJoin(gmax)
+        .groupBy(F.col("cohort_week").cast("date").alias("cohort_week"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum(churned).cast("bigint").alias("n_churned"),
+            F.round(F.sum(churned) / F.count("*"), 4).alias("churn_rate"),
+        )
+    )

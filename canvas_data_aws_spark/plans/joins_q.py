@@ -402,3 +402,79 @@ def join_asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("next_orderkey"),
         F.col("o_orderdate").alias("next_orderdate"),
     )
+
+
+@register(
+    "join_interval_overlap",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_shipdate AS DATE) AS ship_start,
+             CAST(l_shipdate AS DATE) + CAST(CAST(l_quantity AS INT) % 10 + 3 AS INT)
+               AS ship_end
+      FROM lineitem WHERE l_orderkey % 397 = 0
+    ),
+    promo AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS promo_start,
+             CAST(o_orderdate AS DATE) + 14 AS promo_end
+      FROM orders WHERE o_orderkey % 131 = 0
+    )
+    SELECT li.l_orderkey, li.l_linenumber, promo.o_orderkey,
+           CAST(date_diff('day',
+                          GREATEST(li.ship_start, promo.promo_start),
+                          LEAST(li.ship_end, promo.promo_end)) + 1 AS INT)
+             AS overlap_days
+    FROM li JOIN promo
+      ON li.ship_start <= promo.promo_end AND promo.promo_start <= li.ship_end
+    """,
+    doc="Interval-overlap join (shipment windows x promo windows) via the "
+    "temporal-grid rewrite in operators/joins.py::interval_overlap_join: "
+    "both interval sets explode to the month buckets they span, equi-join "
+    "on the bucket with the overlap test as a residual, and each pair is "
+    "emitted only from the bucket where its overlap begins — exact, no "
+    "distinct pass, no cartesian. The DuckDB oracle runs the naive "
+    "inequality join, proving the grid introduces no duplicates or misses.",
+    tags=("joins",),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.joins import interval_overlap_join
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 397 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("ship_start"),
+            F.date_add(
+                F.col("l_shipdate").cast("date"),
+                (F.col("l_quantity").cast("int") % 10 + 3),
+            ).alias("ship_end"),
+        )
+    )
+    promo = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 131 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("promo_start"),
+            F.date_add(F.col("o_orderdate").cast("date"), 14).alias("promo_end"),
+        )
+    )
+    out = interval_overlap_join(
+        li, promo, "ship_start", "ship_end", "promo_start", "promo_end"
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderkey",
+        (
+            F.datediff(
+                F.least("ship_end", "promo_end"),
+                F.greatest("ship_start", "promo_start"),
+            )
+            + 1
+        )
+        .cast("int")
+        .alias("overlap_days"),
+    )

@@ -970,3 +970,62 @@ def embed_outlier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("vec_id", "cluster", F.round("__d", 4).alias("dist"))
     )
+
+
+@register(
+    "sim_search_range",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 5)
+    SELECT q.query_id, e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qvec AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(q.qvec AS DOUBLE[])), 6) >= 0.25
+    """,
+    doc="Radius (threshold) similarity search — top-k's dual, the retrieval "
+    "shape under contamination screens where neighbor count is unknown a "
+    "priori: broadcast probe batch, one corpus scan, codegen dot product, "
+    "row-local threshold filter. ZERO exchanges in the plan (top-k needs a "
+    "per-query window; radius search doesn't even need that). "
+    "operators/similarity.py::cosine_range_search.",
+    tags=("llm", "similarity"),
+)
+def sim_search_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.similarity import cosine_range_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_range_search(emb, queries, threshold=0.25)
+
+
+@register(
+    "embed_pca_project",
+    None,  # eigendecomposition is not SQL-expressible — rows-only; quality
+    # is asserted by tests/test_llm_ops.py (numpy equivalence, orthonormal
+    # components, descending explained variance)
+    doc="Distributed PCA fit + project (whitening/dimension-reduction stage "
+    "ahead of clustering and semantic dedup): one moment pass (per-batch "
+    "partial (n, sum, X^T X) rows, element-wise reduced by a (pos, val) "
+    "groupBy whose key space is d^2 — dimension-bounded, never data-"
+    "bounded), driver-side eigh of the d x d covariance (the MLlib PCA "
+    "pattern), then a row-local Arrow GEMM projection. Deterministic "
+    "component signs. operators/embeddings.py::pca_fit/pca_project.",
+    tags=("llm", "similarity", "iterative"),
+)
+def embed_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.embeddings import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    model = pca_fit(emb, k=4)
+    out = pca_project(emb, model, out_col="pca")
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.col("pca")[i], 4).alias(f"p{i + 1}")
+            for i in range(4)
+        ],
+    )

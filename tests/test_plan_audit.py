@@ -267,3 +267,32 @@ def test_cross_dedup_is_hash_anti_join(registry, spark, sf_dir):
     simple = explain_str(registry["corpus_cross_dedup"].fn(spark, sf_dir), mode="simple")
     assert "LeftAnti" in simple, simple[:2000]
     assert "CartesianProduct" not in simple, simple[:2000]
+
+
+def test_interval_overlap_is_bucket_equi_join(registry, spark, sf_dir):
+    """join_interval_overlap must compile to a hash-based equi-join on the
+    month bucket (the temporal-grid rewrite) — never a nested-loop or
+    cartesian over the raw inequality predicate."""
+    simple = explain_str(registry["join_interval_overlap"].fn(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in simple, simple[:2000]
+    assert "BroadcastNestedLoopJoin" not in simple, simple[:2000]
+    assert "HashJoin" in simple or "SortMergeJoin" in simple, simple[:2000]
+
+
+def test_snapshot_diff_is_one_key_shuffle(registry, spark, sf_dir):
+    """table_snapshot_diff: both snapshots shuffle once on the primary key
+    for the full-outer compare; no other exchange (the change filter is
+    row-local post-join)."""
+    simple = explain_str(registry["table_snapshot_diff"].fn(spark, sf_dir), mode="simple")
+    n = simple.count("Exchange hashpartitioning")
+    assert n <= 2, f"expected <=2 exchanges, saw {n}: " + simple[:2000]
+    assert "FullOuter" in simple, simple[:2000]
+
+
+def test_market_basket_no_cross_basket_pairing(registry, spark, sf_dir):
+    """market_basket_lift: pair generation must stay an equi-join on the
+    basket key (fan-out bounded by basket width). The only nested-loop
+    allowed is the 1-row basket-count scalar's crossJoin."""
+    simple = explain_str(registry["market_basket_lift"].fn(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in simple, simple[:2000]
+    assert simple.count("BroadcastNestedLoopJoin") <= 1, simple[:2000]
