@@ -152,6 +152,15 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)
         timings[name] = round(sorted(reps)[1], 3)
+        # Drop any cached/checkpointed state the query left behind so later
+        # queries aren't taxed (GC pressure, executor storage) by earlier
+        # ones — each timing should measure that query alone.
+        spark.catalog.clearCache()
+        try:
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(False)
+        except Exception:
+            pass  # private-API cleanup is best-effort
 
     total = round(sum(timings.values()), 3)
     print(
