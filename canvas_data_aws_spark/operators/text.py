@@ -189,3 +189,35 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", top_k: int = 20) -> D
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(top_k)
     )
+
+
+def char_entropy(col: Column) -> Column:
+    """Shannon entropy (bits) of the character distribution — the classic
+    gibberish/keyboard-mash detector (too low = repetitive padding, too
+    high = random noise; natural language sits ~3.5-4.5 bits/char).
+
+    Arrow-batched kernel: character histograms are inherently per-row
+    (no shuffle), but Spark has no built-in histogram expression, so this
+    is one of the few justified pandas UDFs — same tier as
+    ``fingerprint_rolling``. Unicode code-point granularity matches the
+    SQL-split oracle.
+    """
+    from collections import Counter
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _ent(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            if not t:
+                out.append(0.0)
+                continue
+            counts = np.fromiter(Counter(t).values(), dtype=np.float64)
+            p = counts / counts.sum()
+            out.append(float(-(p * np.log2(p)).sum()))
+        return pd.Series(out)
+
+    return _ent(col)

@@ -704,3 +704,60 @@ def events_churn_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(churned) / F.count("*"), 4).alias("churn_rate"),
         )
     )
+
+
+@register(
+    "events_funnel_windowed",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_click
+      FROM events
+    )
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(CASE WHEN next_click IS NOT NULL
+                          AND next_click <= ts + INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM ordered
+    WHERE event_type = 'view'
+    GROUP BY 1
+    """,
+    doc="Time-bounded funnel: a view converts if the SAME user clicks "
+    "within 30 minutes — the windowed variant of events_funnel (which is "
+    "unbounded). One user_id exchange: a conditional MIN over the "
+    "forward row frame finds each view's next click without any "
+    "self-join fan-out (the naive formulation joins views x clicks per "
+    "user — quadratic in per-user activity); the daily rollup then "
+    "map-side combines. Counts only — deterministic.",
+    tags=("events",),
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    converted = F.when(
+        F.col("next_click").isNotNull()
+        & (F.col("next_click") <= F.col("ts") + F.expr("interval 30 minutes")),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("next_click", next_click)
+        .filter(F.col("event_type") == "view")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_views"),
+            F.sum(converted).cast("bigint").alias("n_converted"),
+        )
+    )

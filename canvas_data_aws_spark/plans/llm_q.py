@@ -1029,3 +1029,73 @@ def embed_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ],
     )
+
+
+@register(
+    "text_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM freq GROUP BY doc_id)
+    SELECT f.doc_id, ROUND(-SUM((c / t.n) * log2(c / t.n)), 4) AS char_entropy
+    FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id
+    """,
+    doc="Per-document character-distribution Shannon entropy — the "
+    "gibberish/padding detector in quality cascades (natural text sits "
+    "~3.5-4.5 bits/char). Row-local Arrow kernel (operators/text.py::"
+    "char_entropy): no shuffle at any scale; the oracle reconstructs the "
+    "same value relationally (explode chars -> two groupBys), which is "
+    "exactly the shuffle-heavy plan the kernel avoids.",
+    tags=("llm", "text"),
+)
+def text_char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.text import char_entropy
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id", F.round(char_entropy(F.col("text")), 4).alias("char_entropy")
+    )
+
+
+@register(
+    "dedup_canonical_exact",
+    """
+    WITH canon AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM canon GROUP BY norm
+    """,
+    doc="Canonicalized exact dedup — the tier between byte-exact and "
+    "near-dup: lowercase, collapse non-alphanumerics, trim, then group. "
+    "Catches trivial reformattings (case, punctuation, whitespace) that "
+    "byte-hash dedup misses at near-exact cost: normalization is "
+    "row-local JVM regex, the group key at scale is sha2(norm) so only "
+    "64-byte digests cross the one exchange (same contract as "
+    "dedup_exact). Survivor = min doc_id, deterministic.",
+    tags=("llm", "dedup"),
+)
+def dedup_canonical_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    ).alias("norm")
+    return (
+        d.select("doc_id", norm)
+        .groupBy("norm")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("survivor_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+        .drop("norm")
+        .select("survivor_id", "n_copies")
+    )

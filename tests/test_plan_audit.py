@@ -296,3 +296,23 @@ def test_market_basket_no_cross_basket_pairing(registry, spark, sf_dir):
     simple = explain_str(registry["market_basket_lift"].fn(spark, sf_dir), mode="simple")
     assert "CartesianProduct" not in simple, simple[:2000]
     assert simple.count("BroadcastNestedLoopJoin") <= 1, simple[:2000]
+
+
+def test_funnel_windowed_single_user_exchange_no_join(registry, spark, sf_dir):
+    """events_funnel_windowed must find each view's next click via the
+    forward-frame window — no self-join (quadratic per-user fan-out) and
+    exactly one data-sized exchange (user_id); the daily rollup reuses it
+    or adds one partial-combined exchange."""
+    simple = explain_str(registry["events_funnel_windowed"].fn(spark, sf_dir), mode="simple")
+    assert "Join" not in simple, simple[:2000]
+    n = simple.count("Exchange hashpartitioning")
+    assert n <= 2, f"expected <=2 exchanges, saw {n}: " + simple[:2000]
+
+
+def test_char_entropy_rowlocal_no_exchange(registry, spark, sf_dir):
+    """text_char_entropy is a per-row Arrow kernel: the plan must contain
+    no exchange at all (the oracle's explode+groupBy shape is exactly what
+    the kernel avoids)."""
+    simple = explain_str(registry["text_char_entropy"].fn(spark, sf_dir), mode="simple")
+    assert "Exchange hashpartitioning" not in simple, simple[:2000]
+    assert "ArrowEvalPython" in simple or "Python" in simple, simple[:2000]
