@@ -145,3 +145,55 @@ def pagerank(
     e.unpersist()
     out_deg.unpersist()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts labeled with its own id; each round it adopts the most frequent
+    label among its in-neighbors, ties broken by the smallest label, keeping
+    its own when isolated. Fully deterministic (integer counts + total
+    tie-break) — unlike classic asynchronous LPA, so it value-oracles.
+
+    BSP step as Catalyst plans it: one co-partitioned join (edges x labels
+    on src), one (dst, label) count aggregation, one per-node argmax window,
+    one left join back to nodes. ``localCheckpoint`` truncates lineage per
+    round; the hash build is pinned off the checkpoint-fed side (same
+    stats-misestimate hazard as :func:`pagerank`). At real graph scale,
+    pre-partition edges by src once and every round reuses that exchange.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.withColumn("lab", F.col("id"))
+    w = Window.partitionBy("nid").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(iterations):
+        cand = (
+            e.join(labels.hint("shuffle_hash"), e.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("nid").alias("id"), F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            nodes.join(pick, "id", "left")
+            .select("id", F.coalesce("new_lab", F.col("id")).alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return labels

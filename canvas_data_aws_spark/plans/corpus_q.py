@@ -297,3 +297,64 @@ def dedup_collapse_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", "component", "n_in_cluster")
     )
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    sql = """
+    WITH eda AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT src, dst FROM eda UNION SELECT dst, src FROM eda),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    l0 AS (SELECT id, id AS lab FROM nodes)"""
+    for k in range(iters):
+        sql += f""",
+    cand{k} AS (
+      SELECT e.dst AS nid, l.lab, COUNT(*) AS c
+      FROM e JOIN l{k} l ON l.id = e.src
+      GROUP BY e.dst, l.lab
+    ),
+    pick{k} AS (
+      SELECT nid, lab FROM (
+        SELECT nid, lab,
+               ROW_NUMBER() OVER (PARTITION BY nid ORDER BY c DESC, lab ASC) AS rk
+        FROM cand{k}) t WHERE rk = 1
+    ),
+    l{k + 1} AS (
+      SELECT n.id, COALESCE(p.lab, n.id) AS lab
+      FROM nodes n LEFT JOIN pick{k} p ON p.nid = n.id)"""
+    sql += f"""
+    SELECT id, lab AS community FROM l{iters}"""
+    return sql
+
+
+@register(
+    "graph_label_propagation",
+    _lpa_oracle(3),
+    doc="Community detection by synchronous label propagation over the "
+    "customer <-> supplier purchase graph, 3 BSP rounds "
+    "(operators/clustering.py::label_propagation): per round one "
+    "co-partitioned edge x label join, one (node, label) count, one argmax "
+    "window, lineage truncated by localCheckpoint. Deterministic by "
+    "construction (integer counts, ties -> smallest label), so the whole "
+    "iterative pipeline value-oracles against 3 unrolled CTE rounds.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.clustering import label_propagation
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    eda = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    bidir = eda.unionAll(
+        eda.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = label_propagation(bidir, iterations=3)
+    return labels.select("id", F.col("lab").alias("community"))
