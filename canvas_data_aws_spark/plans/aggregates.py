@@ -325,3 +325,34 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         *[F.round(F.corr(a, b), 5).alias(name) for a, b, name in pairs]
     )
+
+
+@register(
+    "agg_decimal_exact",
+    """
+    SELECT o_orderstatus,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 4))) AS DECIMAL(38, 4))
+                AS DOUBLE) AS total_price_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Exact decimal money aggregation: prices cast to DECIMAL(18,4) "
+    "BEFORE summing, so the group totals are exact integers-of-cents — "
+    "identical regardless of partitioning or merge order, unlike double "
+    "sums whose low bits depend on reduction order (the reason every "
+    "float aggregate in this registry carries a ROUND). Spark's decimal "
+    "sum stays mergeable (map-side partial aggregation applies, state is "
+    "a 128-bit value per group); the final cast to DOUBLE is for the "
+    "comparable surface only — by then the value is already exact.",
+    tags=("aggregates",),
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("total_price_exact"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )

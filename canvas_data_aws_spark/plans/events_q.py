@@ -761,3 +761,84 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(converted).cast("bigint").alias("n_converted"),
         )
     )
+
+
+@register(
+    "events_ab_lift",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    tagged AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a, converted
+      FROM per_user
+    )
+    SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+           CAST(SUM(is_a * converted) AS BIGINT) AS conv_a,
+           CAST(SUM(1 - is_a) AS BIGINT) AS n_b,
+           CAST(SUM((1 - is_a) * converted) AS BIGINT) AS conv_b,
+           ROUND(SUM(is_a * converted) * 1.0 / SUM(is_a), 4) AS rate_a,
+           ROUND(SUM((1 - is_a) * converted) * 1.0 / SUM(1 - is_a), 4) AS rate_b,
+           CASE WHEN SUM(is_a * converted) = 0 THEN NULL
+                ELSE ROUND((SUM((1 - is_a) * converted) * 1.0 / SUM(1 - is_a))
+                           / (SUM(is_a * converted) * 1.0 / SUM(is_a)) - 1, 4)
+           END AS lift,
+           CASE WHEN SUM(converted) = 0 OR SUM(converted) = COUNT(*) THEN NULL
+                ELSE ROUND((SUM((1 - is_a) * converted) * 1.0 / SUM(1 - is_a)
+                            - SUM(is_a * converted) * 1.0 / SUM(is_a))
+                           / SQRT((SUM(converted) * 1.0 / COUNT(*))
+                                  * (1 - SUM(converted) * 1.0 / COUNT(*))
+                                  * (1.0 / SUM(is_a) + 1.0 / SUM(1 - is_a))), 4)
+           END AS z_score
+    FROM tagged
+    """,
+    doc="A/B experiment readout: deterministic hash-bucket assignment "
+    "(user_id parity stands in for the production murmur-bucket), per-user "
+    "conversion in ONE user_id exchange, then a single conditional "
+    "aggregation emits both arms' counts, rates, relative lift and the "
+    "two-proportion z-statistic in one row. No per-variant re-scan, no "
+    "join; integer counts keep it deterministic and the derived floats "
+    "round-pinned.",
+    tags=("events",),
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    tagged = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+        "converted",
+    )
+    s = tagged.agg(
+        F.sum("is_a").alias("na"),
+        F.sum(F.col("is_a") * F.col("converted")).alias("ca"),
+        F.sum(1 - F.col("is_a")).alias("nb"),
+        F.sum((1 - F.col("is_a")) * F.col("converted")).alias("cb"),
+        F.sum("converted").alias("ctot"),
+        F.count("*").alias("ntot"),
+    )
+    ra = F.col("ca") / F.col("na")
+    rb = F.col("cb") / F.col("nb")
+    p = F.col("ctot") / F.col("ntot")
+    return s.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("ca").cast("bigint").alias("conv_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("cb").cast("bigint").alias("conv_b"),
+        F.round(ra, 4).alias("rate_a"),
+        F.round(rb, 4).alias("rate_b"),
+        F.when(F.col("ca") > 0, F.round(rb / ra - 1, 4)).alias("lift"),
+        F.when(
+            (F.col("ctot") > 0) & (F.col("ctot") < F.col("ntot")),
+            F.round(
+                (rb - ra)
+                / F.sqrt(p * (1 - p) * (1 / F.col("na") + 1 / F.col("nb"))),
+                4,
+            ),
+        ).alias("z_score"),
+    )

@@ -217,3 +217,41 @@ def sql_window_in_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rnk <= 5
         """
     )
+
+
+@register(
+    "sql_recursive_cte",
+    """
+    WITH RECURSIVE days(d) AS (
+      SELECT DATE '1998-01-01'
+      UNION ALL
+      SELECT d + 1 FROM days WHERE d < DATE '1998-03-31'
+    )
+    SELECT CAST(d AS DATE) AS day,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+    GROUP BY 1
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): generate a calendar spine "
+    "covering Q1'98 and LEFT JOIN order counts onto it — the gap-filling "
+    "shape that shows zero-activity days, which a plain GROUP BY can never "
+    "emit. The recursion is driver-bounded (90 single-row steps producing "
+    "a broadcastable spine); the fact side stays a single scan with the "
+    "date filter pushed through the join.",
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE days(d) AS (
+          SELECT DATE '1998-01-01'
+          UNION ALL
+          SELECT d + INTERVAL 1 DAY FROM days WHERE d < DATE '1998-03-31'
+        )
+        SELECT CAST(d AS DATE) AS day,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        FROM days LEFT JOIN cda_sql_orders
+          ON CAST(o_orderdate AS DATE) = CAST(d AS DATE)
+        GROUP BY 1
+        """
+    )
