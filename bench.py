@@ -68,6 +68,15 @@ HEADLINE = [
     "corpus_curation_funnel",
     "scd2_point_in_time_join",
     "corpus_semdedup",
+    # round 5 session 2: CDC diff, association mining, grid joins, PCA,
+    # LPA communities, entropy scoring, windowed funnels
+    "table_snapshot_diff",
+    "market_basket_lift",
+    "join_interval_overlap",
+    "embed_pca_project",
+    "graph_label_propagation",
+    "text_char_entropy",
+    "events_funnel_windowed",
 ]
 
 

@@ -159,17 +159,22 @@ def label_propagation(
     its own when isolated. Fully deterministic (integer counts + total
     tie-break) — unlike classic asynchronous LPA, so it value-oracles.
 
-    BSP step as Catalyst plans it: one co-partitioned join (edges x labels
-    on src), one (dst, label) count aggregation, one per-node argmax window,
-    one left join back to nodes. ``localCheckpoint`` truncates lineage per
-    round; the hash build is pinned off the checkpoint-fed side (same
-    stats-misestimate hazard as :func:`pagerank`). At real graph scale,
-    pre-partition edges by src once and every round reuses that exchange.
+    BSP step as Catalyst plans it: one join (edges x labels on src — the
+    edge list is hash-partitioned on src ONCE up front, so each round only
+    the node-sized label table moves), one (dst, label) count, then the
+    per-node argmax as a ``max(struct(count, -label))`` aggregate rather
+    than a row_number window: the struct-max is map-side mergeable, so no
+    sort and no second full materialization of the candidate table.
+    ``localCheckpoint`` truncates lineage per round; the hash build is
+    pinned off the checkpoint-fed side (same stats-misestimate hazard as
+    :func:`pagerank`).
     """
-    from pyspark.sql import Window
-
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
-    e = e.persist()
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
@@ -177,7 +182,6 @@ def label_propagation(
         .persist()
     )
     labels = nodes.withColumn("lab", F.col("id"))
-    w = Window.partitionBy("nid").orderBy(F.desc("c"), F.asc("lab"))
     for _ in range(iterations):
         cand = (
             e.join(labels.hint("shuffle_hash"), e.src == labels.id)
@@ -185,9 +189,9 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         pick = (
-            cand.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select(F.col("nid").alias("id"), F.col("lab").alias("new_lab"))
+            cand.groupBy("nid")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("neg_lab"))).alias("s"))
+            .select(F.col("nid").alias("id"), (-F.col("s.neg_lab")).alias("new_lab"))
         )
         labels = (
             nodes.join(pick, "id", "left")

@@ -319,9 +319,14 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on the basket key — per-basket fan-out is bounded by the distinct "
     "brands per order (<=7 in TPC-H), never all-pairs across baskets — "
     "then lift = P(a,b)/(P(a)P(b)) against the brand marginals (25 rows, "
-    "AQE-broadcast at runtime) and a fused top-50. At 100 TB the basket "
-    "build and the pair join share one l_orderkey exchange; skew is "
-    "bounded because basket width, not popularity, drives fan-out.",
+    "AQE-broadcast at runtime) and a fused top-50. The deduped basket is "
+    "eagerly localCheckpointed (the ngram_jaccard/triangle pattern): four "
+    "consumers (n, marginals, both self-join sides) read it from "
+    "checkpoint blocks instead of re-running the scan+join+distinct five "
+    "times; the self-join's hash build is pinned (shuffle_hash) because "
+    "checkpoint scans carry no reliable size stats for the compile-time "
+    "planner. Skew is bounded because basket width, not popularity, "
+    "drives fan-out.",
     tags=("warehouse",),
 )
 def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,6 +336,7 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = basket.select(
         F.count_distinct("l_orderkey").alias("n_baskets")
@@ -341,7 +347,7 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pair = (
         basket.join(
-            b,
+            b.hint("shuffle_hash"),
             (basket.l_orderkey == b.b_orderkey) & (basket.p_brand < b.brand_b),
         )
         .groupBy(F.col("p_brand").alias("brand_a"), "brand_b")
