@@ -478,3 +478,58 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("overlap_days"),
     )
+
+
+@register(
+    "join_runtime_bloom_filter",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+                    * (1 - CAST(l_discount AS DECIMAL(18, 4)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+    doc="Runtime bloom-filter semi-join reduction — Catalyst's row-level "
+    "answer to scanning 100 TB of fact rows only to drop most of them at "
+    "the join: the optimizer builds a bloom filter over the selectively "
+    "filtered orders keys and injects a might_contain predicate into the "
+    "lineitem scan, so non-matching rows die before the shuffle. Runs in "
+    "an isolated newSession() because the demonstration lowers the "
+    "application-side scan threshold (production default engages at 10 GB "
+    "scans — far above fixture scale) and disables broadcast to force the "
+    "shuffle join the filter exists to protect; tests/test_plan_audit "
+    "asserts bloom_filter_agg + might_contain in the plan.",
+    tags=("joins",),
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    li = load_table(s2, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        load_table(s2, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (1 - F.col("l_discount").cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )

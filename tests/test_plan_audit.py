@@ -316,3 +316,14 @@ def test_char_entropy_rowlocal_no_exchange(registry, spark, sf_dir):
     simple = explain_str(registry["text_char_entropy"].fn(spark, sf_dir), mode="simple")
     assert "Exchange hashpartitioning" not in simple, simple[:2000]
     assert "ArrowEvalPython" in simple or "Python" in simple, simple[:2000]
+
+
+def test_runtime_bloom_filter_injected(registry, spark, sf_dir):
+    """join_runtime_bloom_filter: the optimizer must build a bloom filter
+    over the filtered orders keys and inject might_contain into the
+    lineitem side — rows die before the shuffle, the mechanism that makes
+    selective fact-fact joins survive 100 TB scans."""
+    df = registry["join_runtime_bloom_filter"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "bloom_filter_agg" in plan, plan[:2000]
+    assert "might_contain" in plan, plan[:2000]
