@@ -842,3 +842,50 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("z_score"),
     )
+
+
+@register(
+    "events_sequence_pattern",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_patterns
+    FROM seq
+    WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+    GROUP BY 1
+    """,
+    doc="MATCH_RECOGNIZE-style strict-sequence detection (Spark has no "
+    "row-pattern clause): find view -> click -> purchase as THREE "
+    "CONSECUTIVE events per user via two LEADs over one user_id window — "
+    "stricter than funnels, which allow gaps. One data-sized exchange; "
+    "the daily count map-side combines. The pattern extends to any fixed "
+    "motif by adding LEAD columns; unbounded patterns belong to "
+    "stream_stateful_custom's applyInPandasWithState surface.",
+    tags=("events",),
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("e2") == "click")
+            & (F.col("e3") == "purchase")
+        )
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n_patterns"))
+    )
