@@ -438,3 +438,80 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard_est") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
+
+
+def _band_signatures(sig: DataFrame, bands: int, r: int) -> DataFrame:
+    """(id, signature) -> (id, band_no, band_val): one xxhash64 per band
+    over its r signature components — only 16 longs per doc cross the
+    candidate exchange, never the 64-long signature."""
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.xxhash64(
+                            *[F.element_at("signature", b * r + j + 1) for j in range(r)]
+                        ).alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_no", "band.band_val")
+
+
+def minhash_cross_pairs(
+    delta: DataFrame,
+    state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup: delta docs LSH-banded against the EXISTING
+    corpus state — the daily-ingest shape of :func:`minhash_lsh_pairs`.
+
+    The state side's signatures/bands are exactly what a production
+    pipeline persists at ingest time (deterministic given the seed), so
+    the daily cost is: signature pass over the DELTA, plus a band
+    equi-join delta x state whose left side is delta-sized. Within-delta
+    duplicates are NOT reported here (run minhash_lsh_pairs on the delta
+    for that); this operator answers only "which delta docs does the
+    corpus already cover, and by what doc".
+
+    Returns (delta_id, state_id, jaccard_est) for estimated Jaccard >=
+    threshold. Same banding S-curve, hot-bucket cap, and
+    signatures-stay-out-of-the-exchange contract as the one-table op.
+    """
+    r = num_hashes // bands
+    sig_d = minhash_signatures(delta, text_col, id_col, num_hashes, seed=seed)
+    sig_s = minhash_signatures(state, text_col, id_col, num_hashes, seed=seed)
+    bd = _band_signatures(sig_d, bands, r)
+    bs = _cap_hot_buckets(_band_signatures(sig_s, bands, r), max_band_freq)
+    cand = (
+        bd.alias("d")
+        .join(
+            bs.alias("s"),
+            (F.col("d.band_no") == F.col("s.band_no"))
+            & (F.col("d.band_val") == F.col("s.band_val")),
+        )
+        .select(F.col("d.id").alias("delta_id"), F.col("s.id").alias("state_id"))
+        .dropDuplicates(["delta_id", "state_id"])
+    )
+    sa = sig_d.select(F.col("id").alias("delta_id"), F.col("signature").alias("sig_a"))
+    sb = sig_s.select(F.col("id").alias("state_id"), F.col("signature").alias("sig_b"))
+    scored = cand.join(sa, "delta_id").join(sb, "state_id")
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    est = agree / F.lit(float(num_hashes))
+    return (
+        scored.withColumn("jaccard_est", F.round(est, 6))
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select("delta_id", "state_id", "jaccard_est")
+    )

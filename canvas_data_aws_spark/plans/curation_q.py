@@ -680,3 +680,26 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(target, 2).alias("target_tokens"),
         F.round(target / F.col("n_tokens"), 4).alias("epochs"),
     )
+
+
+@register(
+    "corpus_cross_dedup_near",
+    None,  # xxhash64-seeded MinHash — rows-only; recall vs the exact
+    # delta-x-state Jaccard tier is asserted in tests/test_llm_ops.py
+    doc="Incremental NEAR-dup against corpus state — corpus_cross_dedup's "
+    "fuzzy sibling, the step that keeps a daily ingest from re-admitting "
+    "paraphrased/reformatted duplicates exact hashing misses: delta docs "
+    "MinHash-banded (operators/dedup.py::minhash_cross_pairs) against the "
+    "state's persisted signatures; candidates share a band, estimated "
+    "Jaccard >= 0.5 survives. Daily cost = one signature pass over the "
+    "DELTA plus a delta-sized band equi-join; the corpus-side signature "
+    "store is write-once per doc.",
+    tags=("llm", "curation", "dedup"),
+)
+def corpus_cross_dedup_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.dedup import minhash_cross_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = docs.filter(F.col("doc_id") % 10 < 8)
+    delta = docs.filter(F.col("doc_id") % 10 >= 8)
+    return minhash_cross_pairs(delta, state, jaccard_threshold=0.5)

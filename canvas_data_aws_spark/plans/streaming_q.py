@@ -301,3 +301,53 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(shuffle_key, old_parts)
     shutil.rmtree(workdir, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_static_join",
+    """
+    SELECT c.c_mktsegment AS mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="REAL stream-static enrichment join — the most common production "
+    "streaming shape (click stream x dimension): events staged as a "
+    "checkpointed file stream, joined per micro-batch to the static "
+    "customer dim (broadcast: the static side is planned once and hashed "
+    "to every task; no state store involvement, unlike stream-stream "
+    "joins), aggregated by (segment, type) into a memory sink in complete "
+    "mode. availableNow output must equal the batch join+agg — exactly "
+    "what the oracle checks.",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.streaming.ops import (
+        file_stream_source,
+        start_available_now,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    workdir = tempfile.mkdtemp(prefix="cda_stream_static_")
+    src_dir = os.path.join(workdir, "in")
+    events.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = file_stream_source(spark, src_dir, schema, fmt="parquet")
+    enriched = (
+        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    query, name = start_available_now(enriched, sink_format="memory", output_mode="complete")
+    query.awaitTermination(120)
+    result = spark.table(name).cache()
+    result.count()  # materialize before the temp dir is removed
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result

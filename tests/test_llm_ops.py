@@ -442,3 +442,32 @@ def test_cosine_range_search_plan_has_no_exchange(emb, spark):
         cosine_range_search(emb, queries, threshold=0.25), mode="simple"
     )
     assert "Exchange hashpartitioning" not in simple, simple[:2000]
+
+
+def test_minhash_cross_pairs_recall_against_exact(docs, spark):
+    """Incremental near-dup must find (delta, state) pairs the exact
+    n-gram Jaccard tier confirms: recall >= 0.8 at J >= 0.7, and every
+    reported pair must cross the delta/state boundary."""
+    from canvas_data_aws_spark.operators.dedup import (
+        minhash_cross_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = docs.select("doc_id", "text")
+    state = d.filter(F.col("doc_id") % 10 < 8)
+    delta = d.filter(F.col("doc_id") % 10 >= 8)
+    got = {
+        (r.delta_id, r.state_id)
+        for r in minhash_cross_pairs(delta, state, jaccard_threshold=0.5).collect()
+    }
+    assert all(a % 10 >= 8 and b % 10 < 8 for a, b in got)
+
+    exact = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b))
+        for r in ngram_jaccard_pairs(d, threshold=0.7).collect()
+        if (r.id_a % 10 >= 8) != (r.id_b % 10 >= 8)
+    }
+    exact = {(a, b) if a % 10 >= 8 else (b, a) for a, b in exact}
+    assert exact, "fixture should contain cross-boundary near-duplicates"
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"recall {recall} over {len(exact)} exact pairs"
