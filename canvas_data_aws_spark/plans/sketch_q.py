@@ -127,3 +127,52 @@ def sketch_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_days").cast("bigint").alias("n_days"),
         F.hll_sketch_estimate("wsk").cast("bigint").alias("est_weekly_users"),
     )
+
+
+@register(
+    "corpus_decontaminate_bloom",
+    None,  # bloom bit lanes are xxhash64-specific — rows-only; the
+    # no-false-negative guarantee vs exact corpus_decontaminate is
+    # asserted in tests/test_sketches.py
+    doc="Sketch-tier eval decontamination — corpus_decontaminate at eval "
+    "scales where broadcasting the shingle universe stops being free: the "
+    "eval set compresses into a FIXED-size bloom bit set (m = 64Ki bits "
+    "regardless of eval size — the broadcast is bounded by the sketch, "
+    "not the data), train shingles probe it via the lane hash-join, and "
+    "flagged docs roll up per doc_id. Supersets the exact flags by "
+    "construction (no false negatives; false positives bounded by the "
+    "bloom formula) — run the exact tier on the flagged subset to "
+    "confirm, paying the shingle join only on candidates.",
+    tags=("llm", "curation", "sketch"),
+)
+def corpus_decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.dedup import spread, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev_sh = eval_df.select(
+        F.explode(word_shingles(F.col("text"), 8)).alias("shingle")
+    ).distinct()
+    bits = bloom_build(ev_sh, "shingle")
+    # deterministic per-row key: (doc_id, shingle) is unique because
+    # word_shingles dedups within a doc. (monotonically_increasing_id is
+    # NOT usable here: bloom_probe evaluates its input twice, and the id
+    # assignment differs across evaluations after spread()'s round-robin.)
+    tr_sh = spread(train).select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 8)).alias("shingle")
+    ).withColumn("__row", F.concat_ws("\x00", F.col("doc_id"), F.col("shingle")))
+    probed = bloom_probe(tr_sh, "shingle", "__row", bits)
+    hits = (
+        probed.groupBy("doc_id")
+        .agg(F.sum(F.col("maybe").cast("bigint")).alias("n_maybe_hits"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_maybe_hits", F.lit(0)).cast("bigint").alias("n_maybe_hits"),
+            (F.coalesce("n_maybe_hits", F.lit(0)) >= 1).alias("contaminated_maybe"),
+        )
+    )

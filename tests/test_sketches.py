@@ -61,3 +61,24 @@ def test_hll_weekly_union_within_error_bound(spark, sf_dir):
     for wk, n in exact.items():
         rel = abs(est[wk] - n) / max(n, 1)
         assert rel <= 0.05, f"week {wk}: est {est[wk]} vs exact {n} ({rel:.2%})"
+
+
+def test_bloom_decontaminate_supersets_exact(spark, sf_dir):
+    """The sketch tier's contract: every doc the exact shingle join flags
+    must also be bloom-flagged (no false negatives); bloom may add a
+    bounded set of false positives."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    reg = all_queries()
+    exact = {
+        r.doc_id
+        for r in reg["corpus_decontaminate"].fn(spark, sf_dir).collect()
+        if r.contaminated
+    }
+    bloom = {
+        r.doc_id
+        for r in reg["corpus_decontaminate_bloom"].fn(spark, sf_dir).collect()
+        if r.contaminated_maybe
+    }
+    assert exact, "fixture should contain contaminated docs"
+    assert exact <= bloom, f"false negatives: {sorted(exact - bloom)[:5]}"
