@@ -220,3 +220,60 @@ def frame_sample(media: DataFrame, every_n: int = 10, strict: bool = False) -> D
             yield pd.DataFrame({"media_id": ids, "frame_no": frames, "frame_sha256": hashes})
 
     return media.filter(F.col("modality") == "video").mapInPandas(_sample, out_schema)
+
+
+def embed_media(media: DataFrame, dim: int = 64, strict: bool = False) -> DataFrame:
+    """Media -> embedding bridge (the CLIP/CLAP-encoder slot in a
+    multimodal curation pipeline): mapInPandas over the opaque payload
+    column producing a unit-norm ``array<float>`` per row, ready for the
+    engine's similarity/dedup/PCA operators downstream.
+
+    The real encoder (a vision/audio model forward pass) is not available
+    in this environment; ``strict=True`` raises NotImplementedError at the
+    encoder slot, otherwise a DETERMINISTIC stand-in embeds from a
+    sha256-seeded RNG — stable across runs/partitionings, so downstream
+    plumbing (batch shapes, schema, normalization, ANN joins) is tested
+    for real. Batch contract matches the production shape: one Arrow batch
+    in, an (media_id, modality, embedding) frame out, payloads never leave
+    the executor.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, FloatType
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "no media encoder available in this environment; "
+                    "plug the model forward pass in here"
+                )
+            vecs = []
+            for content in pdf["content"]:
+                seed = int.from_bytes(
+                    hashlib.sha256(bytes(content)).digest()[:8], "big"
+                )
+                rng = np.random.default_rng(seed)
+                v = rng.standard_normal(dim)
+                vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "embedding": vecs,
+                }
+            )
+
+    return media.select("media_id", "modality", "content").mapInPandas(
+        _embed, out_schema
+    )

@@ -1099,3 +1099,38 @@ def dedup_canonical_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("norm")
         .select("survivor_id", "n_copies")
     )
+
+
+@register(
+    "multimodal_embed",
+    None,  # encoder is a stubbed model slot (sha256-seeded deterministic
+    # stand-in) — rows-only; shape/determinism/downstream-compat asserted
+    # in tests/test_llm_ops.py
+    doc="Media -> embedding bridge (the CLIP-encoder slot): mapInPandas "
+    "over opaque payloads emits unit-norm array<float> vectors that feed "
+    "straight into the engine's similarity/dedup/PCA operators — the "
+    "Spark-side plumbing (Arrow batch shape, schema, normalization, "
+    "payloads never leaving executors) is real; only the model forward "
+    "pass is a deterministic stand-in (strict mode raises at the encoder "
+    "slot). operators/multimodal.py::embed_media.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_embed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.multimodal import embed_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    emb = embed_media(media, dim=64)
+    return emb.select(
+        "media_id",
+        "modality",
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e1"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("sq_norm"),
+    )

@@ -471,3 +471,38 @@ def test_minhash_cross_pairs_recall_against_exact(docs, spark):
     assert exact, "fixture should contain cross-boundary near-duplicates"
     recall = len(exact & got) / len(exact)
     assert recall >= 0.8, f"recall {recall} over {len(exact)} exact pairs"
+
+
+def test_embed_media_shape_determinism_and_downstream(docs, spark):
+    """The encoder bridge: unit-norm vectors, stable across runs and
+    partitionings, and consumable by the similarity operators."""
+    import numpy as np
+
+    from canvas_data_aws_spark.operators.multimodal import documents_as_media, embed_media
+    from canvas_data_aws_spark.operators.similarity import cosine_topk_bruteforce
+
+    media = documents_as_media(docs.limit(50))
+    emb = embed_media(media, dim=16)
+    rows = emb.collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        v = np.array(r.embedding)
+        assert v.shape == (16,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # deterministic across evaluations and partitionings
+    again = {r.media_id: list(r.embedding) for r in embed_media(media.repartition(7), dim=16).collect()}
+    assert all(list(r.embedding) == again[r.media_id] for r in rows)
+    # downstream: ANN-ready
+    q = emb.limit(2).select(F.col("media_id").alias("query_id"), "embedding")
+    top = cosine_topk_bruteforce(emb, q, k=3, corpus_id="media_id")
+    assert top.count() == 6
+
+
+def test_embed_media_strict_raises(docs, spark):
+    import pytest as _pytest
+
+    from canvas_data_aws_spark.operators.multimodal import documents_as_media, embed_media
+
+    media = documents_as_media(docs.limit(5))
+    with _pytest.raises(Exception, match="NotImplementedError|no media encoder"):
+        embed_media(media, strict=True).collect()
