@@ -37,7 +37,9 @@ def connected_components(
     bidir = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionAll(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-    bidir = bidir.distinct().cache()
+    # hash-partition on src ONCE: every round's join then moves only the
+    # (tiny) label set; the edge list never re-exchanges
+    bidir = bidir.distinct().repartition("src").cache()
 
     # Iterate only over vertices that touch an edge — in a dedup graph
     # that's a tiny fraction of the corpus. Singletons (component = self)
@@ -106,13 +108,20 @@ def pagerank(
     Each iteration is one join (edges x ranks, co-partitioned on src) and
     one aggregation (contributions by dst) — the BSP step as Catalyst plans
     it. ``localCheckpoint`` truncates the lineage each round so the plan
-    doesn't grow exponentially; at real graph scale you'd pre-partition
-    edges by src once so every iteration reuses the same exchange.
+    doesn't grow exponentially; the edge list is hash-partitioned on src
+    ONCE up front, so each iteration shuffles only the node-sized rank
+    table, never the edges.
     Deterministic: float summation differences across partitionings sit at
     ~1e-15, far below the ROUND(4) the query surface pins.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
-    e = e.persist()
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        # hash-partition on src ONCE: each power iteration then shuffles only
+        # the node-sized rank table, never the edge list
+        .repartition("src")
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
