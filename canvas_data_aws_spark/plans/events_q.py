@@ -889,3 +889,105 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
         .agg(F.count("*").cast("bigint").alias("n_patterns"))
     )
+
+
+@register(
+    "ts_interpolate_linear",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ROUND(AVG(value), 4) AS day_avg
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans
+    ),
+    j AS (
+      SELECT g.user_id, g.day, d.day_avg
+      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    ),
+    f AS (
+      SELECT user_id, day, day_avg,
+        LAST_VALUE(day_avg IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS pv,
+        LAST_VALUE(CASE WHEN day_avg IS NOT NULL THEN day END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS pd,
+        FIRST_VALUE(day_avg IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN day_avg IS NOT NULL THEN day END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, day,
+           ROUND(CASE
+             WHEN day_avg IS NOT NULL THEN day_avg
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * date_diff('day', pd, day) * 1.0
+                       / date_diff('day', pd, nd)
+           END, 4) AS value_interp,
+           day_avg IS NULL AS was_gap
+    FROM f
+    """,
+    doc="Resample + LINEAR interpolation — ts_resample_ffill's sibling for "
+    "signals where a gap should trend toward the next observation instead "
+    "of holding the last: backward (last ignore-nulls) and forward (first "
+    "ignore-nulls) references both ride the SAME user_id window sort, then "
+    "the lerp is row-local arithmetic. Edges clamp to the nearest known "
+    "value. One user_id exchange for grid, join, both window passes.",
+    tags=("events", "timeseries"),
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("day_avg"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("day_avg").isNotNull(), F.col("day"))
+    f = j.select(
+        "user_id",
+        "day",
+        "day_avg",
+        F.last("day_avg", ignorenulls=True).over(wb).alias("pv"),
+        F.last(known_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("day_avg", ignorenulls=True).over(wf).alias("nv"),
+        F.first(known_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
+        "day", "pd"
+    ) / F.datediff("nd", "pd")
+    return f.select(
+        "user_id",
+        "day",
+        F.round(
+            F.when(F.col("day_avg").isNotNull(), F.col("day_avg"))
+            .when(F.col("pv").isNull(), F.col("nv"))
+            .when(F.col("nv").isNull(), F.col("pv"))
+            .otherwise(lerp),
+            4,
+        ).alias("value_interp"),
+        F.col("day_avg").isNull().alias("was_gap"),
+    )

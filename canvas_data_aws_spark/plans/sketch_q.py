@@ -176,3 +176,94 @@ def corpus_decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_maybe_hits", F.lit(0)) >= 1).alias("contaminated_maybe"),
         )
     )
+
+
+MG_COUNTERS = 512  # >= the 1/threshold of 200 the query uses, with margin
+HH_FRACTION = 200  # report terms with frequency > n/HH_FRACTION
+
+
+def misra_gries_candidates(tokens: DataFrame, tok_col: str = "tok") -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned: a candidate superset
+    of every term with global frequency > n/(MG_COUNTERS+1).
+
+    The guarantee survives partitioning by pigeonhole: a globally heavy
+    term must be locally heavy in at least one partition, and each
+    partition's MG (k counters, weighted decrements) retains all locally
+    heavy terms. State is k counters per partition — fixed memory no
+    matter how large the stream; the union that crosses the wire is
+    <= k * partitions rows. Batches are pre-aggregated with value_counts
+    so the Python loop runs per DISTINCT term, not per token.
+    """
+    import pandas as pd_  # noqa: N813 (closure-local to keep Arrow happy)
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    k = MG_COUNTERS
+    schema = StructType([StructField("cand", StringType())])
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf[tok_col].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+                if len(counters) > k:
+                    m = min(counters.values())
+                    counters = {
+                        key: v - m for key, v in counters.items() if v - m > 0
+                    }
+        yield pd_.DataFrame({"cand": list(counters.keys())})
+
+    return tokens.mapInPandas(_mg, schema)
+
+
+@register(
+    "sketch_heavy_hitters",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split(
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    n AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM toks CROSS JOIN n
+    GROUP BY tok, n.total
+    HAVING COUNT(*) > n.total / 200.0
+    """,
+    doc="Heavy hitters with an EXACT answer at sketch cost: per-partition "
+    "Misra-Gries summaries (512 fixed counters, weighted decrements) give "
+    "a guaranteed candidate superset of every term above n/200; the "
+    "candidates (<= 512 x partitions rows, broadcast) are then exactly "
+    "counted in one semi-joined scan and thresholded. Unlike top-k-by-"
+    "count (a full vocabulary shuffle), the data-sized exchange here "
+    "carries only candidate terms — yet the output is deterministic and "
+    "fully value-oracled, because MG's superset guarantee makes the "
+    "rescore exact, not approximate.",
+    tags=("sketch", "llm"),
+)
+def sketch_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.dedup import spread
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = (
+        spread(docs)
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            F.explode(
+                F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+            ).alias("tok")
+        )
+    )
+    cand = misra_gries_candidates(toks).distinct()
+    n = toks.select(F.count(F.lit(1)).alias("total"))
+    return (
+        toks.join(F.broadcast(cand), toks.tok == cand.cand, "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(n)
+        .filter(F.col("cnt") > F.col("total") / 200.0)
+        .select(
+            F.col("tok").alias("term"),
+            F.col("cnt").cast("bigint").alias("n_occurrences"),
+        )
+    )
