@@ -895,8 +895,12 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_interpolate_linear",
     """
     WITH daily AS (
+      -- UNROUNDED averages: rounding before the lerp manufactures exact
+      -- .00005 halves, where Spark (decimal-string HALF_UP) and DuckDB
+      -- (binary-value rounding) disagree by 1 ulp; raw double averages
+      -- never land on halves, and the single final ROUND is stable
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-             ROUND(AVG(value), 4) AS day_avg
+             AVG(value) AS day_avg
       FROM events GROUP BY 1, 2
     ),
     spans AS (
@@ -925,13 +929,18 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j
     )
     SELECT user_id, day,
-           ROUND(CASE
+           -- raw double, no in-query ROUND: both engines compute the
+           -- bit-identical lerp, but their ROUND(double, n) differ when
+           -- x*10^n lands exactly on .5 (Spark rounds the shortest decimal
+           -- string, DuckDB the scaled binary) — the compare layer's
+           -- 9-decimal canonicalization is the stable equality
+           CASE
              WHEN day_avg IS NOT NULL THEN day_avg
              WHEN pv IS NULL THEN nv
              WHEN nv IS NULL THEN pv
              ELSE pv + (nv - pv) * date_diff('day', pd, day) * 1.0
                        / date_diff('day', pd, nd)
-           END, 4) AS value_interp,
+           END AS value_interp,
            day_avg IS NULL AS was_gap
     FROM f
     """,
@@ -947,7 +956,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     daily = e.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).agg(F.round(F.avg("value"), 4).alias("day_avg"))
+    ).agg(F.avg("value").alias("day_avg"))
     spans = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -982,12 +991,10 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         "user_id",
         "day",
-        F.round(
-            F.when(F.col("day_avg").isNotNull(), F.col("day_avg"))
-            .when(F.col("pv").isNull(), F.col("nv"))
-            .when(F.col("nv").isNull(), F.col("pv"))
-            .otherwise(lerp),
-            4,
-        ).alias("value_interp"),
+        F.when(F.col("day_avg").isNotNull(), F.col("day_avg"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(lerp)
+        .alias("value_interp"),
         F.col("day_avg").isNull().alias("was_gap"),
     )
