@@ -62,7 +62,11 @@ def asof_join(
     ``direction='forward'`` flips both: the EARLIEST right row with
     ``right_ts >= left_ts``, ties ascending (pandas merge_asof's other
     direction) — same argmin/argmax-aggregate shape, so the scale behavior
-    is identical.
+    is identical. ``direction='nearest'`` picks the right row minimizing
+    ``|right_ts - left_ts|`` (no range restriction; equal distances break
+    toward the earlier right_ts, then tie_breakers ascending) via an
+    argmin over an (abs-distance, right_ts, ...) struct — still one
+    map-side-collapsed row per left row through the exchange.
 
     Implementation: equi-range join + per-left-row argmax via MAX over a
     (right_ts, tie_breakers..., right columns) struct. The aggregation gets
@@ -79,6 +83,8 @@ def asof_join(
     ltagged = left.select(F.monotonically_increasing_id().alias("__asof_lid"), "*")
     if direction == "forward":
         rng = right[right_ts] >= ltagged[left_ts]
+    elif direction == "nearest":
+        rng = F.lit(True)
     else:
         rng = right[right_ts] <= ltagged[left_ts]
     cond = (ltagged[left_key] == right[right_key]) & rng
@@ -86,8 +92,16 @@ def asof_join(
 
     ordered_fields = [right_ts] + tie_breakers
     rest = [c for c in right_cols if c not in ordered_fields]
-    pick = F.min if direction == "forward" else F.max
-    best = pick(F.struct(*ordered_fields, *rest)).alias("__asof_best")
+    if direction == "nearest":
+        # cast through TIMESTAMP: NTZ-typed columns reject a direct long cast
+        dist = F.abs(
+            F.col(right_ts).cast("timestamp").cast("long")
+            - F.col(left_ts).cast("timestamp").cast("long")
+        ).alias("__asof_dist")
+        best = F.min(F.struct(dist, *ordered_fields, *rest)).alias("__asof_best")
+    else:
+        pick = F.min if direction == "forward" else F.max
+        best = pick(F.struct(*ordered_fields, *rest)).alias("__asof_best")
     agg = joined.groupBy("__asof_lid").agg(
         *[F.first(c).alias(c) for c in left_cols], best
     )

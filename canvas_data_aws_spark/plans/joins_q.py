@@ -533,3 +533,49 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    """
+    WITH j AS (
+      SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY ABS(date_diff('second', o.o_orderdate, e.ts)) ASC,
+                        o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id
+    )
+    SELECT event_id,
+           o_orderkey  AS nearest_orderkey,
+           o_orderdate AS nearest_orderdate
+    FROM j WHERE rn = 1
+    """,
+    doc="Nearest as-of join (pandas merge_asof direction='nearest', "
+    "completing the backward/forward family): the order closest in time "
+    "to each event in EITHER direction, equal distances breaking toward "
+    "the earlier order then orderkey. Same map-side argmin-aggregate "
+    "collapse — one row per event crosses the exchange, never the "
+    "per-key fan-out.",
+    tags=("joins",),
+)
+def join_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    j = asof_join(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        tie_breakers=["o_orderkey"],
+        how="inner",
+        direction="nearest",
+    )
+    return j.select(
+        "event_id",
+        F.col("o_orderkey").alias("nearest_orderkey"),
+        F.col("o_orderdate").alias("nearest_orderdate"),
+    )

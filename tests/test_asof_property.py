@@ -88,3 +88,33 @@ def test_asof_forward_equals_bruteforce(left, right):
         want = min(cands)[1] if cands else None
         assert got[i] == want, (i, k, h, got[i], want)
     assert len(got) == len(left)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_left_rows, right=_right_rows)
+def test_asof_nearest_equals_bruteforce(left, right):
+    spark = _get_spark()
+    ldf = spark.createDataFrame(
+        [(i, k, _BASE + dt.timedelta(hours=h)) for i, (k, h) in enumerate(left)],
+        ["lid", "key", "ts"],
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, _BASE + dt.timedelta(hours=h)) for j, (k, h) in enumerate(right)],
+        "rid bigint, rkey bigint, rts timestamp",
+    )
+    out = asof_join(
+        ldf, rdf, "key", "rkey", "ts", "rts",
+        tie_breakers=["rid"], how="left", direction="nearest",
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+
+    for i, (k, h) in enumerate(left):
+        lt = _BASE + dt.timedelta(hours=h)
+        cands = [
+            (abs((_BASE + dt.timedelta(hours=rh)) - lt), _BASE + dt.timedelta(hours=rh), j)
+            for j, (rk, rh) in enumerate(right)
+            if rk == k
+        ]
+        want = min(cands)[2] if cands else None
+        assert got[i] == want, (i, k, h, got[i], want)
+    assert len(got) == len(left)
