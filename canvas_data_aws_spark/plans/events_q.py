@@ -998,3 +998,35 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_interp"),
         F.col("day_avg").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "events_seasonality_profile",
+    """
+    SELECT CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Seasonality fingerprint: the (day-of-week x hour-of-day) activity "
+    "matrix — the profile behind staffing/alert baselines and the "
+    "seasonal-naive forecast. One scan, one map-side-combined aggregation "
+    "onto a fixed 168-cell key space (the post-shuffle state is constant "
+    "regardless of data volume). Day numbering pinned to Sunday=0 on both "
+    "engines (Spark's dayofweek is 1-based).",
+    tags=("events", "timeseries"),
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("ts", "value")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
