@@ -703,3 +703,87 @@ def corpus_cross_dedup_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = docs.filter(F.col("doc_id") % 10 < 8)
     delta = docs.filter(F.col("doc_id") % 10 >= 8)
     return minhash_cross_pairs(delta, state, jaccard_threshold=0.5)
+
+
+@register(
+    "corpus_dedup_cascade",
+    r"""
+    WITH raw AS (SELECT doc_id, text FROM documents),
+    ex_ids AS (SELECT MIN(doc_id) AS doc_id FROM raw GROUP BY text),
+    exd AS (SELECT r.doc_id, r.text FROM raw r JOIN ex_ids USING (doc_id)),
+    canon_ids AS (
+      SELECT MIN(doc_id) AS doc_id FROM exd
+      GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+    ),
+    cd AS (SELECT e.doc_id, e.text FROM exd e JOIN canon_ids USING (doc_id)),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(words[i:i+2], ' ')
+                            for i in range(1, len(words) - 1)]) AS shingles
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+                     AS words
+            FROM cd)
+    ),
+    exploded AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ),
+    edges AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) / (ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*)) >= 0.2
+    ),
+    final AS (
+      SELECT doc_id FROM cd
+      WHERE doc_id NOT IN (SELECT id_b FROM edges)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM raw) AS BIGINT) AS n_raw,
+           CAST((SELECT COUNT(*) FROM exd) AS BIGINT) AS n_after_exact,
+           CAST((SELECT COUNT(*) FROM cd) AS BIGINT) AS n_after_canonical,
+           CAST((SELECT COUNT(*) FROM final) AS BIGINT) AS n_after_neardup,
+           ROUND((SELECT COUNT(*) FROM final) * 1.0
+                 / (SELECT COUNT(*) FROM raw), 4) AS retention
+    """,
+    doc="The dedup cascade as ONE accountable query — SCALE.md's staged "
+    "ordering (cheapest tier first) made first-class: byte-exact group "
+    "(hash-keyed), canonicalized exact on the survivors, then exact "
+    "n-gram Jaccard near-dup (inverted-index join, id_b of each pair "
+    "dropped) on what remains — each tier shrinks the population the "
+    "next, costlier tier pays for. The 10x probe measured this ordering "
+    "at 2.3x cheaper than running the pairwise tier raw (17.4 s vs "
+    "39.8 s on the 90%-duplicate corpus). One funnel row out: counts per "
+    "stage + retention.",
+    tags=("llm", "curation", "dedup"),
+)
+def corpus_dedup_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.dedup import ngram_jaccard_pairs
+
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ex_ids = raw.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    exd = raw.join(ex_ids, "doc_id")
+    canon_ids = (
+        exd.groupBy(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")).alias("k")
+        )
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    cd = exd.join(canon_ids, "doc_id")
+    pairs = ngram_jaccard_pairs(cd, k=3, threshold=0.2)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = cd.join(dropped, "doc_id", "left_anti")
+    return (
+        raw.agg(F.count("*").cast("bigint").alias("n_raw"))
+        .crossJoin(exd.agg(F.count("*").cast("bigint").alias("n_after_exact")))
+        .crossJoin(cd.agg(F.count("*").cast("bigint").alias("n_after_canonical")))
+        .crossJoin(final.agg(F.count("*").cast("bigint").alias("n_after_neardup")))
+        .select(
+            "n_raw",
+            "n_after_exact",
+            "n_after_canonical",
+            "n_after_neardup",
+            F.round(F.col("n_after_neardup") / F.col("n_raw"), 4).alias("retention"),
+        )
+    )
