@@ -241,6 +241,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + 1_000_000).alias("dst"),
         )
         .distinct()
+        # eager checkpoint: the union reads eda twice (forward + swapped);
+        # without it the orders x lineitem join + distinct runs twice
+        .localCheckpoint(eager=True)
     )
     bidir = eda.unionAll(eda.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     ranks = pagerank(bidir, iterations=5)
@@ -352,6 +355,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + 1_000_000).alias("dst"),
         )
         .distinct()
+        # eager checkpoint: the union reads eda twice (forward + swapped)
+        .localCheckpoint(eager=True)
     )
     bidir = eda.unionAll(
         eda.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
