@@ -132,8 +132,16 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    score: str = "jaccard",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via an inverted index.
+
+    ``score='containment'`` switches the symmetric Jaccard to min-side
+    containment |A∩B| / min(|A|,|B|) — the asymmetric measure that catches
+    a document EMBEDDED inside a larger one (quote farms, boilerplate
+    wrappers), which Jaccard dilutes toward 0 as the size ratio grows.
+    Same inverted-index candidate generation, same fan-out bounds; only the
+    final row-local arithmetic changes.
 
     explode(shingles) -> self-equi-join on shingle -> |A∩B| per pair ->
     jaccard = inter / (|A| + |B| - inter). Only pairs sharing >=1 shingle
@@ -180,11 +188,16 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    if score == "containment":
+        score_col = F.col("inter") / F.least(F.col("n_a"), F.col("n_b"))
+    elif score == "jaccard":
+        score_col = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    else:
+        raise ValueError(f"score must be 'jaccard' or 'containment', got {score!r}")
     result = (
-        pairs.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        pairs.withColumn(score, F.round(score_col, 6))
+        .filter(F.col(score) >= threshold)
+        .select("id_a", "id_b", score)
     )
     # Materialize the (small, thresholded) pair set eagerly so the cached
     # inverted index can be released now — otherwise repeated calls leak

@@ -52,6 +52,7 @@ def asof_join(
     tie_breakers: list[str] | None = None,
     how: str = "inner",
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join: for every left row, the single latest right row with
     ``right_ts <= left_ts`` on the same key (SURVEY.md §2 B.3 `join_asof`).
@@ -75,18 +76,38 @@ def asof_join(
     O(join matches), through the exchange (a window-dedup would shuffle the
     full fan-out). For very wide time ranges, additionally pre-bucket right
     by (key, coarse time bucket) to bound the join fan-out itself.
+
+    ``tolerance_seconds`` (pandas merge_asof's ``tolerance``) rejects
+    matches farther than the given gap from the left timestamp. Besides the
+    semantic use (a quote older than N days shouldn't price a trade), it is
+    the scale lever for this operator: the range predicate becomes
+    two-sided, so the join fan-out per left row is bounded by right-side
+    density x tolerance instead of the whole key history — the
+    pre-bucketing note above falls out for free once a tolerance exists.
     """
     tie_breakers = tie_breakers or []
     left_cols = left.columns
     right_cols = right.columns
     # Tag every left row uniquely so the argmax groups by exactly one left row.
     ltagged = left.select(F.monotonically_increasing_id().alias("__asof_lid"), "*")
+
+    def _secs(col_name: str, frame: DataFrame):
+        return frame[col_name].cast("timestamp").cast("long")
+
+    tol = None if tolerance_seconds is None else int(tolerance_seconds)
     if direction == "forward":
         rng = right[right_ts] >= ltagged[left_ts]
+        if tol is not None:
+            rng = rng & (_secs(right_ts, right) <= _secs(left_ts, ltagged) + tol)
     elif direction == "nearest":
         rng = F.lit(True)
+        if tol is not None:
+            gap = _secs(right_ts, right) - _secs(left_ts, ltagged)
+            rng = (gap >= -tol) & (gap <= tol)
     else:
         rng = right[right_ts] <= ltagged[left_ts]
+        if tol is not None:
+            rng = rng & (_secs(right_ts, right) >= _secs(left_ts, ltagged) - tol)
     cond = (ltagged[left_key] == right[right_key]) & rng
     joined = ltagged.join(right, cond, "left" if how == "left" else "inner")
 

@@ -363,3 +363,64 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     labels = label_propagation(bidir, iterations=3)
     return labels.select("id", F.col("lab").alias("community"))
+
+
+def _cc_oracle(iters: int = 8) -> str:
+    sql = """
+    WITH eda AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT src, dst FROM eda UNION SELECT dst, src FROM eda),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    l0 AS (SELECT id, id AS lab FROM nodes)"""
+    for k in range(iters):
+        sql += f""",
+    l{k + 1} AS (
+      SELECT t.id, MIN(t.lab) AS lab FROM (
+        SELECT id, lab FROM l{k}
+        UNION ALL
+        SELECT e.dst AS id, l.lab FROM e JOIN l{k} l ON l.id = e.src
+      ) t GROUP BY t.id)"""
+    sql += f"""
+    SELECT id, lab AS component FROM l{iters}"""
+    return sql
+
+
+@register(
+    "graph_connected_components",
+    _cc_oracle(8),
+    doc="Connected components over the customer <-> supplier purchase graph "
+    "by synchronous min-label propagation "
+    "(operators/clustering.py::connected_components): component id = "
+    "smallest vertex id reachable. Per BSP round one co-partitioned "
+    "edge x label join + one min-agg, edge list hash-partitioned ONCE and "
+    "cached, label lineage truncated by localCheckpoint, early-stop at "
+    "fixpoint. The update rule is identical round-by-round to the oracle's "
+    "8 unrolled CTE rounds (min is idempotent past convergence), so the "
+    "whole iterative pipeline value-matches exactly. Same operator "
+    "clusters near-dup document graphs in dedup_cluster/dedup_collapse_best "
+    "— this entry exercises it on a graph with ONE giant component "
+    "(hub-heavy, the skew shape LPA-style algorithms must survive).",
+    tags=("graph", "iterative"),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    eda = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # vertices + edges both read this
+    )
+    verts = (
+        eda.select(F.col("src").alias("id"))
+        .unionAll(eda.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return connected_components(
+        verts, eda, vertex_col="id", src_col="src", dst_col="dst", max_iterations=8
+    ).select("id", "component")

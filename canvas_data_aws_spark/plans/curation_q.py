@@ -787,3 +787,52 @@ def corpus_dedup_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_after_neardup") / F.col("n_raw"), 4).alias("retention"),
         )
     )
+
+
+@register(
+    "corpus_sample_weighted",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ((doc_id * 2654435761 + 40503) % 4294967296 + 1) / 4294967297.0 AS u
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             POWER(u, 1.0 / n_chars) AS pri
+      FROM keyed
+      ORDER BY pri DESC, doc_id
+      LIMIT 200
+    )
+    ORDER BY doc_id
+    """,
+    doc="Weighted sampling WITHOUT replacement, deterministic: "
+    "Efraimidis-Spirakis priority sampling (P(select) proportional to "
+    "weight) with the uniform draw derived from a Knuth multiplicative "
+    "hash of doc_id instead of an RNG — identical integer arithmetic in "
+    "any engine, so the sample is reproducible and oracle-checkable. "
+    "Priority u^(1/w) (w = n_chars, longer docs favored), global top-200 "
+    "by priority = TakeOrdered (per-partition heap + driver merge of 200-"
+    "row heads, no global sort shuffle). The training-data mixing "
+    "primitive: one pass, zero state, re-runs give the same sample. The "
+    "float priority stays internal (only ids survive to output) so the "
+    "value compare is integer-exact; a boundary flip would need two "
+    "priorities within 1 ulp at exactly rank 200.",
+    tags=("curation", "llm"),
+)
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    keyed = d.filter(F.col("n_chars") > 0).withColumn(
+        "u",
+        ((F.col("doc_id") * F.lit(2654435761) + F.lit(40503)) % F.lit(4294967296) + 1)
+        / F.lit(4294967297.0),
+    )
+    pri = keyed.withColumn("pri", F.pow(F.col("u"), F.lit(1.0) / F.col("n_chars")))
+    return (
+        pri.orderBy(F.col("pri").desc(), "doc_id")
+        .limit(200)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -1030,3 +1030,115 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+@register(
+    "ts_ewma",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), c AS (
+      SELECT user_id, event_id, ts, rn,
+             SUM(value * POWER(1.0/0.7, rn)) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM r
+    )
+    SELECT user_id, event_id, ts,
+           ROUND(0.3 * POWER(0.7, rn) * cum / (1 - POWER(0.7, rn)), 4) AS ewma
+    FROM c
+    """,
+    doc="Exponentially weighted moving average (alpha=0.3, adjust-normalized "
+    "like pandas ewm(adjust=True)) per user over event values — the "
+    "time-series smoothing primitive. EWMA is recursive, which Spark "
+    "windows can't express directly; the closed form "
+    "ewma_t = a(1-a)^t * cumsum(x_j/(1-a)^j) / (1-(1-a)^t) turns it into "
+    "one running SUM over the user's time order — pure whole-stage-codegen "
+    "window math, one user_id exchange, no Python. Numerical bound: the "
+    "(1/(1-a))^rn term overflows IEEE double past ~1900 rows per key "
+    "(alpha=0.3); beyond that, segment the sequence by epoch and "
+    "renormalize per segment (two window passes), or drop to a per-key "
+    "applyInPandas single scan — the fixture's per-user histories (<100 "
+    "rows) sit far inside the exact regime.",
+    tags=("events", "timeseries"),
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = 0.3
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.withColumn("rn", F.row_number().over(w))
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = r.withColumn(
+        "cum", F.sum(F.col("value") * F.pow(F.lit(1.0 / (1 - a)), F.col("rn"))).over(wc)
+    )
+    return c.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(
+            F.lit(a)
+            * F.pow(F.lit(1 - a), F.col("rn"))
+            * F.col("cum")
+            / (F.lit(1) - F.pow(F.lit(1 - a), F.col("rn"))),
+            4,
+        ).alias("ewma"),
+    )
+
+
+@register(
+    "events_concurrency",
+    """
+    WITH points AS (
+      SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 300 SECOND, -1, event_id FROM events
+    ),
+    swept AS (
+      SELECT event_type,
+             SUM(delta) OVER (
+               PARTITION BY event_type ORDER BY t, delta, event_id
+               ROWS UNBOUNDED PRECEDING) AS conc
+      FROM points
+    )
+    SELECT event_type, CAST(MAX(conc) AS INT) AS peak_concurrency
+    FROM swept GROUP BY event_type
+    """,
+    doc="Peak concurrency per event type by the classic interval sweep: "
+    "every event opens a 5-minute activity interval, open/close become "
+    "+1/-1 boundary points, a running sum over the time order is the live "
+    "concurrency, and its max is the peak. Closes sort before opens at the "
+    "same instant (delta ASC tie-break) so back-to-back intervals don't "
+    "overlap; event_id makes the order total and the sweep deterministic. "
+    "The running sum is PARTITIONED by event_type — each sweep is an "
+    "independent partition, no global ordering exists; for a single global "
+    "timeline at 100 TB, pre-aggregate boundaries per time bucket (the "
+    "sweep then runs over bucket deltas, thousands of rows, not raw "
+    "events).",
+    tags=("events",),
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "event_id")
+    opens = e.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    closes = e.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 300 SECOND")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = opens.unionAll(closes).withColumn("conc", F.sum("delta").over(w))
+    return swept.groupBy("event_type").agg(
+        F.max("conc").cast("int").alias("peak_concurrency")
+    )

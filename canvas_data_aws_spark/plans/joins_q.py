@@ -579,3 +579,52 @@ def join_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("nearest_orderkey"),
         F.col("o_orderdate").alias("nearest_orderdate"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    """
+    WITH j AS (
+      SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      LEFT JOIN orders o ON o.o_custkey = e.user_id
+        AND o.o_orderdate <= e.ts
+        AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+    )
+    SELECT event_id,
+           o_orderkey  AS asof_orderkey,
+           o_orderdate AS asof_orderdate
+    FROM j WHERE rn = 1
+    """,
+    doc="Bounded as-of join (pandas merge_asof tolerance=30d): latest order "
+    "at-or-before each event but no older than 30 days; events with no "
+    "order inside the window keep NULLs (left semantics). The two-sided "
+    "range predicate is also the scale control for as-of joins: per-event "
+    "join fan-out is bounded by order density x 30 days instead of the "
+    "customer's full history, so the pre-aggregation argmax collapse "
+    "touches O(events x bounded window) rows however long the history "
+    "grows (operators/joins.py::asof_join tolerance_seconds).",
+    tags=("joins",),
+)
+def join_asof_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    j = asof_join(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        tie_breakers=["o_orderkey"],
+        how="left",
+        tolerance_seconds=30 * 86400,
+    )
+    return j.select(
+        "event_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_orderdate").alias("asof_orderdate"),
+    )

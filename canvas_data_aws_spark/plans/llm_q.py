@@ -1134,3 +1134,41 @@ def multimodal_embed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sq_norm"),
     )
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b,
+             COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / LEAST(n_a, n_b), 6) AS containment
+    FROM pairs
+    WHERE inter / LEAST(n_a, n_b) >= 0.6
+    """,
+    doc="Asymmetric containment dedup |A∩B|/min(|A|,|B|): flags a document "
+    "EMBEDDED in a larger one (boilerplate wrappers, quote farms) that "
+    "symmetric Jaccard dilutes toward zero as the size ratio grows — the "
+    "missing fourth measure beside exact/Jaccard/MinHash in a curation "
+    "cascade. Identical inverted-index candidate join as "
+    "dedup_ngram_jaccard (operators/dedup.py::ngram_jaccard_pairs "
+    "score='containment'), so the max_doc_freq fan-out bound applies "
+    "unchanged at corpus scale.",
+    tags=("llm", "dedup"),
+)
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.6,
+        score="containment",
+    )

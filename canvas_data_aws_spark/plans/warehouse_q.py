@@ -377,3 +377,133 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_cnt"), "brand_a", "brand_b")
         .limit(50)
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH anchor AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), (SELECT maxd FROM anchor)) AS INT)
+               AS recency_days,
+             CAST(COUNT(*) AS INT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_exact
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency,
+           CAST(monetary_exact AS DOUBLE) AS monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days ASC,  o_custkey) * 100
+              + NTILE(4) OVER (ORDER BY frequency DESC,    o_custkey) * 10
+              + NTILE(4) OVER (ORDER BY monetary_exact DESC, o_custkey) AS INT)
+             AS rfm_segment
+    FROM rfm
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary "
+    "quartiles, segment code RxFxMx as r*100+f*10+m): the classic "
+    "warehouse marketing analysis. Monetary sums run in DECIMAL so the "
+    "quartile ORDER BY is exact and associative (a double sum's partition-"
+    "order noise could flip NTILE boundaries); every NTILE carries "
+    "o_custkey as tie-breaker. The three global NTILEs are one single-"
+    "partition window pass over ONE ROW PER CUSTOMER (the heavy orders "
+    "scan is already aggregated away); when even that row set outgrows a "
+    "task at extreme scale, swap NTILE for approx_percentile cutpoints "
+    "broadcast back as a row-local CASE — same segments, zero global sort.",
+    tags=("warehouse", "events"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("maxd"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count("*").cast("int").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_exact"),
+        )
+        .crossJoin(F.broadcast(anchor))  # single-row scalar: safe broadcast
+        .select(
+            "o_custkey",
+            F.datediff(F.col("maxd"), F.col("lastd")).cast("int").alias("recency_days"),
+            "frequency",
+            "monetary_exact",
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary_exact").desc(), "o_custkey")
+    return rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.col("monetary_exact").cast("double").alias("monetary"),
+        (
+            F.ntile(4).over(wr) * 100 + F.ntile(4).over(wf) * 10 + F.ntile(4).over(wm)
+        )
+        .cast("int")
+        .alias("rfm_segment"),
+    )
+
+
+@register(
+    "orders_pareto_share",
+    """
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(r) AS t, COUNT(*) AS n FROM rev),
+    ranked AS (
+      SELECT o_custkey, r,
+             ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS rk,
+             SUM(r) OVER (ORDER BY r DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev
+    )
+    SELECT CAST(CEIL(rk * 10.0 / (SELECT n FROM tot)) AS INT) AS decile,
+           ROUND(CAST(MAX(cum) AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE), 4)
+             AS cum_revenue_share
+    FROM ranked GROUP BY 1
+    """,
+    doc="Pareto / whale-curve analysis: customers ranked by exact-decimal "
+    "revenue, cumulative share of total revenue reported at each customer "
+    "decile (the 80/20 concentration measure every revenue team asks "
+    "for). Decimal sums make the rank order and the cumulative sum exact "
+    "and associative; the single-partition window runs on one row per "
+    "CUSTOMER (the orders scan is aggregated away first), and the "
+    "total/count scalar rides a one-row broadcast. At extreme customer "
+    "counts, replace rank with approx_percentile revenue cutpoints per "
+    "decile — same curve, no global sort.",
+    tags=("warehouse",),
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("t"), F.count("*").alias("n"))
+    wr = Window.orderBy(F.col("r").desc(), "o_custkey")
+    ranked = rev.select(
+        "r",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("r").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))  # single-row scalar: safe broadcast
+        .select(
+            F.ceil(F.col("rk") * 10.0 / F.col("n")).cast("int").alias("decile"),
+            "cum",
+            "t",
+        )
+        .groupBy("decile")
+        .agg(
+            F.round(
+                F.max("cum").cast("double") / F.first("t").cast("double"), 4
+            ).alias("cum_revenue_share")
+        )
+    )

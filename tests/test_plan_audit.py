@@ -327,3 +327,41 @@ def test_runtime_bloom_filter_injected(registry, spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString().lower()
     assert "bloom_filter_agg" in plan, plan[:2000]
     assert "might_contain" in plan, plan[:2000]
+
+
+def test_ewma_single_user_exchange(registry, spark, sf_dir):
+    """ts_ewma: row_number and the running weighted sum are both windows
+    over (user_id, time order) — Catalyst must plan ONE user_id exchange
+    shared by both, and the whole closed form stays JVM-side (no Python)."""
+    simple = explain_str(registry["ts_ewma"].fn(spark, sf_dir), mode="simple")
+    assert simple.count("Exchange hashpartitioning") == 1, simple[:2000]
+    assert "Python" not in simple, "EWMA fell off the codegen path"
+
+
+def test_weighted_sample_is_take_ordered(registry, spark, sf_dir):
+    """corpus_sample_weighted: global top-200 by priority must fuse to
+    TakeOrderedAndProject (per-partition heaps + driver merge), never a
+    rangepartitioning sort of the full corpus."""
+    plan = _plan(registry, spark, sf_dir, "corpus_sample_weighted")
+    assert has_operator(plan, "TakeOrderedAndProject"), plan[:2000]
+    assert not has_operator(plan, "Exchange rangepartitioning"), plan[:2000]
+
+
+def test_asof_tolerance_collapses_before_shuffle(registry, spark, sf_dir):
+    """join_asof_tolerance: the argmax aggregate must have a map-side
+    partial (HashAggregate pair), so only one candidate per event crosses
+    the exchange — and the bounded range join must not degrade to a
+    cartesian product."""
+    plan = _plan(registry, spark, sf_dir, "join_asof_tolerance")
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2, plan[:2000]
+    assert not has_operator(plan, "CartesianProduct"), plan[:2000]
+
+
+def test_rfm_scan_prunes_to_three_columns(registry, spark, sf_dir):
+    """customer_rfm_segments: the orders scan must read only the three
+    columns the segmentation touches; everything downstream of the groupBy
+    is one-row-per-customer (the global NTILE windows run on the already-
+    aggregated set, never the raw scan)."""
+    plan = _plan(registry, spark, sf_dir, "customer_rfm_segments")
+    cols = read_schema_columns(plan)
+    assert cols <= {"o_custkey", "o_orderdate", "o_totalprice"}, cols
