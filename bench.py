@@ -77,6 +77,17 @@ HEADLINE = [
     "graph_label_propagation",
     "text_char_entropy",
     "events_funnel_windowed",
+    # round 5 session 3: bounded as-of, EWMA, deterministic weighted
+    # sampling, RFM/Pareto warehouse analytics, containment dedup,
+    # concurrency sweep, connected components
+    "join_asof_tolerance",
+    "ts_ewma",
+    "corpus_sample_weighted",
+    "customer_rfm_segments",
+    "orders_pareto_share",
+    "events_concurrency",
+    "dedup_containment",
+    "graph_connected_components",
 ]
 
 
