@@ -58,26 +58,28 @@ def connected_components(
         # abort class found in graph_triangle_count's 10x probe). Pin the
         # hash build explicitly; AQE still upgrades to broadcast at runtime
         # when the measured shuffle is genuinely small.
-        via_edges = (
+        nbr_min = (
             bidir.join(labels.hint("shuffle_hash"), bidir.src == labels.v)
-            .select(F.col("dst").alias("v"), "component")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("component").alias("nmin"))
         )
-        # eager checkpoint: the label set is tiny (dup population), so
-        # materializing per round costs little and keeps every round's plan
-        # one join deep; it also makes the convergence probe below cheap
+        # min(self, neighbor-min) — identical update rule to the
+        # union+groupBy formulation, but joining against the old labels
+        # lets the convergence flag ride the SAME frame: after the eager
+        # checkpoint, the fixpoint probe is a cached-scan count instead of
+        # a per-round shuffle join of old vs new label sets (measured: one
+        # full join+exchange per round saved).
         new_labels = (
-            labels.unionAll(via_edges)
-            .groupBy("v")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            labels.join(nbr_min.hint("shuffle_hash"), "v", "left")
+            .select(
+                "v",
+                F.least("component", F.coalesce("nmin", "component")).alias("component"),
+                (F.coalesce("nmin", "component") < F.col("component")).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o").hint("shuffle_hash"), "v")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:  # fixpoint: propagation converged
             break
     bidir.unpersist()
