@@ -356,3 +356,64 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_price_exact"),
         F.count("*").cast("bigint").alias("n_orders"),
     )
+
+
+@register(
+    "agg_moments",
+    """
+    WITH sums AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(l_quantity) AS s1,
+             SUM(l_quantity * l_quantity) AS s2,
+             SUM(l_quantity * l_quantity * l_quantity) AS s3,
+             SUM(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND(s1 / n, 4) AS mean_qty,
+           ROUND(s2 / n - (s1 / n) * (s1 / n), 4) AS var_pop,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POWER(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) AS skewness,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POWER(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 4) AS excess_kurtosis
+    FROM sums
+    """,
+    doc="Higher statistical moments (mean/variance/skewness/excess "
+    "kurtosis) from raw power sums s1..s4 — ONE distributed agg with "
+    "map-side partial combine and O(groups) state, then row-local central-"
+    "moment algebra. Built-in skewness()/kurtosis() differ between engines "
+    "(sample vs population conventions); spelling the power-sum formula "
+    "out makes the computation engine-portable AND single-pass — the same "
+    "trick streaming moment sketches use (mergeable power sums).",
+    tags=("aggregates",),
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    q = F.col("l_quantity")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    m = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m * m
+    m3 = F.col("s3") / F.col("n") - 3 * m * (F.col("s2") / F.col("n")) + 2 * m * m * m
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m * (F.col("s3") / F.col("n"))
+        + 6 * m * m * (F.col("s2") / F.col("n"))
+        - 3 * m * m * m * m
+    )
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(m, 4).alias("mean_qty"),
+        F.round(m2, 4).alias("var_pop"),
+        F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2) - 3, 4).alias("excess_kurtosis"),
+    )

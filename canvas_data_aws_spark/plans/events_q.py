@@ -1142,3 +1142,48 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy("event_type").agg(
         F.max("conc").cast("int").alias("peak_concurrency")
     )
+
+
+@register(
+    "events_winsorized_mean",
+    """
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(LEAST(GREATEST(e.value, c.p05), c.p95)), 4) AS winsorized_mean,
+           ROUND(AVG(e.value), 4) AS raw_mean
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    GROUP BY e.event_type
+    """,
+    doc="Winsorized mean per event type: exact P05/P95 cutpoints (linear-"
+    "interpolated percentile, identical convention in both engines), "
+    "values clamped into the band, then averaged — the outlier-robust KPI "
+    "variant next to the raw mean it corrects. Two aggregation passes over "
+    "one event_type exchange family; the cutpoint table is one row per "
+    "type (categorical, genuinely tiny) so AQE broadcasts the join back. "
+    "Exact percentile sorts per group — at 100 TB swap in "
+    "approx_percentile cutpoints (the sketch tier) with everything else "
+    "unchanged.",
+    tags=("events",),
+)
+def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    cuts = e.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        e.join(cuts, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+        )
+    )

@@ -1172,3 +1172,46 @@ def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), k=3, threshold=0.6,
         score="containment",
     )
+
+
+@register(
+    "embed_matryoshka_truncate",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sums AS (
+      SELECT vec_id,
+             list_aggregate(list_transform(v[1:16], x -> x * x), 'sum') AS e16,
+             list_aggregate(list_transform(v, x -> x * x), 'sum') AS e64
+      FROM v
+    )
+    SELECT vec_id,
+           16 AS n_dims_out,
+           ROUND(sqrt(e16), 6) AS l2_norm_16,
+           ROUND(e16 / e64, 6) AS energy_ratio
+    FROM sums
+    """,
+    doc="Matryoshka embedding truncation: keep the first 16 of 64 dims "
+    "(MRL-trained embeddings front-load information), report the truncated "
+    "norm and the preserved-energy ratio ||v16||^2/||v64||^2 — the "
+    "cheap-retrieval prefilter that shrinks ANN index cost 4x before a "
+    "full-dim re-rank. Row-local JVM array math (slice + aggregate), zero "
+    "shuffle, scales embarrassingly.",
+    tags=("llm", "similarity"),
+)
+def embed_matryoshka_truncate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)  # noqa: E731
+    return (
+        emb.withColumn("__v", v)
+        .withColumn("__e16", sq_sum(F.slice(F.col("__v"), 1, 16)))
+        .withColumn("__e64", sq_sum(F.col("__v")))
+        .select(
+            "vec_id",
+            F.lit(16).alias("n_dims_out"),
+            F.round(F.sqrt("__e16"), 6).alias("l2_norm_16"),
+            F.round(F.col("__e16") / F.col("__e64"), 6).alias("energy_ratio"),
+        )
+    )

@@ -507,3 +507,48 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_revenue_share")
         )
     )
+
+
+@register(
+    "orders_gap_distribution",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT CAST(LEAST(gap_days // 7, 12) AS INT) AS gap_week_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap_days), 4) AS avg_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Inter-purchase gap distribution: per-customer consecutive-order "
+    "deltas (one LAG over the customer's time order — the same user_id-"
+    "family exchange every events query shares), bucketed into weeks "
+    "capped at 12+ — the input signal for churn/replenishment models. "
+    "Fixed 13-bucket agg state, map-side combined.",
+    tags=("warehouse", "timeseries"),
+)
+def orders_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy(
+            F.least(F.floor(F.col("gap_days") / 7), F.lit(12))
+            .cast("int")
+            .alias("gap_week_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+        )
+    )
