@@ -1187,3 +1187,47 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("raw_mean"),
         )
     )
+
+
+@register(
+    "events_activity_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    keyed AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INT) AS island_key
+      FROM days
+    )
+    SELECT user_id,
+           MIN(day) AS streak_start,
+           MAX(day) AS streak_end,
+           CAST(COUNT(*) AS INT) AS streak_days
+    FROM keyed
+    GROUP BY user_id, island_key
+    """,
+    doc="Gaps-and-islands: maximal runs of CONSECUTIVE active days per "
+    "user (activity streaks). The classic rewrite — day minus the row "
+    "number of the day is constant exactly within a consecutive run, so "
+    "one window plus one groupBy replaces any self-join formulation. "
+    "Distinct, window, and agg all ride a single user_id exchange family; "
+    "per-user day counts bound every partition.",
+    tags=("events", "timeseries"),
+)
+def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    keyed = days.withColumn(
+        "island_key", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return keyed.groupBy("user_id", "island_key").agg(
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+        F.count("*").cast("int").alias("streak_days"),
+    ).drop("island_key")

@@ -173,3 +173,62 @@ def dq_row_count_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomalous"
         ),
     )
+
+
+@register(
+    "dq_category_drift",
+    """
+    WITH src AS (
+      SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM documents GROUP BY source, lang
+    ),
+    stot AS (SELECT source, SUM(c) AS n_src FROM src GROUP BY source),
+    corp AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS c_corp FROM documents GROUP BY lang
+    ),
+    ctot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_corp FROM documents),
+    grid AS (
+      SELECT st.source, st.n_src, co.lang, co.c_corp
+      FROM stot st CROSS JOIN corp co
+    )
+    SELECT g.source,
+           ROUND(0.5 * SUM(ABS(COALESCE(s.c, 0.0) / g.n_src
+                               - g.c_corp / (SELECT n_corp FROM ctot))), 4)
+             AS tv_distance
+    FROM grid g LEFT JOIN src s ON s.source = g.source AND s.lang = g.lang
+    GROUP BY g.source
+    """,
+    doc="Categorical drift monitor: per-source language distribution vs "
+    "the corpus-wide distribution, scored as total-variation distance "
+    "0.5*sum|p_src - p_corpus| — the data-quality check that catches a "
+    "crawler or loader silently changing its language mix. The (source x "
+    "lang) grid comes from crossing two AGGREGATED frames (categories, "
+    "not rows — missing combinations count as zero share, which an inner "
+    "join would silently drop). Heavy scans aggregate away first; "
+    "everything after is category-sized.",
+    tags=("quality",),
+)
+def dq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    src = d.groupBy("source", "lang").agg(F.count("*").cast("double").alias("c"))
+    stot = src.groupBy("source").agg(F.sum("c").alias("n_src"))
+    corp = d.groupBy("lang").agg(F.count("*").cast("double").alias("c_corp"))
+    ctot = d.agg(F.count("*").cast("double").alias("n_corp"))
+    grid = stot.crossJoin(corp)
+    return (
+        grid.join(src, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(ctot))  # single-row scalar: safe broadcast
+        .groupBy("source")
+        .agg(
+            F.round(
+                0.5
+                * F.sum(
+                    F.abs(
+                        F.coalesce(F.col("c"), F.lit(0.0)) / F.col("n_src")
+                        - F.col("c_corp") / F.col("n_corp")
+                    )
+                ),
+                4,
+            ).alias("tv_distance")
+        )
+    )

@@ -552,3 +552,40 @@ def orders_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
         )
     )
+
+
+@register(
+    "table_latest_by_key",
+    """
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           o_orderdate AS latest_orderdate, o_totalprice AS latest_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="Keep-latest-record compaction (the CDC/upsert-log collapse every "
+    "lakehouse table maintenance job runs): one row per key, the most "
+    "recent version winning by (event time, unique id). Implemented as "
+    "max-over-struct aggregation, NOT a row_number window: the argmax "
+    "combines map-side, so one candidate row per key crosses the exchange "
+    "instead of the full change log being shuffled and sorted — the same "
+    "collapse shape as asof_join. Version-count skew (one hot key with "
+    "millions of updates) dies in the partial aggregate.",
+    tags=("warehouse",),
+)
+def table_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    best = F.max(
+        F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+    ).alias("b")
+    return o.groupBy("o_custkey").agg(best).select(
+        "o_custkey",
+        F.col("b.o_orderkey").alias("latest_orderkey"),
+        F.col("b.o_orderdate").alias("latest_orderdate"),
+        F.col("b.o_totalprice").alias("latest_totalprice"),
+    )
