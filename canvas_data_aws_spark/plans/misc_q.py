@@ -266,3 +266,56 @@ def udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_tokens, out_schema)
+
+
+@register(
+    "stream_transform_with_state",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           MIN(ts) AS first_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Arbitrary stateful processing via transformWithStateInPandas — "
+    "Spark 4's typed-state successor to applyInPandasWithState "
+    "(streaming/stateful.py::user_profile_transform_with_state): per-user "
+    "(count, value-sum, first-seen ts) held in a named ValueState across "
+    "FOUR forced micro-batches (maxFilesPerTrigger=1). Final update-mode "
+    "emission per user (argmax on the monotone count) must equal the "
+    "batch GROUP BY — state survival AND the first-seen minimum across "
+    "batch boundaries are both value-checked. Containers without the "
+    "protobuf runtime transformWithState needs fall back to an "
+    "applyInPandasWithState twin with identical output (dependency gate, "
+    "streaming/stateful.py::user_profile_stateful).",
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.streaming.ops import file_stream_source, start_available_now
+    from canvas_data_aws_spark.streaming.stateful import user_profile_stateful
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    workdir = tempfile.mkdtemp(prefix="cda_tws_")
+    src = os.path.join(workdir, "in")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = user_profile_stateful(
+        file_stream_source(spark, src, schema, max_files_per_trigger=1)
+    )
+    query, name = start_available_now(stream, sink_format="memory", output_mode="update")
+    query.awaitTermination(120)
+    result = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value", "first_ts")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value").alias("total_value"),
+            F.col("s.first_ts").alias("first_ts"),
+        )
+    ).cache()
+    result.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result

@@ -177,3 +177,24 @@ def test_processing_time_schedule_picks_up_new_files(spark, sf_dir, tmp_path):
     finally:
         query.stop()
     assert got == want, f"daemon ingested {got} of {want} rows"
+
+
+def test_user_profile_stateful_gate():
+    """The Spark-4 transformWithState path requires protobuf; the selector
+    must fall back to applyInPandasWithState when it's absent and still
+    produce the declared output schema either way."""
+    from canvas_data_aws_spark.streaming import stateful as st
+
+    assert st.USER_PROFILE_SCHEMA.fieldNames() == [
+        "user_id",
+        "n_events",
+        "total_value",
+        "first_ts",
+    ]
+    if st._tws_runtime_available():
+        import google.protobuf  # noqa: F401  (sanity: gate truthful)
+    else:
+        import pytest
+
+        with pytest.raises(ImportError):
+            from google.protobuf import descriptor  # noqa: F401
