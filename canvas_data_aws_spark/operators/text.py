@@ -221,3 +221,98 @@ def char_entropy(col: Column) -> Column:
         return pd.Series(out)
 
     return _ent(col)
+
+
+def bpe_train_on_vocab(word_counts: list[tuple[str, int]], n_merges: int) -> list[tuple[str, str]]:
+    """Learn BPE merge rules from an aggregated (word, frequency) vocabulary
+    — the classic trainer shape: the CORPUS is reduced distributively to a
+    word-frequency table (bounded by vocabulary size, not corpus size), and
+    the merge loop runs locally over that table. Deterministic: the best
+    pair each round is (count DESC, pair lexicographic ASC).
+
+    Each round recounts adjacent symbol pairs weighted by word frequency,
+    fuses the winning pair in every word, repeats. O(n_merges * vocab *
+    avg_word_len) local work — milliseconds for realistic vocabularies.
+    """
+    vocab: list[tuple[list[str], int]] = [(list(w), c) for w, c in word_counts if len(w) >= 2]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        # determinism: max count, then lexicographically SMALLEST pair
+        best_count = max(counts.values())
+        best_pair = min(p for p, c in counts.items() if c == best_count)
+        merges.append(best_pair)
+        a, b = best_pair
+        fused = a + b
+        new_vocab = []
+        for syms, c in vocab:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((out, c))
+        vocab = new_vocab
+    return merges
+
+
+def bpe_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply learned merges to one word, in training order (standard BPE
+    greedy application)."""
+    syms = list(word)
+    for a, b in merges:
+        fused = a + b
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(fused)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode_counts(
+    df: DataFrame, merges: list[tuple[str, str]], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document BPE token count under the given merge table, as an
+    Arrow-batched pandas UDF (iterative pair fusion is genuinely
+    inexpressible in relational operators — the sanctioned slow-path use).
+    The merge table ships inside the closure (broadcast by value with the
+    task binary; it is merge-count-sized, never corpus-sized). Row-local:
+    zero shuffle, scales embarrassingly."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    frozen = list(merges)
+
+    @pandas_udf("bigint")
+    def _count(texts: pd.Series) -> pd.Series:
+        ws = _re.compile(r"\s+")
+
+        def enc(t: str) -> int:
+            norm = ws.sub(" ", (t or "").lower()).strip()
+            return sum(len(bpe_apply(w, frozen)) for w in norm.split(" ") if w)
+
+        return texts.map(enc)
+
+    return df.select(
+        id_col,
+        F.length(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))).alias(
+            "n_chars_norm"
+        ),
+        _count(F.col(text_col)).alias("n_tokens"),
+    )

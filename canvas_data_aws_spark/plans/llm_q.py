@@ -1215,3 +1215,46 @@ def embed_matryoshka_truncate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__e16") / F.col("__e64"), 6).alias("energy_ratio"),
         )
     )
+
+
+@register(
+    "corpus_bpe_encode",
+    None,  # iterative merge training + greedy fusion: not SQL-expressible
+    doc="Full BPE tokenizer pipeline, the architecture a 100 TB trainer "
+    "actually uses: (1) the corpus reduces DISTRIBUTIVELY to a word-"
+    "frequency vocabulary (one groupBy; bounded by vocab, not corpus — "
+    "capped top-50k by (freq, word) for a deterministic driver bound), "
+    "(2) the merge loop runs locally over that table "
+    "(operators/text.py::bpe_train_on_vocab, 8 merges, ties -> smallest "
+    "pair), (3) the merge rules ship with the task closure and every "
+    "document is encoded by an Arrow-batched pandas UDF — row-local, zero "
+    "shuffle (bpe_encode_counts). Output: per-doc token count + "
+    "chars/token compression. Properties asserted in tests: zero merges "
+    "degenerate to char counts, token counts are monotone non-increasing "
+    "in merge count, and compression >= 1.",
+    tags=("llm", "text"),
+)
+def corpus_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.text import (
+        bpe_encode_counts,
+        bpe_train_on_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    vocab_rows = (
+        docs.select(F.explode(F.split(norm, " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(50_000)
+        .collect()
+    )
+    merges = bpe_train_on_vocab([(r["w"], r["c"]) for r in vocab_rows], n_merges=8)
+    enc = bpe_encode_counts(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_chars_norm") / F.col("n_tokens"), 4).alias("chars_per_token"),
+    )

@@ -506,3 +506,57 @@ def test_embed_media_strict_raises(docs, spark):
     media = documents_as_media(docs.limit(5))
     with _pytest.raises(Exception, match="NotImplementedError|no media encoder"):
         embed_media(media, strict=True).collect()
+
+
+def test_bpe_encode_invariants(spark, sf_dir):
+    """corpus_bpe_encode quality gates (the rows-only oracle substitute):
+    zero merges degenerate to per-word char counts, token counts are
+    monotone non-increasing as merges grow, compression >= 1, and training
+    is deterministic."""
+    import pyspark.sql.functions as F
+
+    from canvas_data_aws_spark.operators.text import (
+        bpe_apply,
+        bpe_encode_counts,
+        bpe_train_on_vocab,
+    )
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    vocab = [
+        (r["w"], r["c"])
+        for r in docs.select(F.explode(F.split(norm, " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+
+    m0 = bpe_train_on_vocab(vocab, 0)
+    m4 = bpe_train_on_vocab(vocab, 4)
+    m8 = bpe_train_on_vocab(vocab, 8)
+    assert m0 == [] and m8[:4] == m4  # prefix-stable, deterministic
+    assert m8 == bpe_train_on_vocab(vocab, 8)  # rerun identical
+
+    def counts(merges):
+        return {
+            r["doc_id"]: r["n_tokens"]
+            for r in bpe_encode_counts(docs, merges).collect()
+        }
+
+    c0, c4, c8 = counts(m0), counts(m4), counts(m8)
+    # zero merges: token count == chars of the whitespace-stripped words
+    chars = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.length(F.regexp_replace(norm, " ", "")).alias("n"),
+        ).collect()
+    }
+    assert c0 == chars
+    assert all(c8[d] <= c4[d] <= c0[d] for d in c0)  # monotone in merges
+    # greedy application agrees with the trainer's own fusion
+    assert sum(len(bpe_apply(w, m8)) * c for w, c in vocab) <= sum(
+        len(w) * c for w, c in vocab
+    )
