@@ -51,24 +51,31 @@ def connected_components(
         .withColumn("component", F.col("v"))
         .localCheckpoint()
     )
+    # Frontier (delta) propagation, the Pregel voteToHalt shape: labels
+    # decrease monotonically, so a vertex needs re-propagation ONLY in the
+    # round after its own label improved. Round k joins the edge list
+    # against the CHANGED set from round k-1 — which collapses from |V|
+    # toward the component fringes within 2-3 rounds — instead of the full
+    # label table every round. Exactness: min(self, min over neighbors
+    # whose label changed) equals min(self, min over ALL neighbors) because
+    # an unchanged neighbor's label was already folded in the round it last
+    # changed.
+    frontier = labels  # round 0: everything just "changed" to its seed
     for _ in range(max_iterations):
-        # labels comes off a localCheckpoint, whose RDD scan carries no
+        # frontier comes off a localCheckpoint, whose RDD scan carries no
         # reliable size stats — without a hint the compile-time planner may
-        # pick the (data-sized) label set as a broadcast build (the 8 GiB
-        # abort class found in graph_triangle_count's 10x probe). Pin the
-        # hash build explicitly; AQE still upgrades to broadcast at runtime
-        # when the measured shuffle is genuinely small.
+        # pick the (data-sized) side as a broadcast build (the 8 GiB abort
+        # class found in graph_triangle_count's 10x probe). Pin the hash
+        # build explicitly; AQE still upgrades to broadcast at runtime when
+        # the measured shuffle is genuinely small.
         nbr_min = (
-            bidir.join(labels.hint("shuffle_hash"), bidir.src == labels.v)
+            bidir.join(frontier.hint("shuffle_hash"), bidir.src == frontier.v)
             .groupBy(F.col("dst").alias("v"))
             .agg(F.min("component").alias("nmin"))
         )
-        # min(self, neighbor-min) — identical update rule to the
-        # union+groupBy formulation, but joining against the old labels
-        # lets the convergence flag ride the SAME frame: after the eager
-        # checkpoint, the fixpoint probe is a cached-scan count instead of
-        # a per-round shuffle join of old vs new label sets (measured: one
-        # full join+exchange per round saved).
+        # The convergence flag rides the checkpointed frame, so both the
+        # fixpoint probe and the next frontier are cached-scan filters —
+        # no old-vs-new join, no recompute.
         new_labels = (
             labels.join(nbr_min.hint("shuffle_hash"), "v", "left")
             .select(
@@ -78,7 +85,8 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("__changed")).count()
+        frontier = new_labels.filter(F.col("__changed")).drop("__changed")
+        changed = frontier.count()
         labels = new_labels.drop("__changed")
         if changed == 0:  # fixpoint: propagation converged
             break
