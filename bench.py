@@ -88,6 +88,10 @@ HEADLINE = [
     "events_concurrency",
     "dedup_containment",
     "graph_connected_components",
+    # round 5 session 3b: classic TPC-H shapes
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
 ]
 
 

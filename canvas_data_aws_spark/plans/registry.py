@@ -77,6 +77,7 @@ def _load_all_modules() -> None:
         sql_surface_q,
         star_q,
         streaming_q,
+        tpch_q,
         warehouse_q,
         windows_extra_q,
         windows_q,

@@ -1,0 +1,174 @@
+"""Classic TPC-H query shapes over the fixture star schema — the
+recognizable OLAP benchmarks a warehouse migration is judged against
+(adapted where the fixture lacks a TPC-H column: Q3 reports
+o_orderpriority for the missing o_shippriority; Q10 trims the customer
+detail columns the fixture doesn't carry).
+
+All revenue math runs in DECIMAL (exact, order-independent) and casts to
+DOUBLE only at the edge, so the value oracle is bit-stable; top-k orders
+carry unique key tie-breakers. Plan shapes: dimension joins broadcast
+(customer/nation/region/supplier under the 64m threshold at fixture
+scale; at 100 TB customer degrades gracefully to a shuffled hash join on
+c_custkey), the fact scan keeps its date/flag predicates pushed down, and
+each aggregate partial-combines before its exchange.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from canvas_data_aws_spark.plans.registry import register
+from canvas_data_aws_spark.sources.parquet import load_table
+
+_REV = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,4))))"
+)
+
+
+def _rev_col() -> F.Column:
+    return F.sum(
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (1 - F.col("l_discount").cast("decimal(18,4)"))
+    )
+
+
+@register(
+    "tpch_q3",
+    f"""
+    SELECT l_orderkey,
+           CAST({_REV} AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 (shipping priority): unshipped high-value orders for one "
+    "market segment. Segment filter broadcast-semi-joins customers into "
+    "orders, both date predicates push to the scans, revenue aggregates "
+    "per order with map-side combine, top-10 fuses to TakeOrdered.",
+    tags=("tpch", "star"),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_rev_col().cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5",
+    f"""
+    SELECT n_name, CAST({_REV} AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 (local supplier volume): revenue by nation where the "
+    "customer and supplier share the nation, one region, one year. The "
+    "snowflake chain region->nation->supplier all broadcasts; the "
+    "customer-nation co-membership predicate rides the supplier join as "
+    "an equi-condition, so no plan edge is non-equi; the one real "
+    "shuffle is lineitem x orders on the order key.",
+    tags=("tpch", "star"),
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_rev_col().cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q10",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST({_REV} AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 (returned items): customers who returned the most "
+    "revenue in one quarter. Quarter + returnflag predicates push to the "
+    "fact scans, nation broadcasts, the per-customer agg partial-combines, "
+    "top-20 fuses to TakeOrdered with c_custkey as the unique tie-break.",
+    tags=("tpch", "star"),
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-10-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_rev_col().cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

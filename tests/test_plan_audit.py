@@ -365,3 +365,23 @@ def test_rfm_scan_prunes_to_three_columns(registry, spark, sf_dir):
     plan = _plan(registry, spark, sf_dir, "customer_rfm_segments")
     cols = read_schema_columns(plan)
     assert cols <= {"o_custkey", "o_orderdate", "o_totalprice"}, cols
+
+
+def test_tpch_q3_pushdown_and_takeordered(registry, spark, sf_dir):
+    """tpch_q3: both date predicates must reach their parquet scans and the
+    top-10 must fuse to TakeOrderedAndProject (no global sort)."""
+    plan = _plan(registry, spark, sf_dir, "tpch_q3")
+    pushed = " ".join(pushed_filters(plan))
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed, pushed
+    assert has_operator(plan, "TakeOrderedAndProject"), plan[:2000]
+    assert not has_operator(plan, "Exchange rangepartitioning"), plan[:2000]
+
+
+def test_tpch_q5_dims_broadcast_no_nonequi(registry, spark, sf_dir):
+    """tpch_q5: the snowflake dims broadcast and every join edge carries an
+    equi-key — the nation co-membership predicate must ride the supplier
+    equi-join, never degrade to a nested loop."""
+    plan = _plan(registry, spark, sf_dir, "tpch_q5")
+    assert has_operator(plan, "BroadcastHashJoin"), plan[:2000]
+    assert not has_operator(plan, "CartesianProduct"), plan[:2000]
+    assert not has_operator(plan, "BroadcastNestedLoopJoin"), plan[:2000]
