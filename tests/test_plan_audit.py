@@ -385,3 +385,25 @@ def test_tpch_q5_dims_broadcast_no_nonequi(registry, spark, sf_dir):
     assert has_operator(plan, "BroadcastHashJoin"), plan[:2000]
     assert not has_operator(plan, "CartesianProduct"), plan[:2000]
     assert not has_operator(plan, "BroadcastNestedLoopJoin"), plan[:2000]
+
+
+def test_tpch_q6_scan_bound(registry, spark, sf_dir):
+    """tpch_q6: all three predicates push to the scan, the projection
+    prunes to exactly the columns used, and the global sum partial-
+    combines — the plan must be scan + two HashAggregates, no exchange
+    other than the final single-partition gather."""
+    plan = _plan(registry, spark, sf_dir, "tpch_q6")
+    pushed = " ".join(pushed_filters(plan))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed, pushed
+    cols = read_schema_columns(plan)
+    assert cols <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_tpch_q18_semi_join_before_main_join(registry, spark, sf_dir):
+    """tpch_q18: the HAVING threshold must reach orders as a LEFT SEMI
+    join (qualifying keys only), so the three-way join runs on the
+    qualifying set, not all orders."""
+    plan = _plan(registry, spark, sf_dir, "tpch_q18")
+    assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan[:2000]
+    assert has_operator(plan, "TakeOrderedAndProject"), plan[:2000]
