@@ -94,6 +94,7 @@ HEADLINE = [
     "tpch_q10",
     "tpch_q6",
     "tpch_q18",
+    "tpch_q14",
 ]
 
 
