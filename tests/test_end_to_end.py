@@ -105,3 +105,35 @@ def test_full_lifecycle(spark, tmp_path):
 
     for t in CANVAS_SCHEMA:
         spark.sql(f"DROP TABLE IF EXISTS default.`{t}`")
+
+
+def test_scan_ignores_corrupt_files_when_asked(spark, sf_dir, tmp_path):
+    """Resilient scan path for a landing zone with a half-written file:
+    ignoreCorruptFiles skips the junk member and returns every row of the
+    healthy files; the default strict mode must instead surface the
+    corruption rather than silently under-count."""
+    import glob
+    import shutil
+
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkUpgradeException  # noqa: F401
+
+    src = f"{sf_dir}/nation.parquet"
+    d = tmp_path / "landing"
+    d.mkdir()
+    if glob.os.path.isdir(src):
+        for f in glob.glob(f"{src}/*.parquet"):
+            shutil.copy(f, d / glob.os.path.basename(f))
+    else:
+        shutil.copy(src, d / "part-000.parquet")
+    good = spark.read.parquet(str(d)).count()
+    (d / "part-corrupt.parquet").write_bytes(b"PAR1 this is not really parquet")
+
+    tolerant = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(str(d)).count()
+    )
+    assert tolerant == good
+
+    with pytest.raises(Exception) as exc:
+        spark.read.option("ignoreCorruptFiles", "false").parquet(str(d)).count()
+    assert "parquet" in str(exc.value).lower() or "corrupt" in str(exc.value).lower()
