@@ -1258,3 +1258,53 @@ def corpus_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("n_chars_norm") / F.col("n_tokens"), 4).alias("chars_per_token"),
     )
+
+
+@register(
+    "sim_ivf_recall_report",
+    None,  # depends on KMeans cell assignment — rows-only by design
+    doc="ANN quality observability as a one-call query: recall@10 of the "
+    "IVF path (nprobe=4/16 cells) against exact brute-force cosine for "
+    "the probe batch, per query and overall. The join is on (query_id, "
+    "vec_id) over two k-sized result sets — the report costs two top-k "
+    "passes, nothing more. This is the serving-quality dashboard number "
+    "a production ANN deployment watches when retuning nprobe/n_clusters "
+    "as the corpus drifts; tests pin a recall floor "
+    "(tests/test_llm_ops.py), this query exposes the same measurement to "
+    "users.",
+    tags=("llm", "similarity"),
+)
+def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_index,
+        ivf_query,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = ivf_query(ivf_index(emb, n_clusters=16), queries, k=10, nprobe=4).select(
+        "query_id", "vec_id"
+    )
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall_at_10"),
+        )
+    )
+    return per_q.orderBy("query_id")
