@@ -319,3 +319,49 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(workdir, ignore_errors=True)
     return result
+
+
+@register(
+    "udtf_sentence_split",
+    """
+    WITH sents AS (
+      SELECT doc_id, string_split(text, '.') AS parts FROM documents
+    )
+    SELECT doc_id,
+           CAST(pos - 1 AS INT) AS sentence_no,
+           trim(s) AS sentence,
+           CAST(length(trim(s)) AS INT) AS n_chars
+    FROM (SELECT doc_id, unnest(parts) AS s,
+                 generate_subscripts(parts, 1) AS pos
+          FROM sents)
+    WHERE length(trim(s)) > 0
+    """,
+    doc="Native Python UDTF (Spark 4 @udtf class API — eval() yields "
+    "output rows per input row): sentence segmentation of each document, "
+    "emitting (sentence_no, sentence, n_chars). Lateral-joined per row, "
+    "Arrow-batched (spark.sql.execution.pythonUDTF.arrow.enabled), "
+    "row-local — zero shuffle, the 1:N expansion shape at its most "
+    "idiomatic. Complements udtf_flatmap's mapInPandas formulation with "
+    "the first-class UDTF surface.",
+    tags=("udf",),
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="sentence_no int, sentence string, n_chars int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, raw in enumerate(text.split(".")):
+                s = raw.strip()
+                if s:
+                    yield i, s, len(s)
+
+    SentenceSplit_reg = SentenceSplit  # local name; shipped by value
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.lateralJoin(
+        SentenceSplit_reg(F.col("text").outer())
+    ).select("doc_id", "sentence_no", "sentence", "n_chars")
