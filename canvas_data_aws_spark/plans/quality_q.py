@@ -232,3 +232,41 @@ def dq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_distance")
         )
     )
+
+
+@register(
+    "dq_k_anonymity",
+    """
+    WITH cells AS (
+      SELECT c.c_mktsegment, n.n_name, COUNT(*) AS cell_size
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY c.c_mktsegment, n.n_name
+    )
+    SELECT c_mktsegment, n_name, CAST(cell_size AS BIGINT) AS cell_size,
+           cell_size < 5 AS below_k
+    FROM cells
+    """,
+    doc="k-anonymity audit over the quasi-identifier pair (market segment, "
+    "nation): every equivalence-class size, flagged when under k=5 — the "
+    "data-governance gate a training-data release runs before shipping "
+    "user-derived tables (small cells re-identify individuals). One "
+    "broadcast dim join + one grouped count with map-side combine; the "
+    "output is category-product-sized however big the input. "
+    "Generalization/suppression of the flagged cells is the downstream "
+    "policy step; this query is the measurement.",
+    tags=("quality",),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count("*").alias("cell_size"))
+        .select(
+            "c_mktsegment",
+            "n_name",
+            "cell_size",
+            (F.col("cell_size") < 5).alias("below_k"),
+        )
+    )

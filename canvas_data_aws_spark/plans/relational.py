@@ -436,3 +436,60 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "snap=1"), os.path.join(base, "snap=2")
     )
     return back.select("doc_id", "lang", F.col("n_chars").cast("bigint"))
+
+
+@register(
+    "scan_jsonl_malformed",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_user
+    FROM (SELECT user_id FROM events WHERE event_id < 500)
+    """,
+    doc="Malformed-JSONL resilience: a landing file with garbage lines "
+    "interleaved reads under PERMISSIVE mode with a _corrupt_record "
+    "column — bad lines quarantine into the rescue column instead of "
+    "failing the job or silently vanishing, and the count of survivors "
+    "equals the clean subset exactly (the oracle checks that). The "
+    "dropped-line count is observable (corrupt-record IS NOT NULL) for a "
+    "dead-letter sink. Same landing-zone posture as scan_tsv_malformed "
+    "and the ignoreCorruptFiles parquet test.",
+)
+def scan_jsonl_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500).select(
+        "event_id", "user_id"
+    )
+    out = os.path.join(tempfile.gettempdir(), f"cda_jsonl_bad_{_sf_tag(sf_dir)}")
+    ev.coalesce(1).write.mode("overwrite").json(out)
+    assert glob.glob(os.path.join(out, "part-*.json"))
+    # a separate junk member (appending to a Spark-written part would break
+    # its .crc sidecar and fail the read with ChecksumException instead)
+    with open(os.path.join(out, "part-zz-junk.json"), "w", encoding="utf-8") as f:
+        f.write('{"event_id": broken json here\n')
+        f.write("not json at all\n")
+        f.write('{"event_id": 999999, "user_id": \n')
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    back = back.cache()
+    valid = back.filter(F.col("_corrupt_record").isNull())
+    return valid.agg(
+        F.count("*").alias("n_valid"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_user"),
+    )
