@@ -1308,3 +1308,85 @@ def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_q.orderBy("query_id")
+
+
+_BM25_TERMS = ("data", "learning", "model")
+
+
+@register(
+    "text_bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * (t.tf * (1.5 + 1.0))
+                 / (t.tf + 1.5 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+      FROM tf t
+      JOIN df d ON t.term = d.term
+      JOIN dl l ON t.doc_id = l.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS bm25
+    FROM scored
+    ORDER BY ROUND(score, 4) DESC, doc_id
+    LIMIT 10
+    """,
+    doc="BM25 keyword search (k1=1.5, b=0.75, the classic Okapi relevance "
+    "function) for a fixed 3-term query, entirely relational: inverted "
+    "index = explode+groupBy term frequencies, document lengths and the "
+    "(n_docs, avgdl) scalar aggregate away distributively, the query's "
+    "term set semi-joins the index (query-sized — broadcast by AQE), and "
+    "per-doc scores sum in one grouped agg. The production split mirrors "
+    "ivf_index/ivf_query: persist tf/dl/df partitioned by term once, "
+    "serve queries against the parquet index with term-directory pruning "
+    "— the same architecture Lucene distributes, expressed as DataFrames. "
+    "Scores round to 4dp before the rank so the top-10 cut is "
+    "cross-engine deterministic (doc_id tie-break).",
+    tags=("llm", "text"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = (
+        tf.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    k1, b = 1.5, 0.75
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * ((1 - b) + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(df_t, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))  # single-row scalar: safe broadcast
+        .groupBy("doc_id")
+        .agg(F.sum(idf * (F.col("tf") * (k1 + 1.0)) / denom).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
