@@ -1390,3 +1390,54 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "text_bm25_query_served",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * (t.tf * (1.5 + 1.0))
+                 / (t.tf + 1.5 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+      FROM tf t
+      JOIN df d ON t.term = d.term
+      JOIN dl l ON t.doc_id = l.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS bm25
+    FROM scored
+    ORDER BY ROUND(score, 4) DESC, doc_id
+    LIMIT 10
+    """,
+    doc="The BM25 SERVING path under the same value oracle: index built "
+    "via operators/search.py::bm25_index (hash-bucketed postings, the "
+    "layout persisted at write time), query via bm25_query — literal "
+    "bucket IN prunes statically to the query terms' directories "
+    "(corruption-proof test in tests/test_search.py). Identical scores "
+    "to the one-shot text_bm25_search by construction; this entry keeps "
+    "the served path itself inside the correctness gate.",
+    tags=("llm", "text"),
+)
+def text_bm25_query_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.search import bm25_index, bm25_query
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_query(bm25_index(docs), list(_BM25_TERMS), k=10)

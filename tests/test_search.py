@@ -1,0 +1,71 @@
+"""BM25 serving-split tests: the persisted index answers identically to
+the in-memory build, agrees with the oracle-checked one-shot query, and
+bucket partitioning provably prunes — a query touches only its terms'
+bucket directories."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from canvas_data_aws_spark.operators.search import Bm25Index, bm25_index, bm25_query
+from canvas_data_aws_spark.sources.parquet import load_table
+
+TERMS = ["data", "learning", "model"]
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def test_bm25_query_matches_oneshot_registry_query(spark, sf_dir):
+    """Same normalization, same constants: the serving split must score
+    identically to the oracle-checked text_bm25_search formulation."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    idx = bm25_index(_docs(spark, sf_dir))
+    served = sorted(map(tuple, bm25_query(idx, TERMS, k=10).collect()))
+    oneshot = sorted(
+        map(tuple, all_queries()["text_bm25_search"].fn(spark, sf_dir).collect())
+    )
+    assert served == oneshot
+
+
+def test_bm25_bucket_pruning(spark, sf_dir, tmp_path):
+    """Corrupt every NON-target bucket directory of the persisted postings
+    table; the query must still answer (and match the in-memory path) —
+    proof that the literal bucket IN prunes statically to the query
+    terms' buckets."""
+    from canvas_data_aws_spark.operators.search import term_bucket
+
+    idx = bm25_index(_docs(spark, sf_dir), n_buckets=16)
+    d = str(tmp_path / "bm25_tf")
+    idx.tf.write.partitionBy("bucket").mode("overwrite").parquet(d)
+    spark.catalog.clearCache()
+    on_disk = Bm25Index(
+        tf=spark.read.parquet(d),
+        dl=idx.dl,
+        stats=idx.stats,
+        n_buckets=16,
+    )
+    expected = sorted(map(tuple, bm25_query(idx, TERMS, k=10).collect()))
+
+    tdf = spark.createDataFrame([(t,) for t in TERMS], ["term"])
+    target = {
+        r["b"] for r in tdf.select(term_bucket(F.col("term"), 16).alias("b")).collect()
+    }
+    corrupted = 0
+    for bucket_dir in glob.glob(os.path.join(d, "bucket=*")):
+        bucket_val = int(bucket_dir.rsplit("=", 1)[1])
+        if bucket_val in target:
+            continue
+        for f in glob.glob(os.path.join(bucket_dir, "*.parquet")):
+            with open(f, "wb") as fh:
+                fh.write(b"corrupt")
+            corrupted += 1
+    assert corrupted > 0, "fixture degenerated: every bucket is a target"
+
+    got = sorted(map(tuple, bm25_query(on_disk, TERMS, k=10).collect()))
+    assert got == expected
