@@ -95,6 +95,10 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q18",
     "tpch_q14",
+    "text_bm25_search",
+    "events_activity_islands",
+    "table_latest_by_key",
+    "agg_moments",
 ]
 
 
