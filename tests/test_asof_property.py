@@ -118,3 +118,37 @@ def test_asof_nearest_equals_bruteforce(left, right):
         want = min(cands)[2] if cands else None
         assert got[i] == want, (i, k, h, got[i], want)
     assert len(got) == len(left)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_left_rows, right=_right_rows, tol_hours=st.integers(0, 20))
+def test_asof_tolerance_equals_bruteforce(left, right, tol_hours):
+    """tolerance_seconds must equal the brute-force 'latest right at or
+    before, but no older than tol' — including the left-row-survives-with-
+    NULL case when nothing is inside the window."""
+    spark = _get_spark()
+    ldf = spark.createDataFrame(
+        [(i, k, _BASE + dt.timedelta(hours=h)) for i, (k, h) in enumerate(left)],
+        ["lid", "key", "ts"],
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, _BASE + dt.timedelta(hours=h)) for j, (k, h) in enumerate(right)],
+        "rid bigint, rkey bigint, rts timestamp",
+    )
+    out = asof_join(
+        ldf, rdf, "key", "rkey", "ts", "rts",
+        tie_breakers=["rid"], how="left",
+        tolerance_seconds=tol_hours * 3600,
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+
+    for i, (k, h) in enumerate(left):
+        lt = _BASE + dt.timedelta(hours=h)
+        lo = lt - dt.timedelta(hours=tol_hours)
+        cands = [
+            (j, _BASE + dt.timedelta(hours=rh))
+            for j, (rk, rh) in enumerate(right)
+            if rk == k and lo <= _BASE + dt.timedelta(hours=rh) <= lt
+        ]
+        want = max(cands, key=lambda c: (c[1], c[0]))[0] if cands else None
+        assert got.get(i) == want, (i, got.get(i), want)
