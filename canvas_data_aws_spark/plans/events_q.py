@@ -1231,3 +1231,57 @@ def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("streak_end"),
         F.count("*").cast("int").alias("streak_days"),
     ).drop("island_key")
+
+
+@register(
+    "events_bounce_rate",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    ),
+    sizes AS (
+      SELECT user_id, session_no, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_no
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounced,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS bounce_rate
+    FROM sizes
+    """,
+    doc="Bounce rate: share of 30-minute-gap sessions containing exactly "
+    "one event — the engagement KPI beside DAU/retention. Session ids "
+    "come from the standard gap-cumsum (one LAG + one running SUM on the "
+    "same user_id window sort), session sizes from one grouped count, and "
+    "the final ratio from a fixed-size global agg. The whole pipeline "
+    "rides a single user_id exchange family.",
+    tags=("events",),
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.withColumn(
+        "session_no",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sizes = sess.groupBy("user_id", "session_no").agg(F.count("*").alias("n_events"))
+    bounced = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sizes.agg(
+        F.count("*").alias("n_sessions"),
+        bounced.cast("bigint").alias("n_bounced"),
+        F.round(bounced * 1.0 / F.count("*"), 4).alias("bounce_rate"),
+    )

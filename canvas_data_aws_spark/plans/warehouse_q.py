@@ -589,3 +589,84 @@ def table_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.o_orderdate").alias("latest_orderdate"),
         F.col("b.o_totalprice").alias("latest_totalprice"),
     )
+
+
+@register(
+    "orders_cohort_ltv_curve",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, CAST(date_trunc('month', MIN(o_orderdate)) AS DATE)
+               AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    spend AS (
+      SELECT f.cohort_month,
+             CAST(date_diff('month', f.cohort_month,
+                            date_trunc('month', o.o_orderdate)) AS INT) AS month_offset,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ),
+    cohort_sizes AS (
+      SELECT cohort_month, CAST(COUNT(*) AS DOUBLE) AS n_users
+      FROM firsts GROUP BY cohort_month
+    )
+    SELECT s.cohort_month, s.month_offset,
+           -- UNROUNDED: decimal-cum / integer-count quotients land on exact
+           -- .xxxx5 halves where Spark and DuckDB ROUND(double) disagree by
+           -- 1 ulp; both engines compute the bit-identical raw double, and
+           -- the comparator's 9-decimal canonicalization defines equality
+           CAST(SUM(s.rev) OVER (PARTITION BY s.cohort_month
+                                 ORDER BY s.month_offset
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / c.n_users AS cum_ltv_per_user
+    FROM spend s JOIN cohort_sizes c ON s.cohort_month = c.cohort_month
+    """,
+    doc="Cohort LTV curves: cumulative revenue per user by acquisition "
+    "month and month offset — the growth-finance view that prices "
+    "acquisition spend. Cohort assignment is one customer agg; monthly "
+    "cohort revenue is DECIMAL-exact; the cumulative sum runs per cohort "
+    "(bounded partitions: months per cohort) after the heavy orders scan "
+    "has been aggregated to cohort x offset cells. Same one-exchange "
+    "family as the retention cohort query.",
+    tags=("warehouse", "events"),
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort_month")
+    )
+    spend = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")), F.col("cohort_month")
+            )
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count("*").cast("double").alias("n_users")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spend.join(sizes, "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            (F.sum("rev").over(w).cast("double") / F.col("n_users")).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+    )
