@@ -1441,3 +1441,28 @@ def text_bm25_query_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_query(bm25_index(docs), list(_BM25_TERMS), k=10)
+
+
+@register(
+    "sim_search_pq",
+    None,  # codebooks are k-means/seed-dependent — rows-only by design
+    doc="Product-quantized ANN (FAISS PQ16x16 + exact rescore): unit "
+    "vectors split into 16 subspaces, each k-means-coded on a bounded "
+    "sample, so the corpus ships as 16 small ints per vector — a 16x+ "
+    "compression over float32 (the tier beyond int8's 4x; "
+    "operators/similarity.py::pq_index/pq_query). Queries score by m "
+    "table lookups per candidate (the LUT is built once per Arrow batch), "
+    "shortlist by PQ score, exact-cosine rescore restores float ranking. "
+    "Zero driver actions on the query path; recall floor pinned in "
+    "tests/test_llm_ops.py.",
+    tags=("llm", "similarity"),
+)
+def sim_search_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.similarity import pq_index, pq_query
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = pq_index(emb, m=16, n_centroids=16)
+    return pq_query(idx, queries, corpus=emb, k=10, shortlist=50)

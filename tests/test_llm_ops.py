@@ -560,3 +560,39 @@ def test_bpe_encode_invariants(spark, sf_dir):
     assert sum(len(bpe_apply(w, m8)) * c for w, c in vocab) <= sum(
         len(w) * c for w, c in vocab
     )
+
+
+def test_pq_recall_and_compression(emb, spark, sf_dir):
+    """PQ quality gates: deterministic codes per seed, 16 codes per vector
+    (16x+ compression vs 64 floats), and recall@10 vs exact cosine >= 0.6
+    after the exact rescore of a 50-deep PQ shortlist."""
+    import pyspark.sql.functions as F
+
+    from canvas_data_aws_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        pq_index,
+        pq_query,
+    )
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    idx = pq_index(emb, m=16, n_centroids=16)
+    codes = idx.codes.limit(5).collect()
+    assert all(len(r["codes"]) == 16 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+    # deterministic: rebuilding yields identical codes
+    again = {r["vec_id"]: r["codes"] for r in pq_index(emb, m=16, n_centroids=16).codes.limit(5).collect()}
+    assert all(again[r["vec_id"]] == r["codes"] for r in codes)
+
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_query(idx, queries, corpus=emb, k=10, shortlist=50).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.6, f"PQ recall@10 too low: {recall}"
