@@ -1466,3 +1466,104 @@ def sim_search_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = pq_index(emb, m=16, n_centroids=16)
     return pq_query(idx, queries, corpus=emb, k=10, shortlist=50)
+
+
+@register(
+    "sim_search_ivf_pq",
+    None,  # kmeans cells + codebooks are seed-dependent — rows-only
+    doc="IVF-PQ — the canonical FAISS serving index, composed from the "
+    "engine's own tiers: coarse quantizer prunes the scan to nprobe=4/16 "
+    "cells (ivf_index), PQ16x16 codes replace float vectors inside the "
+    "probed cells (16x+ memory-bandwidth reduction at scan time), LUT "
+    "ADC scoring shortlists, exact cosine rescores. The codes JOIN the "
+    "cell assignment on the vector id once at index build — at 100 TB "
+    "both are written side by side partitioned by cell, so the query "
+    "reads nprobe directories of m-byte codes, nothing else. Zero driver "
+    "actions on the query path.",
+    tags=("llm", "similarity"),
+)
+def sim_search_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from canvas_data_aws_spark.operators.similarity import (
+        cosine,
+        ivf_index,
+        pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ivf_index(emb, n_clusters=16)
+    pq = pq_index(emb, m=16, n_centroids=16)
+    # index-build-time join: codes ride beside the cell assignment
+    coded_cells = pq.codes.join(
+        ivf.assigned.select("vec_id", "cell"), "vec_id"
+    )
+
+    # probe list: same row-local construction as ivf_query (broadcast
+    # centroid fold, per-row sort, top-nprobe explode)
+    cent_arr = ivf.centroids.agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("__cents")
+    )
+    q = queries.select("query_id", F.col("embedding").alias("__qvec"))
+    scored_cells = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (-cosine(F.col("__qvec"), c["centroid"])).alias("negsim"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_arr))
+        .withColumn("__probe", F.slice(F.array_sort(scored_cells), 1, 4))
+        .select("query_id", "__qvec", F.explode(F.col("__probe.cell")).alias("cell"))
+    )
+    probed = F.broadcast(q_cells).join(coded_cells, "cell")
+
+    # inline ADC scoring on the probed candidate set (per-query candidates
+    # already carry the query vector, so no crossJoin is needed here)
+    from pyspark.sql.types import DoubleType
+
+    bc = spark.sparkContext.broadcast(pq.codebooks)
+
+    @F.pandas_udf(DoubleType())
+    def _adc(codes, qvecs):
+        import numpy as np
+        import pandas as pd
+
+        bks = bc.value
+        mm, kk, ds = bks.shape
+        luts = {}
+        out = np.empty(len(codes))
+        for i in range(len(codes)):
+            qv = np.asarray(qvecs.iloc[i], dtype=np.float64)
+            key = qv.tobytes()
+            lut = luts.get(key)
+            if lut is None:
+                qn = qv / (np.linalg.norm(qv) or 1.0)
+                lut = np.stack([bks[j] @ qn[j * ds : (j + 1) * ds] for j in range(mm)])
+                luts[key] = lut
+            cs = np.asarray(codes.iloc[i], dtype=np.int64)
+            out[i] = lut[np.arange(mm), cs].sum()
+        return pd.Series(out)
+
+    cand = probed.select(
+        "query_id", "vec_id", "__qvec", _adc(F.col("codes"), F.col("__qvec")).alias("s")
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("s").desc(), "vec_id")
+    short = cand.withColumn("__r", F.row_number().over(ws)).filter(F.col("__r") <= 50)
+    rescored = short.join(
+        emb.select("vec_id", F.col("embedding").alias("__cvec")), "vec_id"
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

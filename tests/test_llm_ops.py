@@ -596,3 +596,29 @@ def test_pq_recall_and_compression(emb, spark, sf_dir):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.6, f"PQ recall@10 too low: {recall}"
+
+
+def test_ivf_pq_recall_floor(spark, sf_dir):
+    """IVF-PQ composition: cell pruning stacks on PQ quantization, so the
+    floor is looser than pure PQ — but the exact rescore must still keep
+    recall@10 >= 0.4 against brute force on the fixture."""
+    import pyspark.sql.functions as F
+
+    from canvas_data_aws_spark.operators.similarity import cosine_topk_bruteforce
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in all_queries()["sim_search_ivf_pq"].fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall@10 too low: {recall}"
