@@ -299,3 +299,104 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@register(
+    "tpch_q7",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           CAST({_REV.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")} AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'FRANCE' AND cn.n_name = 'GERMANY')
+        OR (sn.n_name = 'GERMANY' AND cn.n_name = 'FRANCE'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 (volume shipping): bilateral trade revenue between two "
+    "nations by ship year. The nation dimension joins TWICE under "
+    "different roles (supplier side, customer side) — both broadcast; the "
+    "nation-pair disjunction runs as a residual after the joins; the "
+    "two-year ship window pushes to the lineitem scan. One real shuffle: "
+    "lineitem x orders.",
+    tags=("tpch", "star"),
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(_rev_col().cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q17",
+    """
+    WITH avgq AS (
+      SELECT l_partkey, 0.2 * AVG(l_quantity) AS qlim
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avgq a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.qlim
+    """,
+    doc="TPC-H Q17 (small-quantity-order revenue): lineitems under 20% of "
+    "their part's average quantity, for one brand. The correlated "
+    "per-part average becomes an aggregate + self-join on l_partkey — "
+    "the expensive side is the per-part average over ALL lineitem (the "
+    "subquery is uncorrelated with the brand filter in TPC-H semantics), "
+    "partial-combined to one row per part before its exchange; the brand "
+    "filter broadcast-semi-joins part into the probe. DECIMAL sum, one "
+    "division at the edge (exact-over-7 quotients can land on rounding "
+    "halves, so the output ships unrounded per the half-boundary rule).",
+    tags=("tpch", "star"),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    avgq = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qlim"))
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(avgq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qlim"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
