@@ -99,6 +99,7 @@ HEADLINE = [
     "events_activity_islands",
     "table_latest_by_key",
     "agg_moments",
+    "sim_search_pq",
 ]
 
 
