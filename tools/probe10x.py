@@ -1,0 +1,88 @@
+"""10x scale probe: disjoint-copy replicas of sf0.1 tables, time queries
+1x vs 10x (warm, min of 2, noop sink) — the method behind SCALE.md's
+probe tables.
+
+Usage: python tools/probe10x.py <query_name> [...]
+
+Probe each query in a FRESH process: back-to-back probes in one JVM
+contaminate each other through accumulated localCheckpoint blocks and
+cached index state (measured 5x inflation; see SCALE.md). Replicas shift
+every join key (customer/supplier included — unshifted dims silently
+drop 90% of joined rows) and suffix document words per replica so
+shingle spaces stay disjoint."""
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import pyspark.sql.functions as F
+
+from canvas_data_aws_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/cda10x"
+N = 10
+
+spark = get_spark()
+
+
+def build():
+    os.makedirs(DST, exist_ok=True)
+    # small dims: straight copy
+    for t in ["region", "nation", "part"]:
+        if not os.path.exists(f"{DST}/{t}.parquet"):
+            shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    shifts = {
+        "events": ["event_id", "user_id"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_suppkey"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+    }
+    for t, keys in shifts.items():
+        out = f"{DST}/{t}.parquet"
+        if os.path.exists(out):
+            continue
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for i in range(N):
+            rep = base
+            for k in keys:
+                rep = rep.withColumn(k, F.col(k) + F.lit(i * 10_000_000))
+            if t == "documents":
+                # per-word replica suffix: shingle/fingerprint spaces stay
+                # disjoint across replicas (no cross-replica dup pairs)
+                rep = rep.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", r"$1" + f"x{i}")
+                )
+            parts.append(rep)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionAll(p)
+        df.write.mode("overwrite").parquet(out)
+        print(f"built {t}", flush=True)
+
+
+def run(qname, sf_dir):
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    fn = all_queries()[qname].fn
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+if __name__ == "__main__":
+    build()
+    names = sys.argv[1:]
+    for q in names:
+        t1 = run(q, SRC)
+        t10 = run(q, DST)
+        print(f"PROBE {q}: 1x={t1:.2f}s 10x={t10:.2f}s growth={t10 / t1:.1f}x", flush=True)
