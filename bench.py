@@ -100,6 +100,8 @@ HEADLINE = [
     "table_latest_by_key",
     "agg_moments",
     "sim_search_pq",
+    "tpch_q13",
+    "tpch_q22",
 ]
 
 
