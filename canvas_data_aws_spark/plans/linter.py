@@ -32,7 +32,14 @@ from pyspark.sql import DataFrame
 
 from canvas_data_aws_spark.plans.audit import explain_str
 
-__all__ = ["LintFinding", "ScaleLintError", "lint", "assert_scale_safe"]
+__all__ = ["LintFinding", "ScaleLintError", "lint", "assert_scale_safe", "DIMENSION_TABLES"]
+
+# Spec-bounded dimension tables: cardinality fixed by the data model itself
+# (TPC-H: region = 5 rows, nation = 25 rows at EVERY scale factor), so
+# broadcasting their raw scans is safe by catalog knowledge even though the
+# plan shows no structural bound. Extend deliberately — a "dimension" that
+# grows with the data does not belong here.
+DIMENSION_TABLES = frozenset({"region", "nation"})
 
 
 @dataclass(frozen=True)
@@ -81,6 +88,92 @@ def _parse_tree(simple: str) -> list[_Node]:
     return nodes
 
 
+def _is_selective_filter(node_text: str) -> bool:
+    """True when a ``Filter`` node carries a predicate beyond the
+    ``isnotnull(...)`` guards Spark inserts above every equi-join input.
+    Null guards drop no meaningful volume, so a build side whose only
+    Filter is null-guards is NOT bounded by it."""
+    cond = re.sub(r"isnotnull", "", node_text[len("Filter") :])
+    return bool(
+        re.search(r"[<>=]|\bIN\b|LIKE|StartsWith|EndsWith|Contains|isnull", cond)
+    )
+
+
+# Logical-plan node prefixes that structurally bound a subtree's row count
+# (aggregation collapses to its groups, limits cap, literal relations are
+# inline data). A Filter counts only when selective (see
+# ``_is_selective_filter``); a Relation counts only when it is a declared
+# dimension (matched by its signature key column, since the logical
+# ``Relation`` line carries columns, not the file path).
+_BOUNDED_LOGICAL_PREFIXES = (
+    "Aggregate",
+    "GlobalLimit",
+    "LocalLimit",
+    "Limit",
+    "LocalRelation",
+    "OneRowRelation",
+    "Distinct",
+    "Deduplicate",
+    "Intersect",
+    "Range ",
+)
+
+_DIMENSION_SIGNATURE_COLS = {"nation": "n_nationkey", "region": "r_regionkey"}
+
+
+def _lint_broadcast_hints(df: DataFrame) -> list[LintFinding]:
+    try:
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return []
+    lnodes = _parse_tree(logical)
+    dim_sig = "|".join(
+        _DIMENSION_SIGNATURE_COLS[t]
+        for t in sorted(DIMENSION_TABLES)
+        if t in _DIMENSION_SIGNATURE_COLS
+    )
+    for i, n in enumerate(lnodes):
+        if not n.text.startswith("Join ") or "strategy=broadcast" not in n.text:
+            continue
+        children = [
+            (j, m) for j, m in enumerate(lnodes[i + 1 :], start=i + 1) if m.parent is n
+        ]
+        hinted: list[tuple[int, _Node]] = []
+        if "leftHint=(strategy=broadcast" in n.text and children:
+            hinted.append(children[0])
+        if "rightHint=(strategy=broadcast" in n.text and children:
+            hinted.append(children[-1])
+        for j, child in hinted:
+            texts = [child.text]
+            for m in lnodes[j + 1 :]:
+                if m.indent <= child.indent:
+                    break
+                texts.append(m.text)
+            bounded = any(
+                t.startswith(_BOUNDED_LOGICAL_PREFIXES)
+                or (t.startswith("Filter") and _is_selective_filter(t))
+                or (
+                    dim_sig
+                    and t.startswith("Relation")
+                    and re.search(r"Relation \[(?:%s)[,#\]]" % dim_sig, t)
+                )
+                for t in texts
+            )
+            if not bounded:
+                return [
+                    LintFinding(
+                        "unbounded-broadcast",
+                        "warn",
+                        "explicit broadcast hint on a side with no structural "
+                        "bound (no aggregate/limit/selective-filter/literal and "
+                        "not a declared dimension): a hard-coded hint never "
+                        "re-plans at scale — prove the bound or drop the hint "
+                        "and let AQE decide",
+                    )
+                ]
+    return []
+
+
 def lint(df: DataFrame) -> list[LintFinding]:
     simple = _explain(df, "simple")
     formatted = _explain(df, "formatted")
@@ -108,33 +201,30 @@ def lint(df: DataFrame) -> list[LintFinding]:
         if not n.text.startswith("BroadcastNestedLoopJoin"):
             continue
         # Inspect only the BROADCAST child's subtree (the other child is the
-        # streamed side and may legitimately contain anything).
-        join_sub: list[tuple[int, "_Node"]] = []
-        for j, m in enumerate(nodes[i + 1 :], start=i + 1):
-            if m.indent <= n.indent:
-                break
-            join_sub.append((j, m))
-        bx = next(
-            (
-                (j, m)
-                for j, m in join_sub
-                if m.text.startswith(("BroadcastExchange", "BroadcastQueryStage"))
-            ),
-            None,
-        )
-        if bx is None:
-            btexts = [m.text for _, m in join_sub]
-        else:
-            bj, bnode = bx
-            btexts = []
+        # streamed side and may legitimately contain anything). The build
+        # side is the join's DIRECT child on the Build{Left,Right} side —
+        # scanning the whole join subtree for the first BroadcastExchange
+        # would wrongly pick one nested inside the streamed side.
+        children = [
+            (j, m)
+            for j, m in enumerate(nodes[i + 1 :], start=i + 1)
+            if m.parent is n
+        ]
+        build_idx = -1 if "BuildRight" in n.text else 0
+        if children:
+            bj, bnode = children[build_idx] if len(children) > 1 else children[0]
+            btexts = [bnode.text]
             for m in nodes[bj + 1 :]:
                 if m.indent <= bnode.indent:
                     break
                 btexts.append(m.text)
+        else:
+            btexts = [m.text for m in nodes[i + 1 :]]
         # operator checks match node PREFIXES — scan detail lines contain
         # the substring "Filter" (PushedFilters:/DataFilters:) spuriously
         if any(
-            re.match(r"\w*HashAggregate\(keys=\[\]", t) or t.startswith("LocalTableScan")
+            re.match(r"\w*(Hash|Sort)Aggregate\(keys=\[\]", t)
+            or t.startswith("LocalTableScan")
             for t in btexts
         ):
             continue
@@ -178,11 +268,12 @@ def lint(df: DataFrame) -> list[LintFinding]:
                 findings.append(
                     LintFinding(
                         "single-partition-window",
-                        "warn",
+                        "error",
                         f"'{p.text[:60]}' consumes an Exchange SinglePartition: "
-                        "every row flows through one task. Fine for one-row-per-"
-                        "group inputs; for data-sized inputs partition the window "
-                        "or switch to approx cutpoints",
+                        "every row flows through one task. For data-sized inputs "
+                        "partition the window or switch to percentile cutpoints; "
+                        "allowlist (with justification) only when the input is "
+                        "group-reduced to a BOUNDED domain (e.g. a decile table)",
                     )
                 )
                 break
@@ -232,32 +323,18 @@ def lint(df: DataFrame) -> list[LintFinding]:
             )
         )
 
-    # 6. Broadcast of a raw, unfiltered table scan: nothing bounds its
-    #    size but the data. Aggregated/filtered build sides are exempt.
-    for n in nodes:
-        if n.text.startswith("BroadcastExchange"):
-            # subtree ends where indentation returns to <= n.indent
-            trimmed = []
-            for m in nodes[nodes.index(n) + 1 :]:
-                if m.indent <= n.indent:
-                    break
-                trimmed.append(m)
-            texts = " ".join(m.text for m in trimmed)
-            has_scan = "Scan parquet" in texts or "FileScan" in texts
-            bounded = any(
-                k in texts for k in ("HashAggregate", "Filter", "Limit", "LocalTableScan")
-            )
-            if has_scan and not bounded:
-                findings.append(
-                    LintFinding(
-                        "unbounded-broadcast",
-                        "warn",
-                        "BroadcastExchange over a raw unfiltered table scan: its "
-                        "size is bounded only by the data — verify the table is a "
-                        "true dimension or drop the hint and let AQE decide",
-                    )
-                )
-                break
+    # 6. EXPLICIT broadcast hint (F.broadcast / hint("broadcast")) whose
+    #    side is not structurally bounded: nothing but the data bounds what
+    #    the driver must hold and every executor must receive. Provenance
+    #    matters — AQE's own size-based broadcasts re-plan themselves at
+    #    real scale, but a hard-coded hint does NOT, so only hinted joins
+    #    are checked. Hints survive in the OPTIMIZED LOGICAL plan
+    #    (``leftHint=/rightHint=(strategy=broadcast)`` on the Join node);
+    #    the hinted side is bounded when its subtree aggregates, limits,
+    #    dedups, selectively filters (null-guards alone do not count — every
+    #    equi-join inserts isnotnull filters), is a literal relation, or
+    #    scans a declared spec-bounded dimension table.
+    findings.extend(_lint_broadcast_hints(df))
 
     # 7. Shuffle count: not wrong, but worth knowing.
     n_shuffles = simple.count("Exchange hashpartitioning") + simple.count(

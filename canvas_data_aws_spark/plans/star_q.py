@@ -30,8 +30,12 @@ from canvas_data_aws_spark.sources.parquet import load_table
     WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
     GROUP BY r.r_name, n.n_name, year(o.o_orderdate)
     """,
-    doc="TPC-H Q5-shaped 5-way star join: one fact scan, every dim "
-    "broadcast, one aggregation shuffle on (region, nation, year).",
+    doc="TPC-H Q5-shaped 5-way star join: one fact scan; the spec-bounded "
+    "dims (nation=25, region=5 rows at every SF) are broadcast by hint, "
+    "while CUSTOMER — a dim that GROWS with the data — carries no hint: "
+    "AQE broadcasts it at small scale and switches to a shuffle join when "
+    "its measured size says so (a hard-coded hint would pin the 100 TB "
+    "plan to an executor-OOM broadcast).",
     tags=("star",),
 )
 def star_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,7 +48,7 @@ def star_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(
@@ -76,10 +80,11 @@ def star_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Plan shape: lineitem pre-aggregates to per-order revenue BEFORE any "
     "join (map-side combine on l_orderkey shrinks the fact shuffle to one "
     "row per order and turns COUNT(DISTINCT o_orderkey) into a plain "
-    "count), then the per-customer rollup joins the broadcast customer "
-    "dim. Measured 2x vs the naive join-then-countDistinct at sf0.1; at "
-    "100 TB the pre-aggregation is the difference between shuffling "
-    "line items and shuffling orders.",
+    "count), then the per-customer rollup joins the customer dim with no "
+    "forced hint — customer grows with the data, so the join strategy is "
+    "left to AQE's measured sizes. Measured 2x vs the naive "
+    "join-then-countDistinct at sf0.1; at 100 TB the pre-aggregation is "
+    "the difference between shuffling line items and shuffling orders.",
     tags=("star",),
 )
 def star_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,7 +103,7 @@ def star_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        per_cust.join(F.broadcast(c.select("c_custkey", "c_name")), per_cust.o_custkey == c.c_custkey)
+        per_cust.join(c.select("c_custkey", "c_name"), per_cust.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "n_orders", "revenue")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(10)
@@ -117,8 +122,9 @@ def star_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY 1
     """,
-    doc="TPC-H Q14-shaped conditional-share query: broadcast part dim, "
-    "CASE-gated ratio aggregate per ship month.",
+    doc="TPC-H Q14-shaped conditional-share query: part dim join (no "
+    "forced broadcast — part grows with the data, AQE picks the strategy "
+    "from measured sizes), CASE-gated ratio aggregate per ship month.",
     tags=("star",),
 )
 def star_part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +135,7 @@ def star_part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
             F.round(
@@ -153,14 +159,16 @@ def star_part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.c_mktsegment, e.event_type
     """,
     doc="Event-stream-to-dimension join (events.user_id -> customer): the "
-    "engagement rollup a Canvas 'requests'-style fact feeds.",
+    "engagement rollup a Canvas 'requests'-style fact feeds. Customer "
+    "grows with the data, so no forced broadcast — AQE chooses from "
+    "measured sizes.",
     tags=("star",),
 )
 def star_event_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer")
     return (
-        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        e.join(c, e.user_id == c.c_custkey)
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

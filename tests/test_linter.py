@@ -38,7 +38,38 @@ def test_single_partition_window_flagged(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.orderBy("l_orderkey")  # no partitionBy: one giant partition
     df = li.withColumn("rn", F.row_number().over(w))
-    assert "single-partition-window" in _codes(df)
+    findings = {f.code: f.severity for f in lint(df)}
+    # promoted to ERROR (round-5 verdict): the shape must fail the gate
+    assert findings.get("single-partition-window") == "error"
+    with pytest.raises(ScaleLintError):
+        assert_scale_safe(df)
+
+
+def test_unbounded_broadcast_flagged(spark, sf_dir):
+    # Broadcast of a raw, unfiltered FACT scan: nothing bounds its size.
+    # (Regression test for the dead-check bug: every FileScan line contains
+    # the substring "Filter" via PushedFilters:/PartitionFilters:, so a
+    # substring test can never fire — the check must prefix-match nodes.)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    df = o.join(F.broadcast(li), o.o_orderkey == li.l_orderkey)
+    assert "unbounded-broadcast" in _codes(df)
+
+
+def test_bounded_broadcast_not_flagged(spark, sf_dir):
+    # A filtered build side is bounded-by-intent; a declared dimension
+    # (nation: 25 rows at every scale factor) is bounded by the spec.
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    filtered = o.filter(F.col("o_orderstatus") == "F")
+    assert "unbounded-broadcast" not in _codes(
+        li.join(F.broadcast(filtered), li.l_orderkey == filtered.o_orderkey)
+    )
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    assert "unbounded-broadcast" not in _codes(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
 
 
 def test_partitioned_window_not_flagged(spark, sf_dir):
@@ -72,9 +103,15 @@ def test_clean_aggregate_plan_is_quiet(spark, sf_dir):
 #   join_cross          — the cross-join operator itself (bounded dims)
 #   join_theta_nonequi  — nonequi theta join over bounded sides (BNLJ by
 #                         construction; audit asserts no *cartesian*)
+#   orders_pareto_share — the one single-partition window runs over the
+#                         group-reduced DECILE table (<= 10 rows by
+#                         construction: the bucket domain is 1..10); the
+#                         customer-sized input is bucketed by broadcast
+#                         percentile cutpoints, never globally sorted
 _ALLOW: dict[str, set[str]] = {
     "join_cross": {"cartesian-product", "nested-loop-join"},
     "join_theta_nonequi": {"nested-loop-join"},
+    "orders_pareto_share": {"single-partition-window"},
 }
 
 
