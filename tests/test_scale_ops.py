@@ -255,3 +255,54 @@ def test_aqe_splits_skewed_join_partition(spark):
     assert "isFinalPlan=true" in plan, plan[:500]
     assert "skew=true" in plan, plan[:2000]
     assert n == 400_000
+
+
+def test_ewma_long_key_no_overflow(spark, tmp_path):
+    """Regression: the single global EWMA closed form overflowed IEEE double
+    past ~1900 rows per key ((1/0.7)^rn -> Inf, then silent NaNs). The
+    segmented form (512-row epochs, one-segment carry) must stay finite and
+    exact for keys of any length: with a constant input the EWMA is that
+    constant at EVERY row."""
+    import datetime as dt
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    rows = [
+        (1, i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), 5.0)
+        for i in range(1, 5001)
+    ]
+    d = str(tmp_path / "ewma_long")
+    spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"]).write.parquet(
+        os.path.join(d, "events.parquet")
+    )
+    out = all_queries()["ts_ewma"].fn(spark, d).toPandas()
+    assert len(out) == 5000
+    assert not out["ewma"].isna().any()
+    assert (out["ewma"] - 5.0).abs().max() < 1e-9
+
+
+def test_ewma_matches_pandas_ewm(spark, tmp_path):
+    """ts_ewma == pandas ewm(alpha=0.3, adjust=True) after the shared
+    round(4), including across segment boundaries (3000 rows > 5 segments;
+    the truncated >1-segment history carries relative weight 0.7^512 ~
+    2e-80, far below the rounding)."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    rng = np.random.RandomState(7)
+    vals = rng.uniform(-100, 100, 3000)
+    rows = [
+        (2, i + 1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), float(vals[i]))
+        for i in range(3000)
+    ]
+    d = str(tmp_path / "ewma_pd")
+    spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"]).write.parquet(
+        os.path.join(d, "events.parquet")
+    )
+    out = all_queries()["ts_ewma"].fn(spark, d).toPandas().sort_values("event_id")
+    ref = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean().round(4)
+    assert np.abs(out["ewma"].to_numpy() - ref.to_numpy()).max() <= 1e-9

@@ -69,3 +69,17 @@ def test_bm25_bucket_pruning(spark, sf_dir, tmp_path):
 
     got = sorted(map(tuple, bm25_query(on_disk, TERMS, k=10).collect()))
     assert got == expected
+
+
+def test_bm25_query_empty_terms(spark, sf_dir):
+    """An empty query must return an empty (id, bm25) frame with the
+    contract schema — not crash in schema inference on an empty list
+    (regression: public serving API edge)."""
+    from canvas_data_aws_spark.operators.search import bm25_index, bm25_query
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    idx = bm25_index(docs, id_col="doc_id", text_col="text")
+    out = bm25_query(idx, [])
+    assert out.columns == ["doc_id", "bm25"]
+    assert out.count() == 0
