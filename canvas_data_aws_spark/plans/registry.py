@@ -36,6 +36,12 @@ class Query:
     oracle: str | None
     doc: str = ""
     tags: tuple[str, ...] = field(default=())
+    # local_only: the query needs an input the external driver's fixture set
+    # doesn't ship (e.g. the generated partsupp supplement), so it is
+    # excluded from the driver-facing query_map()/oracle_map() and verified
+    # by the local oracle gate instead (tests/test_queries_oracle.py, which
+    # registers the supplemental views).
+    local_only: bool = False
 
 
 def register(
@@ -43,13 +49,21 @@ def register(
     oracle: str | None,
     doc: str = "",
     tags: tuple[str, ...] = (),
+    local_only: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a named query with its DuckDB oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        QUERIES[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            tags=tags,
+            local_only=local_only,
+        )
         return fn
 
     return deco
@@ -96,8 +110,14 @@ def all_queries() -> dict[str, Query]:
 
 
 def query_map() -> dict[str, QueryFn]:
-    return {name: q.fn for name, q in all_queries().items()}
+    """Driver-facing map: excludes local_only entries (their inputs don't
+    exist in the external driver's fixture set)."""
+    return {name: q.fn for name, q in all_queries().items() if not q.local_only}
 
 
 def oracle_map() -> dict[str, str]:
-    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}
+    return {
+        name: q.oracle
+        for name, q in all_queries().items()
+        if q.oracle is not None and not q.local_only
+    }

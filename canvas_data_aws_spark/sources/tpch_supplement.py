@@ -1,0 +1,113 @@
+"""Supplemental TPC-H ``partsupp`` fixture generator.
+
+The driver-provided fixtures (TESTDATA.md) carry nine TPC-H-ish tables but
+no ``partsupp``, which blocks TPC-H Q2/Q9/Q11/Q16/Q20 (reference workload
+parity: a user porting the full TPC-H suite needs the part-supplier bridge).
+This module generates a deterministic, spec-shaped partsupp FROM the
+existing fixtures — 4 supplier rows per part, values derived by hashing the
+key pair — so the engine's capability exists and is oracle-checkable
+locally (DuckDB reads the same generated parquet), even though the external
+driver can never sample these queries (its fixture set is fixed; the
+queries register ``local_only``).
+
+Spec fidelity notes (TPC-H 4.2.3 / dbgen):
+- 4 rows per part, ps_suppkey spread across the supplier range. dbgen's
+  exact stride ``S/4 + (partkey-1)/S`` can collide at the fixtures' tiny
+  supplier counts (S=10 at sf0.001: stride 5 repeats mod 10), so the
+  stride is fixed at ``max(1, S//4)`` — i*stride for i=0..3 stays < S,
+  guaranteeing 4 DISTINCT suppliers per part at every fixture scale.
+- ps_availqty in [1, 9999], ps_supplycost in [1.00, 1000.00] like dbgen's
+  uniforms, but derived from xxhash64(partkey, suppkey, tag) instead of a
+  sequential RNG stream: deterministic under ANY parallelism (dbgen's
+  per-row stream order would serialize generation; a keyed hash makes the
+  generator a pure row-local function, embarrassingly parallel at any
+  scale).
+
+Generation is itself a Spark job (explode part x 4, all JVM expressions)
+writing once to a cache dir keyed by the fixture directory; concurrent
+callers race benignly on an atomic rename.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from canvas_data_aws_spark.sources.parquet import load_table
+
+CACHE_ROOT = os.environ.get(
+    "CDA_SUPPLEMENT_CACHE", os.path.join(tempfile.gettempdir(), "cda_tpch_supplement")
+)
+
+
+def partsupp_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return os.path.join(CACHE_ROOT, tag, "partsupp.parquet")
+
+
+def ensure_partsupp(spark: SparkSession, sf_dir: str) -> str:
+    """Generate partsupp for ``sf_dir`` if absent; return its path."""
+    dest = partsupp_path(sf_dir)
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return dest
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    lo, hi, n = sup.agg(
+        F.min("s_suppkey"), F.max("s_suppkey"), F.count("*")
+    ).collect()[0]
+    if hi - lo + 1 != n:
+        raise ValueError(
+            f"supplier keys not contiguous in {sf_dir} ({lo}..{hi}, n={n}); "
+            "the stride formula needs a dense key range"
+        )
+    stride = max(1, int(n) // 4)
+    ps = (
+        part.select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("__i"),
+        )
+        .select(
+            "ps_partkey",
+            (
+                (F.col("ps_partkey") + F.col("__i") * stride) % int(n) + int(lo)
+            ).alias("ps_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            (
+                F.pmod(F.xxhash64(F.lit("availqty"), "ps_partkey", "ps_suppkey"), F.lit(9999))
+                + 1
+            )
+            .cast("int")
+            .alias("ps_availqty"),
+            F.round(
+                1.0
+                + F.pmod(
+                    F.xxhash64(F.lit("supplycost"), "ps_partkey", "ps_suppkey"),
+                    F.lit(99900),
+                )
+                / 100.0,
+                2,
+            ).alias("ps_supplycost"),
+        )
+    )
+    tmp = dest + f".tmp-{os.getpid()}"
+    # default partitioning — the generator is a row-local map, so it scales
+    # with the part table; readers (Spark or DuckDB's glob) take a directory
+    ps.write.mode("overwrite").parquet(tmp)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        # another process won the race; use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+def load_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(ensure_partsupp(spark, sf_dir))

@@ -26,7 +26,7 @@ def sf_dir() -> str:
 
 
 @pytest.fixture(scope="session")
-def duck(sf_dir):
+def duck(spark, sf_dir):
     import duckdb
 
     con = duckdb.connect()
@@ -36,5 +36,14 @@ def duck(sf_dir):
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    # supplemental partsupp (generated, not driver-shipped): view over the
+    # same parquet the local_only queries read
+    from canvas_data_aws_spark.sources.tpch_supplement import ensure_partsupp
+
+    ps_path = ensure_partsupp(spark, sf_dir)
+    con.execute(
+        "CREATE OR REPLACE VIEW partsupp AS "
+        f"SELECT * FROM read_parquet('{ps_path}/*.parquet')"
+    )
     yield con
     con.close()
