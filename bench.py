@@ -102,7 +102,45 @@ HEADLINE = [
     "sim_search_pq",
     "tpch_q13",
     "tpch_q22",
+    # round 6: partsupp-based TPC-H (generated supplement; local-only in
+    # the registry but fully runnable here)
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
 ]
+
+# The external harness that records bench output keeps only the LAST ~2000
+# characters of stdout, so the final JSON line must stay under this budget
+# to parse (round 5's full per-query line overflowed and recorded
+# parsed=null). Full per-query timings go to BENCH_FULL.json and an earlier
+# stdout line; the final line carries the total plus as many per-query
+# entries as fit, slowest first (the entries a reader audits).
+FINAL_LINE_BUDGET = 1800
+
+
+def compact_result(timings: dict[str, float], sf: float) -> dict:
+    total = round(sum(timings.values()), 3)
+    base = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_omitted_fastest": len(timings),  # placeholder at max width so the
+        "full": "BENCH_FULL.json",  # budget check accounts for its digits
+        "queries": {},
+    }
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    for name, t in by_cost:
+        candidate = dict(base)
+        candidate["queries"] = {**base["queries"], name: round(t, 2)}
+        if len(json.dumps(candidate)) > FINAL_LINE_BUDGET:
+            break
+        base = candidate
+    base["n_omitted_fastest"] = len(timings) - len(base["queries"])
+    return base
 
 
 def _prebuilt_ann_entries(spark, sf_dir: str) -> dict:
@@ -197,17 +235,17 @@ def main() -> None:
             pass  # private-API cleanup is best-effort
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))  # full detail for raw logs (NOT the last line)
+    print(json.dumps(compact_result(timings, sf)))  # last line: fits the tail
     spark.stop()
 
 

@@ -1,0 +1,102 @@
+"""Bench harness must not ship broken (round-4 regression: bench.py crashed
+rc=1 on a fixture-encoding change and the round recorded no numbers).
+
+- every headline entry resolves in the registry and RUNS at sf0.001;
+- the final stdout JSON line stays under the external recorder's ~2000-char
+  tail buffer (round-5 regression: the full per-query line overflowed and
+  recorded parsed=null);
+- the events.ts loader handles all three historical fixture encodings.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+
+
+def _bench():
+    import bench
+
+    return bench
+
+
+def test_headline_names_all_registered():
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    bench = _bench()
+    registry = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in registry]
+    assert not missing, f"HEADLINE entries not in registry: {missing}"
+
+
+def test_headline_queries_run(spark, sf_dir):
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    bench = _bench()
+    registry = all_queries()
+    failures = {}
+    for name in bench.HEADLINE:
+        try:
+            registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:  # noqa: BLE001 — we want every failure listed
+            failures[name] = f"{type(e).__name__}: {e}"[:200]
+    assert not failures, f"headline queries crashed: {failures}"
+
+
+def test_prebuilt_ann_entries_run(spark, sf_dir):
+    bench = _bench()
+    for name, fn in sorted(bench._prebuilt_ann_entries(spark, sf_dir).items()):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+
+def test_final_line_fits_tail_buffer():
+    bench = _bench()
+    rng = random.Random(11)
+    # worst case: every headline + prebuilt entry present with 2dp values
+    names = bench.HEADLINE + [
+        "sim_search_ivf_prebuilt",
+        "sim_search_ivf_adc_prebuilt",
+        "sim_search_lsh_prebuilt",
+    ]
+    timings = {n: round(rng.uniform(0.1, 99.99), 3) for n in names}
+    line = json.dumps(bench.compact_result(timings, 0.1))
+    assert len(line) <= bench.FINAL_LINE_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["queries"], "compact line carries no per-query entries"
+    # slowest entries survive trimming
+    slowest = max(timings, key=timings.get)
+    assert slowest in parsed["queries"]
+
+
+@pytest.mark.parametrize("encoding", ["nanos_long", "ntz_micros", "timestamp"])
+def test_events_ts_encodings(spark, tmp_path, encoding):
+    """sources/parquet.py footer-dtype dispatch: all three historical
+    events.ts encodings load to identical session-TZ TIMESTAMP values."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    base = dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    times = [base + dt.timedelta(seconds=i) for i in range(5)]
+    if encoding == "nanos_long":
+        arr = pa.array([int(t.timestamp() * 1e6) * 1000 for t in times], pa.timestamp("ns"))
+    elif encoding == "ntz_micros":
+        arr = pa.array(times, pa.timestamp("us"))
+    else:
+        arr = pa.array(times, pa.timestamp("us", tz="UTC"))
+    table = pa.table({"event_id": pa.array(range(5), pa.int64()), "ts": arr})
+    d = tmp_path / encoding
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"))
+    df = load_table(spark, str(d), "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    got = sorted(r["ts"].replace(tzinfo=None) for r in df.collect())
+    assert got == times, (encoding, got[:2], times[:2])
