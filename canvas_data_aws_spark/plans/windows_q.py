@@ -162,10 +162,9 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "here is LOW-cardinality (three statuses), so exact NTILE funnels "
     "each status into one sorted window partition — fine at warehouse "
     "dimension sizes, but at a 100 TB fact table the right shape is "
-    "approx percentile boundaries (one mergeable-sketch agg) + a "
-    "row-local bucket lookup, trading exact decile edges for a "
-    "shuffle-free pass; this query intentionally exercises the exact "
-    "window surface.",
+    "percentile cutpoints + a row-local bucket lookup — registered as "
+    "win_quartile_cutpoints below; this query intentionally exercises "
+    "the exact window surface.",
 )
 def win_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -177,5 +176,70 @@ def win_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_orders"),
             F.round(F.min("o_totalprice"), 2).alias("decile_min"),
             F.round(F.max("o_totalprice"), 2).alias("decile_max"),
+        )
+    )
+
+
+@register(
+    "win_quartile_cutpoints",
+    """
+    WITH cuts AS (
+      SELECT o_orderstatus,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q25,
+             percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS q50,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS q75
+      FROM orders GROUP BY o_orderstatus
+    ),
+    b AS (
+      SELECT o.o_orderstatus,
+             CAST(1 + (CASE WHEN o.o_totalprice > c.q25 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o.o_totalprice > c.q50 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o.o_totalprice > c.q75 THEN 1 ELSE 0 END)
+               AS INT) AS quartile,
+             o.o_totalprice
+      FROM orders o JOIN cuts c ON c.o_orderstatus = o.o_orderstatus
+    )
+    SELECT o_orderstatus, quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS band_min,
+           ROUND(MAX(o_totalprice), 2) AS band_max
+    FROM b GROUP BY o_orderstatus, quartile
+    """,
+    doc="Quartile spend bands per status via percentile_disc VALUE "
+    "CUTPOINTS — the scale-safe counterpart to win_ntile_buckets' exact "
+    "NTILE: one grouped exact-percentile aggregate (three cutpoints per "
+    "status, group-count-bounded output) joined back on the group key, "
+    "then a row-local CASE. No per-group sorted window anywhere, so a "
+    "status whose rows outgrow one task costs nothing extra; tied values "
+    "share a band (value-defined, unlike NTILE's rank split). The same "
+    "pattern fixed the round-5 single-partition-window weak items "
+    "(orders_pareto_share / customer_rfm_segments); at 100 TB swap "
+    "percentile_disc for approx_percentile to make the cutpoint pass "
+    "single-shuffle mergeable with identical plan shape.",
+    tags=("windows", "warehouse"),
+)
+def win_quartile_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    cuts = o.groupBy("o_orderstatus").agg(
+        *[
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)").alias(
+                f"q{tag}"
+            )
+            for p, tag in ((0.25, 25), (0.50, 50), (0.75, 75))
+        ]
+    )
+    quartile = (
+        F.lit(1)
+        + F.when(F.col("o_totalprice") > F.col("q25"), 1).otherwise(0)
+        + F.when(F.col("o_totalprice") > F.col("q50"), 1).otherwise(0)
+        + F.when(F.col("o_totalprice") > F.col("q75"), 1).otherwise(0)
+    )
+    return (
+        o.join(cuts, "o_orderstatus")
+        .groupBy("o_orderstatus", quartile.cast("int").alias("quartile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("band_min"),
+            F.round(F.max("o_totalprice"), 2).alias("band_max"),
         )
     )
