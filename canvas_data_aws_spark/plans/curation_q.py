@@ -836,3 +836,72 @@ def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_bigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok,
+             generate_subscripts(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), 1) AS pos
+      FROM documents
+      WHERE LENGTH(trim(text)) > 0
+    ),
+    big AS (
+      SELECT doc_id,
+             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             tok AS w2
+      FROM toks
+    ),
+    pairs AS (SELECT doc_id, w1, w2 FROM big WHERE w1 IS NOT NULL),
+    bigf AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(c12) AS c1 FROM bigf GROUP BY w1)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln(b.c12 / x.c1)), 4) AS avg_neg_logprob
+    FROM pairs p
+    JOIN bigf b ON b.w1 = p.w1 AND b.w2 = p.w2
+    JOIN ctx  x ON x.w1 = p.w1
+    GROUP BY p.doc_id
+    """,
+    doc="Bigram-LM scoring — one step up the quality-filter ladder from "
+    "corpus_unigram_logprob: each document's mean negative log of "
+    "P(w2 | w1) = c(w1,w2) / c(w1·) under the corpus's own bigram counts "
+    "(MLE; every scored bigram is in the training corpus so no smoothing "
+    "mass is needed). Catches word-salad the unigram LM scores as normal "
+    "(common words in impossible order). Plan: tokenize with positions "
+    "(posexplode), adjacent pairs via ONE doc_id-partitioned LAG window, "
+    "bigram/context tables from token-key exchanges with map-side partial "
+    "counts — both are vocabulary-bounded and join on their keys with NO "
+    "broadcast hint (unbounded on raw web text; AQE decides). Per-doc "
+    "rollup is one doc_id exchange; docs under two tokens drop out by "
+    "construction on both engines.",
+    tags=("llm", "curation"),
+)
+def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = docs.select("doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select("doc_id", F.lag("tok").over(w).alias("w1"), F.col("tok").alias("w2"))
+        .filter(F.col("w1").isNotNull())
+    )
+    bigf = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bigf.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        pairs.join(bigf, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("c12") / F.col("c1"))), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
