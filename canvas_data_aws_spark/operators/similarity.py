@@ -256,6 +256,49 @@ def ivf_index(
     return IvfIndex(cent_df, assigned, corpus_id, vec_col)
 
 
+def ivf_upsert(
+    index: IvfIndex,
+    new_vectors: DataFrame,
+) -> IvfIndex:
+    """Incrementally add vectors to a prebuilt :class:`IvfIndex` WITHOUT
+    reclustering — the daily-ingest maintenance path. New vectors are
+    assigned to the EXISTING centroids (the same row-local Arrow argmax-GEMM
+    the builder uses) and unioned into ``assigned``; the coarse quantizer is
+    deliberately frozen, because re-fitting would reshuffle every stored
+    vector's cell (a full index rebuild) for marginal recall. At 100 TB the
+    union is an append of new cell-partition files — existing partitions are
+    untouched, and ``ivf_query``'s partition pruning keeps working.
+
+    Exactness contract (tested): because assignment is a pure row-local
+    function of the frozen centroids, ``ivf_upsert(ivf_index(A), B)`` equals
+    ``ivf_index(A ∪ B)`` whenever both fits see the same sample — queries
+    return identical results.
+    """
+    from pyspark.sql.types import IntegerType
+
+    cents_rows = index.centroids.orderBy("cell").collect()  # k rows: bounded
+    cents = np.array([np.asarray(r["centroid"], dtype=np.float64) for r in cents_rows])
+    bc = new_vectors.sparkSession.sparkContext.broadcast(cents)
+
+    @F.pandas_udf(IntegerType())
+    def _nearest_cell(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        unit = m / np.where(norms == 0, 1.0, norms)
+        return pd.Series(np.argmax(unit @ c.T, axis=1).astype("int32"))
+
+    fresh = new_vectors.select(
+        F.col(index.corpus_id), F.col(index.vec_col).alias("__arr")
+    ).withColumn("cell", _nearest_cell(F.col("__arr")))
+    return IvfIndex(
+        index.centroids,
+        index.assigned.select(index.corpus_id, "__arr", "cell").unionByName(fresh),
+        index.corpus_id,
+        index.vec_col,
+    )
+
+
 def ivf_query(
     index: IvfIndex,
     queries: DataFrame,

@@ -191,6 +191,37 @@ def sim_search_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_search_ivf_upsert",
+    None,  # KMeans centroids are iterative/seed-dependent — rows-only
+    doc="IVF index MAINTENANCE path: build on the existing corpus, then "
+    "ivf_upsert the day's new vectors — assignment against the FROZEN "
+    "centroids (row-local Arrow argmax-GEMM), no recluster, existing cell "
+    "partitions untouched. Equals the from-scratch index exactly when both "
+    "fits see the same sample (tests/test_llm_ops.py::"
+    "test_ivf_upsert_equals_one_shot); the query path is the standard "
+    "zero-driver-action ivf_query.",
+)
+def sim_search_ivf_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.similarity import (
+        ivf_index,
+        ivf_query,
+        ivf_upsert,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the fit sample is the lowest ids, so holding out the TOP decile keeps
+    # the base index's quantizer identical to the full-corpus one
+    cut = emb.agg(F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY vec_id)").alias("c"))
+    base = emb.join(F.broadcast(cut), F.col("vec_id") <= F.col("c")).drop("c")
+    delta = emb.join(F.broadcast(cut), F.col("vec_id") > F.col("c")).drop("c")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = ivf_upsert(ivf_index(base, n_clusters=16), delta)
+    return ivf_query(idx, queries, k=10, nprobe=4)
+
+
+@register(
     "sim_search_lsh",
     None,  # hyperplane signatures are seed-dependent — rows-only
     doc="LSH approximate top-k (the bucketed scale path SURVEY names "

@@ -622,3 +622,36 @@ def test_ivf_pq_recall_floor(spark, sf_dir):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.4, f"IVF-PQ recall@10 too low: {recall}"
+
+
+def test_ivf_upsert_equals_one_shot(spark, sf_dir):
+    """ivf_upsert(ivf_index(A), B) == ivf_index(A ∪ B) exactly, when both
+    fits see the same sample: assignment is a pure row-local function of
+    the frozen centroids, so appending B against A's quantizer reproduces
+    the from-scratch index. (Fit sample capped below |A| so the base and
+    full builds train identically — the 100 TB regime, where the sample is
+    always a tiny prefix of the corpus.)"""
+    import pyspark.sql.functions as F
+
+    from canvas_data_aws_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 450)
+    delta = emb.filter(F.col("vec_id") >= 450)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    old_cap = sim._IVF_FIT_SAMPLE
+    sim._IVF_FIT_SAMPLE = 400
+    try:
+        one_shot = sim.ivf_query(sim.ivf_index(emb, n_clusters=8), queries, k=10, nprobe=3)
+        upserted = sim.ivf_query(
+            sim.ivf_upsert(sim.ivf_index(base, n_clusters=8), delta),
+            queries, k=10, nprobe=3,
+        )
+    finally:
+        sim._IVF_FIT_SAMPLE = old_cap
+    a = sorted(map(tuple, one_shot.collect()))
+    b = sorted(map(tuple, upserted.collect()))
+    assert a == b
+    assert len(a) > 0
