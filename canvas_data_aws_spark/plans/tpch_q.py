@@ -787,12 +787,12 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-           ROUND(CAST(SUM(
+           CAST(ROUND(SUM(
              CAST(l.l_extendedprice AS DECIMAL(18,4))
                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
              - CAST(ps.ps_supplycost AS DECIMAL(18,4))
                * CAST(l.l_quantity AS DECIMAL(18,4))
-           ) AS DOUBLE), 2) AS sum_profit
+           ), 2) AS DOUBLE) AS sum_profit
     FROM part p
     JOIN lineitem l ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -808,8 +808,10 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part-lineitem-partsupp-supplier-orders. The name filter semi-reduces "
     "the part side before the fact join; partsupp joins on the composite "
     "(partkey, suppkey) fact key — co-partitioned with the lineitem "
-    "shuffle; nation broadcasts. All money math in DECIMAL, one cast+round "
-    "at the aggregate edge.",
+    "shuffle; nation broadcasts. All money math in DECIMAL; the 2dp ROUND runs "
+    "ON THE DECIMAL sum (exact, identical half-handling in both engines) "
+    "before the one cast to double — rounding after the double cast can "
+    "land on a binary half and flip the last cent between engines.",
     tags=("tpch", "star"),
     local_only=True,
 )
@@ -839,7 +841,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
     )
 
 

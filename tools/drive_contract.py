@@ -43,6 +43,24 @@ assert n > 0, "entry() returned no rows"
 print(f"entry(): {n} rows ok", flush=True)
 
 qs, oracles = E.queries(), E.oracle_sql()
+
+# local_only registry entries (inputs the external driver doesn't ship,
+# e.g. the generated partsupp supplement) are driven too, against the same
+# compare — they're part of the engine surface even though the driver
+# can't sample them. Their DuckDB views register here.
+from canvas_data_aws_spark.plans.registry import all_queries  # noqa: E402
+from canvas_data_aws_spark.sources.tpch_supplement import ensure_partsupp  # noqa: E402
+
+ps_path = ensure_partsupp(spark, SF)
+con.execute(
+    f"CREATE VIEW partsupp AS SELECT * FROM read_parquet('{ps_path}/*.parquet')"
+)
+for _name, _q in all_queries().items():
+    if _q.local_only and _name not in qs:
+        qs[_name] = _q.fn
+        if _q.oracle is not None:
+            oracles[_name] = _q.oracle
+
 only = sys.argv[1:]
 ok = mismatch = rows_only = err = 0
 for name in sorted(qs):
