@@ -103,12 +103,13 @@ HEADLINE = [
     "tpch_q13",
     "tpch_q22",
     # round 6: partsupp-based TPC-H (generated supplement; local-only in
-    # the registry but fully runnable here)
+    # the registry but fully runnable here), bigram LM quality scoring
     "tpch_q2",
     "tpch_q9",
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
+    "corpus_bigram_logprob",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000
