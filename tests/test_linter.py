@@ -56,6 +56,14 @@ def test_unbounded_broadcast_flagged(spark, sf_dir):
     assert "unbounded-broadcast" in _codes(df)
 
 
+def test_unbounded_broadcast_left_side_flagged(spark, sf_dir):
+    # hint provenance must work for BOTH join sides (leftHint=/rightHint=)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    df = F.broadcast(li).join(o, o.o_orderkey == li.l_orderkey)
+    assert "unbounded-broadcast" in _codes(df)
+
+
 def test_bounded_broadcast_not_flagged(spark, sf_dir):
     # A filtered build side is bounded-by-intent; a declared dimension
     # (nation: 25 rows at every scale factor) is bounded by the spec.
