@@ -109,6 +109,8 @@ HEADLINE = [
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
+    "tpch_q12",
+    "tpch_q21",
     "corpus_bigram_logprob",
 ]
 

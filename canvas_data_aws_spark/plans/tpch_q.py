@@ -994,3 +994,131 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(excess, excess.ps_suppkey == s.s_suppkey, "left_semi")
         .select("s_name", "s_suppkey")
     )
+
+
+from canvas_data_aws_spark.sources.tpch_supplement import load_lineitem_ext  # noqa: E402
+
+
+@register(
+    "tpch_q12",
+    """
+    SELECT l.l_shipmode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem_ext l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipmode IN ('MAIL', 'SHIP')
+      AND l.l_commitdate < l.l_receiptdate
+      AND l.l_shipdate   < l.l_commitdate
+      AND l.l_receiptdate >= TIMESTAMP '1997-01-01'
+      AND l.l_receiptdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_shipmode
+    """,
+    doc="TPC-H Q12 (shipping modes and order priority): late-ship lines by "
+    "mode, split into high/low-priority counts. Runs on the generated "
+    "lineitem_ext supplement (the driver fixture lacks l_shipmode/"
+    "l_commitdate/l_receiptdate — sources/tpch_supplement.py derives them "
+    "row-locally, so this registers local_only). The mode IN-list and all "
+    "three date predicates push to the extension scan; one orderkey join; "
+    "both CASE counts share a single aggregate pass over a 2-row group "
+    "domain.",
+    tags=("tpch", "star"),
+    local_only=True,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_lineitem_ext(spark, sf_dir).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= "1997-01-01")
+        & (F.col("l_receiptdate") < "1998-01-01")
+    ).select("l_orderkey", "l_shipmode")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q21",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem_ext WHERE l_receiptdate > l_commitdate
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN late l1  ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE n.n_name = 'NATION_8'
+      AND o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem_ext l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 (suppliers who kept orders waiting; nation adapted to "
+    "the fixture's NATION_8): for finished orders, suppliers whose line "
+    "was the ONLY late one among a multi-supplier order. Runs on the "
+    "generated lineitem_ext supplement (local_only — the driver fixture "
+    "lacks the commit/receipt dates). The correlated EXISTS becomes a "
+    "LEFT SEMI and the NOT EXISTS a LEFT ANTI, both equi-joined on "
+    "l_orderkey with the suppkey<>suppkey residual evaluated post-match "
+    "(never a cartesian) — all three lineitem-sized joins share the "
+    "orderkey exchange family; nation broadcasts; top-100 fuses to "
+    "TakeOrdered with s_name as tie-break.",
+    tags=("tpch", "star"),
+    local_only=True,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = load_lineitem_ext(spark, sf_dir)
+    late = ext.filter(F.col("l_receiptdate") > F.col("l_commitdate")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_8").select(
+        "n_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = late.alias("l1")
+    l2 = ext.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+        .join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+    )
+    return (
+        waiting.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -111,3 +111,80 @@ def ensure_partsupp(spark: SparkSession, sf_dir: str) -> str:
 
 def load_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(ensure_partsupp(spark, sf_dir))
+
+
+SHIP_MODES = ("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
+
+
+def lineitem_ext_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return os.path.join(CACHE_ROOT, tag, "lineitem_ext.parquet")
+
+
+def ensure_lineitem_ext(spark: SparkSession, sf_dir: str) -> str:
+    """Generate ``lineitem_ext`` — the fixture lineitem plus the three
+    spec columns it lacks (``l_commitdate``, ``l_receiptdate``,
+    ``l_shipmode``), which block TPC-H Q12/Q21.
+
+    The fixture's (l_orderkey, l_linenumber) is NOT unique, so an
+    extension-join table is impossible; instead the supplement is the FULL
+    lineitem with the new columns derived row-locally (keyed xxhash64 of
+    the line's stable attributes — duplicate lines get identical values,
+    still deterministic under any parallelism). Spec-shaped ranges per
+    dbgen: commitdate = orderdate + [30, 90] days, receiptdate =
+    shipdate + [1, 30] days, shipmode uniform over the seven modes.
+    Queries over it read this table INSTEAD of lineitem and register
+    ``local_only`` (the external driver ships no such columns).
+    """
+    dest = lineitem_ext_path(sf_dir)
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return dest
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    key = [F.col(c) for c in ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")]
+
+    def _h(tag: str) -> F.Column:
+        return F.xxhash64(F.lit(tag), *key)
+
+    ext = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "l_commitdate",
+            F.date_add(
+                F.col("o_orderdate"), (F.pmod(_h("commit"), F.lit(61)) + 30).cast("int")
+            ).cast("timestamp"),
+        )
+        .withColumn(
+            "l_receiptdate",
+            F.date_add(
+                F.col("l_shipdate"), (F.pmod(_h("receipt"), F.lit(30)) + 1).cast("int")
+            ).cast("timestamp"),
+        )
+        .withColumn(
+            "l_shipmode",
+            F.element_at(
+                F.array(*[F.lit(m) for m in SHIP_MODES]),
+                (F.pmod(_h("mode"), F.lit(len(SHIP_MODES))) + 1).cast("int"),
+            ),
+        )
+        .drop("o_orderkey", "o_orderdate")
+    )
+    tmp = dest + f".tmp-{os.getpid()}"
+    ext.write.mode("overwrite").parquet(tmp)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+def load_lineitem_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(ensure_lineitem_ext(spark, sf_dir))
+
+
+# view name -> ensure function: everything the local oracle gates register
+SUPPLEMENTS = {
+    "partsupp": ensure_partsupp,
+    "lineitem_ext": ensure_lineitem_ext,
+}

@@ -36,14 +36,15 @@ def duck(spark, sf_dir):
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    # supplemental partsupp (generated, not driver-shipped): view over the
+    # supplemental tables (generated, not driver-shipped): views over the
     # same parquet the local_only queries read
-    from canvas_data_aws_spark.sources.tpch_supplement import ensure_partsupp
+    from canvas_data_aws_spark.sources.tpch_supplement import SUPPLEMENTS
 
-    ps_path = ensure_partsupp(spark, sf_dir)
-    con.execute(
-        "CREATE OR REPLACE VIEW partsupp AS "
-        f"SELECT * FROM read_parquet('{ps_path}/*.parquet')"
-    )
+    for view, ensure in SUPPLEMENTS.items():
+        path = ensure(spark, sf_dir)
+        con.execute(
+            f"CREATE OR REPLACE VIEW {view} AS "
+            f"SELECT * FROM read_parquet('{path}/*.parquet')"
+        )
     yield con
     con.close()

@@ -37,3 +37,30 @@ def test_partsupp_suppkeys_exist(spark, sf_dir):
     sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
     orphans = ps.join(sup, ps.ps_suppkey == sup.s_suppkey, "left_anti")
     assert orphans.count() == 0
+
+
+def test_lineitem_ext_shape(spark, sf_dir):
+    from canvas_data_aws_spark.sources.tpch_supplement import (
+        SHIP_MODES,
+        load_lineitem_ext,
+    )
+
+    li_n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    ext = load_lineitem_ext(spark, sf_dir)
+    assert ext.count() == li_n  # full lineitem, never a fan-out
+    row = ext.agg(
+        F.min(F.datediff("l_receiptdate", "l_shipdate")),
+        F.max(F.datediff("l_receiptdate", "l_shipdate")),
+        F.countDistinct("l_shipmode"),
+    ).collect()[0]
+    assert 1 <= row[0] and row[1] <= 30  # receipt = ship + [1, 30] days
+    assert row[2] == len(SHIP_MODES)
+    # commitdate = orderdate + [30, 90] days
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = ext.join(o, ext.l_orderkey == o.o_orderkey).select(
+        F.datediff("l_commitdate", "o_orderdate").alias("d")
+    )
+    row2 = j.agg(F.min("d"), F.max("d")).collect()[0]
+    assert 30 <= row2[0] and row2[1] <= 90

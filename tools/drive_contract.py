@@ -49,12 +49,13 @@ qs, oracles = E.queries(), E.oracle_sql()
 # compare — they're part of the engine surface even though the driver
 # can't sample them. Their DuckDB views register here.
 from canvas_data_aws_spark.plans.registry import all_queries  # noqa: E402
-from canvas_data_aws_spark.sources.tpch_supplement import ensure_partsupp  # noqa: E402
+from canvas_data_aws_spark.sources.tpch_supplement import SUPPLEMENTS  # noqa: E402
 
-ps_path = ensure_partsupp(spark, SF)
-con.execute(
-    f"CREATE VIEW partsupp AS SELECT * FROM read_parquet('{ps_path}/*.parquet')"
-)
+for _view, _ensure in SUPPLEMENTS.items():
+    _path = _ensure(spark, SF)
+    con.execute(
+        f"CREATE VIEW {_view} AS SELECT * FROM read_parquet('{_path}/*.parquet')"
+    )
 for _name, _q in all_queries().items():
     if _q.local_only and _name not in qs:
         qs[_name] = _q.fn
