@@ -270,3 +270,116 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell_size") < 5).alias("below_k"),
         )
     )
+
+
+@register(
+    "text_gopher_rules",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> length(x) > 0) AS words,
+             string_split(text, chr(10)) AS lines,
+             length(regexp_replace(text, '\s', '', 'g')) AS n_wchars,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3 AS n_sym
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(n_wchars AS BIGINT) AS n_wchars,
+             CAST(n_sym AS BIGINT) AS n_sym,
+             CAST(len(list_filter(words,
+                  x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter(lines,
+                  x -> regexp_matches(x, '^\s*[-*•]'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines,
+                  x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ell,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                  s -> list_contains(words, s))) AS BIGINT) AS n_req
+      FROM w
+    )
+    SELECT doc_id, n_words,
+           (n_words BETWEEN 50 AND 100000)            AS ok_word_count,
+           (3 * n_words <= n_wchars
+             AND n_wchars <= 10 * n_words)            AS ok_mean_word_len,
+           (10 * n_sym <= n_words)                    AS ok_symbol_ratio,
+           (10 * n_bullet <= 9 * n_lines)             AS ok_bullets,
+           (10 * n_ell <= 3 * n_lines)                AS ok_ellipses,
+           (10 * n_alpha_words >= 8 * n_words)        AS ok_alpha_words,
+           (n_req >= 2)                               AS ok_required_words,
+           ((n_words BETWEEN 50 AND 100000)
+             AND 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words
+             AND 10 * n_sym <= n_words
+             AND 10 * n_bullet <= 9 * n_lines
+             AND 10 * n_ell <= 3 * n_lines
+             AND 10 * n_alpha_words >= 8 * n_words
+             AND n_req >= 2)                          AS passes_all
+    FROM c
+    """,
+    doc="Gopher-style quality rule set (Rae et al. 2021 §A1.1, the filter "
+    "Dolma/RedPajama reuse): per-document booleans for word count in "
+    "[50, 1e5], mean word length in [3, 10], symbol-to-word ratio <= 0.1 "
+    "(#/ellipsis), <=90% bullet lines, <=30% ellipsis-ended lines, >=80% "
+    "words containing a letter, and >=2 of the eight required English "
+    "stop words. Every ratio threshold is evaluated as an INTEGER "
+    "cross-multiplication (e.g. 10*n_sym <= n_words), so the oracle "
+    "compare never touches a float boundary. Entirely row-local — one "
+    "scan, zero exchanges at any corpus size; compose with a filter on "
+    "passes_all for the curation funnel.",
+    tags=("llm", "curation", "quality"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
+    lines = F.split(F.col("text"), "\n")
+    c = docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.length(F.regexp_replace("text", r"\s", "")).cast("bigint").alias("n_wchars"),
+        (
+            F.regexp_count("text", F.lit("#")) + F.regexp_count("text", F.lit(r"\.\.\."))
+        ).cast("bigint").alias("n_sym"),
+        F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]"))).cast("bigint").alias(
+            "n_alpha_words"
+        ),
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))).cast("bigint").alias(
+            "n_bullet"
+        ),
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))).cast(
+            "bigint"
+        ).alias("n_ell"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in
+                          ("the", "be", "to", "of", "and", "that", "have", "with")]),
+                lambda s: F.array_contains(words, s),
+            )
+        ).cast("bigint").alias("n_req"),
+    )
+    ok_wc = F.col("n_words").between(50, 100000)
+    ok_mwl = (3 * F.col("n_words") <= F.col("n_wchars")) & (
+        F.col("n_wchars") <= 10 * F.col("n_words")
+    )
+    ok_sym = 10 * F.col("n_sym") <= F.col("n_words")
+    ok_bul = 10 * F.col("n_bullet") <= 9 * F.col("n_lines")
+    ok_ell = 10 * F.col("n_ell") <= 3 * F.col("n_lines")
+    ok_alpha = 10 * F.col("n_alpha_words") >= 8 * F.col("n_words")
+    ok_req = F.col("n_req") >= 2
+    return c.select(
+        "doc_id",
+        "n_words",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_bul.alias("ok_bullets"),
+        ok_ell.alias("ok_ellipses"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_req.alias("ok_required_words"),
+        (ok_wc & ok_mwl & ok_sym & ok_bul & ok_ell & ok_alpha & ok_req).alias(
+            "passes_all"
+        ),
+    )
