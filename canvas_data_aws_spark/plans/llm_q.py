@@ -1598,3 +1598,139 @@ def sim_search_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+@register(
+    "hybrid_search_fusion",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY term
+    ),
+    sparse AS (
+      SELECT t.doc_id,
+             ROUND(SUM(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * (t.tf * (1.5 + 1.0))
+                 / (t.tf + 1.5 * (0.25 + 0.75 * l.dl / s.avgdl))), 4) AS bm25
+      FROM tf t
+      JOIN df d ON t.term = d.term
+      JOIN dl l ON t.doc_id = l.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+      ORDER BY bm25 DESC, t.doc_id
+      LIMIT 20
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qvec AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      ORDER BY cos_sim DESC, e.vec_id
+      LIMIT 20
+    ),
+    sb AS (SELECT MIN(bm25) AS bmin, MAX(bm25) AS bmax FROM sparse),
+    db AS (SELECT MIN(cos_sim) AS cmin, MAX(cos_sim) AS cmax FROM dense),
+    fused AS (
+      SELECT COALESCE(s.doc_id, d.vec_id) AS doc_id, s.bm25, d.cos_sim,
+             ROUND(
+               0.5 * COALESCE(CASE WHEN sb.bmax > sb.bmin
+                      THEN (s.bm25 - sb.bmin) / (sb.bmax - sb.bmin) END, 0)
+             + 0.5 * COALESCE(CASE WHEN db.cmax > db.cmin
+                      THEN (d.cos_sim - db.cmin) / (db.cmax - db.cmin) END, 0),
+             6) AS hybrid
+      FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.vec_id
+      CROSS JOIN sb CROSS JOIN db
+    )
+    SELECT doc_id, bm25, cos_sim, hybrid
+    FROM fused ORDER BY hybrid DESC, doc_id LIMIT 10
+    """,
+    doc="Hybrid retrieval: min-max-normalized score fusion (equal weights) "
+    "of the BM25 keyword top-20 and the dense cosine top-20 — the "
+    "standard sparse+dense serving pattern, chosen over rank-RRF "
+    "specifically so NO unpartitioned rank window exists anywhere: each "
+    "list is a TakeOrdered top-k, the normalizers are one-row MIN/MAX "
+    "scalar broadcasts over those bounded lists, fusion is a 20x20-bounded "
+    "full-outer join on the doc key (a doc missing from one list "
+    "contributes 0 from that side), and the final top-10 fuses to "
+    "TakeOrdered again. Every stage is either corpus-scan-shaped "
+    "(the BM25/cosine pipelines, unchanged from their standalone entries) "
+    "or bounded by k — nothing grows with the corpus except the two "
+    "scans.",
+    tags=("llm", "text", "serving"),
+)
+def hybrid_search_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.similarity import cosine
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = (
+        tf.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    k1, b = 1.5, 0.75
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * ((1 - b) + b * F.col("dl") / F.col("avgdl"))
+    sparse = (
+        tf.join(df_t, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))  # single-row scalar: safe broadcast
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * (F.col("tf") * (k1 + 1.0)) / denom), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    dense = (
+        emb.crossJoin(F.broadcast(q))  # single query row: safe broadcast
+        .select(
+            "vec_id", F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(20)
+    )
+    sb = sparse.agg(F.min("bm25").alias("bmin"), F.max("bm25").alias("bmax"))
+    db = dense.agg(F.min("cos_sim").alias("cmin"), F.max("cos_sim").alias("cmax"))
+    nb = F.when(
+        F.col("bmax") > F.col("bmin"),
+        (F.col("bm25") - F.col("bmin")) / (F.col("bmax") - F.col("bmin")),
+    )
+    nc = F.when(
+        F.col("cmax") > F.col("cmin"),
+        (F.col("cos_sim") - F.col("cmin")) / (F.col("cmax") - F.col("cmin")),
+    )
+    return (
+        sparse.join(dense, sparse.doc_id == dense.vec_id, "full_outer")
+        .crossJoin(F.broadcast(sb))  # single-row scalar: safe broadcast
+        .crossJoin(F.broadcast(db))  # single-row scalar: safe broadcast
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+            "bm25",
+            "cos_sim",
+            F.round(
+                0.5 * F.coalesce(nb, F.lit(0.0)) + 0.5 * F.coalesce(nc, F.lit(0.0)), 6
+            ).alias("hybrid"),
+        )
+        .orderBy(F.col("hybrid").desc(), "doc_id")
+        .limit(10)
+    )
