@@ -110,3 +110,31 @@ def pca_project(
         return pd.Series(list(out))
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+def pca_whiten(
+    df: DataFrame,
+    model: PcaModel,
+    vec_col: str = "embedding",
+    out_col: str = "white",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """PCA-whitening projection: ``(x - mean) @ C^T / sqrt(var + eps)`` —
+    the projected coordinates rescaled to unit variance per component.
+    Whitened embeddings are the standard preprocessing for cosine-based
+    semantic dedup and retrieval (dominant directions stop swamping the
+    similarity; see e.g. the post-processing in SimCSE/whitening-BERT
+    literature). Same execution shape as :func:`pca_project`: the (k, d)
+    components and the k scale factors ship in the Arrow UDF closure, the
+    transform is one row-local GEMM per batch, zero exchanges."""
+    comps_t = model.components.T.copy()  # (d, k)
+    mu = model.mean.copy()
+    scale = 1.0 / np.sqrt(model.explained_variance + eps)  # (k,)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _whiten(vs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        out = ((m - mu) @ comps_t) * scale
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, _whiten(F.col(vec_col)))

@@ -1063,6 +1063,30 @@ def embed_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_whiten",
+    None,  # eigendecomposition is not SQL-expressible — rows-only; quality
+    # is asserted by tests/test_llm_ops.py::test_pca_whiten_unit_variance
+    # (numpy equivalence + unit-variance/zero-correlation contract)
+    doc="PCA whitening (the retrieval/dedup preprocessing that stops "
+    "dominant embedding directions from swamping cosine similarity): the "
+    "same dimension-bounded moment pass + driver eigh as embed_pca_project, "
+    "then a row-local Arrow GEMM scaled per-component to unit variance. "
+    "operators/embeddings.py::pca_whiten.",
+    tags=("llm", "similarity"),
+)
+def embed_whiten_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.embeddings import pca_fit, pca_whiten
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    model = pca_fit(emb, k=4)
+    out = pca_whiten(emb, model, out_col="white")
+    return out.select(
+        "vec_id",
+        *[F.round(F.col("white")[i], 4).alias(f"w{i + 1}") for i in range(4)],
+    )
+
+
+@register(
     "text_char_entropy",
     """
     WITH chars AS (

@@ -655,3 +655,30 @@ def test_ivf_upsert_equals_one_shot(spark, sf_dir):
     b = sorted(map(tuple, upserted.collect()))
     assert a == b
     assert len(a) > 0
+
+
+def test_pca_whiten_unit_variance(spark, sf_dir):
+    """pca_whiten == numpy whitening, and the whitened coordinates have
+    ~unit variance per component with ~zero cross-correlation (that IS the
+    whitening contract)."""
+    import numpy as np
+
+    from canvas_data_aws_spark.operators.embeddings import pca_fit, pca_whiten
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    model = pca_fit(emb, k=4)
+    out = pca_whiten(emb, model, out_col="white").select("vec_id", "white").collect()
+    w = np.array([r["white"] for r in sorted(out, key=lambda r: r["vec_id"])])
+    # numpy reference from the same model
+    x = np.array(
+        [r["embedding"] for r in sorted(emb.collect(), key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    ref = ((x - model.mean) @ model.components.T) / np.sqrt(
+        model.explained_variance + 1e-9
+    )
+    assert np.allclose(w, ref, atol=1e-9)
+    cov = np.cov(w, rowvar=False, bias=True)
+    assert np.allclose(np.diag(cov), 1.0, atol=1e-3)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-6
