@@ -1324,3 +1324,66 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounced.cast("bigint").alias("n_bounced"),
         F.round(bounced * 1.0 / F.count("*"), 4).alias("bounce_rate"),
     )
+
+
+@register(
+    "events_anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           ROUND(MAX(d.med), 4) AS median_value,
+           ROUND(MAX(a.mad), 4) AS mad_value
+    FROM dev d JOIN mad a ON a.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+    doc="Robust anomaly detection per event type: median + MAD (median "
+    "absolute deviation, the estimator outliers can't poison — unlike "
+    "mean/stddev z-scores), flagging values beyond 3 robust sigmas "
+    "(1.4826*MAD). Both medians are EXACT percentile_disc aggregates "
+    "(multiset elements — engine-identical, no interpolation), computed "
+    "in two grouped passes joined back on the bounded event_type key; "
+    "counts are integers so the oracle never compares a float boundary. "
+    "At 100 TB swap percentile_disc for approx_percentile, same shape.",
+    tags=("events", "timeseries", "quality"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    dev = e.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.round(F.max("med"), 4).alias("median_value"),
+            F.round(F.max("mad"), 4).alias("mad_value"),
+        )
+    )
