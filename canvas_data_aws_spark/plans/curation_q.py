@@ -905,3 +905,72 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "corpus_train_val_split",
+    r"""
+    WITH assigned AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                  THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    leaks AS (
+      SELECT md5(nt) AS h
+      FROM assigned GROUP BY md5(nt)
+      HAVING COUNT(DISTINCT split) > 1
+    )
+    SELECT a.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN l.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaked_docs
+    FROM assigned a LEFT JOIN leaks l ON md5(a.nt) = l.h
+    GROUP BY a.split
+    """,
+    doc="Deterministic train/val/test split WITH a leakage audit — the two "
+    "halves of the split problem a training pipeline actually has. "
+    "Assignment hashes the DOCUMENT ID through md5 and buckets on the "
+    "first hex digit (12/2/2 of 16 ~ 75/12.5/12.5%): engine-portable "
+    "(both engines emit identical hex strings — no integer-hash "
+    "divergence), stable under reprocessing, and independent of row "
+    "order. The audit counts documents whose NORMALIZED TEXT hash "
+    "appears in more than one split — exact-duplicate leakage that would "
+    "inflate eval scores; only 16-byte digests cross the exchange, never "
+    "text. Plan: one scan + one digest-key agg + a digest-key join. "
+    "Extend the leak key to MinHash band signatures for near-dup leakage "
+    "(the corpus_cross_dedup_near machinery) at the same plan shape.",
+    tags=("llm", "curation"),
+)
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nt = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    assigned = docs.select(
+        "doc_id",
+        F.md5(nt).alias("h"),
+        F.when(
+            first_hex.isin(*"0123456789ab"), "train"
+        ).when(first_hex.isin("c", "d"), "val").otherwise("test").alias("split"),
+    )
+    leaks = (
+        assigned.groupBy("h")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("h")
+    )
+    return (
+        assigned.join(leaks.withColumn("leak", F.lit(1)), "h", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("leak"), F.lit(0))).cast("bigint").alias(
+                "n_leaked_docs"
+            ),
+        )
+    )
