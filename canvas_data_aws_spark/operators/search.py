@@ -74,6 +74,41 @@ def bm25_index(
     return Bm25Index(tf=tf, dl=dl, stats=stats, n_buckets=n_buckets, id_col=id_col)
 
 
+def bm25_merge(
+    index: Bm25Index,
+    new_docs: DataFrame,
+    text_col: str = "text",
+) -> Bm25Index:
+    """Incrementally add documents to a BM25 index — the daily-ingest
+    maintenance path for the sparse serving stack (the dense mirror is
+    ``similarity.ivf_upsert``). Per-document postings (tf) and lengths (dl)
+    are PURE row-local functions of each new document, so the merge is an
+    append-shaped union: at scale, new parquet files land in the existing
+    term-bucket partitions and no stored posting is rewritten. Only the
+    corpus-level (n_docs, avgdl) scalar is recomputed — one aggregate over
+    the merged dl table (and it must be: avgdl is a corpus statistic, so
+    BM25 scores of OLD documents legitimately shift as the corpus grows;
+    caching the old scalar would serve stale relevance).
+
+    Exactness contract (tested): ``bm25_merge(bm25_index(A), B)`` equals
+    ``bm25_index(A ∪ B)`` — identical postings, identical stats, identical
+    query results — because nothing in the per-doc tables depends on the
+    rest of the corpus."""
+    if index.n_buckets <= 0:
+        raise ValueError("index.n_buckets must be positive")
+    fresh = bm25_index(
+        new_docs, text_col=text_col, id_col=index.id_col, n_buckets=index.n_buckets
+    )
+    tf = index.tf.unionByName(fresh.tf)
+    dl = index.dl.unionByName(fresh.dl)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    return Bm25Index(
+        tf=tf, dl=dl, stats=stats, n_buckets=index.n_buckets, id_col=index.id_col
+    )
+
+
 def bm25_query(
     index: Bm25Index,
     terms: list[str],

@@ -1758,3 +1758,40 @@ def hybrid_search_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("hybrid").desc(), "doc_id")
         .limit(10)
     )
+
+
+from canvas_data_aws_spark.plans.registry import QUERIES as _QUERIES  # noqa: E402
+
+
+@register(
+    "text_bm25_merged_search",
+    _QUERIES["text_bm25_search"].oracle,  # merged index == full index, so
+    # the full-corpus BM25 SQL is the exact oracle for the incremental path
+    doc="BM25 serving through the INCREMENTAL index path: the index is "
+    "built on 80% of the corpus and bm25_merge appends the rest (per-doc "
+    "postings are row-local, so the merge is an append into the existing "
+    "term buckets; only the (n_docs, avgdl) scalar recomputes — it must, "
+    "because avgdl is a corpus statistic and old documents' scores "
+    "legitimately shift as the corpus grows). Proven equal to the "
+    "from-scratch index (tests/test_search.py::"
+    "test_bm25_merge_equals_one_shot), so the one-shot full-corpus BM25 "
+    "SQL is this query's EXACT oracle — the strongest correctness "
+    "statement an incremental path can make. The dense mirror is "
+    "sim_search_ivf_upsert.",
+    tags=("llm", "text", "serving"),
+)
+def text_bm25_merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.search import (
+        bm25_index,
+        bm25_merge,
+        bm25_query,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(
+        F.expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY doc_id)").alias("c")
+    )
+    base = docs.join(F.broadcast(cut), F.col("doc_id") <= F.col("c")).drop("c")
+    delta = docs.join(F.broadcast(cut), F.col("doc_id") > F.col("c")).drop("c")
+    idx = bm25_merge(bm25_index(base, id_col="doc_id"), delta)
+    return bm25_query(idx, list(_BM25_TERMS), k=10)

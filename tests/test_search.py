@@ -83,3 +83,27 @@ def test_bm25_query_empty_terms(spark, sf_dir):
     out = bm25_query(idx, [])
     assert out.columns == ["doc_id", "bm25"]
     assert out.count() == 0
+
+
+def test_bm25_merge_equals_one_shot(spark, sf_dir):
+    """bm25_merge(bm25_index(A), B) == bm25_index(A ∪ B): per-doc postings
+    and lengths are row-local, and the corpus scalar is recomputed over the
+    merged lengths — so the incremental index serves identical results."""
+    import pyspark.sql.functions as F
+
+    from canvas_data_aws_spark.operators.search import bm25_index, bm25_merge, bm25_query
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 400)
+    delta = docs.filter(F.col("doc_id") >= 400)
+    merged = bm25_merge(bm25_index(base, id_col="doc_id"), delta)
+    one_shot = bm25_index(docs, id_col="doc_id")
+    terms = ["data", "learning", "model"]
+    a = sorted(map(tuple, bm25_query(merged, terms, k=10).collect()))
+    b = sorted(map(tuple, bm25_query(one_shot, terms, k=10).collect()))
+    assert a == b and len(a) == 10
+    # postings/lengths are exactly the union — no doc double-counted
+    assert merged.dl.count() == docs.count()
+    assert merged.tf.exceptAll(one_shot.tf).count() == 0
+    assert one_shot.tf.exceptAll(merged.tf).count() == 0
