@@ -974,3 +974,50 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "corpus_split_leakage_near",
+    None,  # MinHash banding is seed/hash-dependent — rows-only; detection
+    # quality is pinned by tests/test_curation.py::test_split_near_leakage_planted
+    doc="NEAR-duplicate leakage audit across the train/val/test split — the "
+    "follow-through corpus_train_val_split's exact-dup audit promises: "
+    "eval-side documents (val+test, the delta) are MinHash-LSH banded "
+    "against the TRAIN side (the state) via minhash_cross_pairs, so a "
+    "paraphrased or lightly-edited train document leaking into eval is "
+    "caught, not just byte-identical copies. Reports per eval split the "
+    "document count and how many have an estimated-Jaccard >= 0.8 "
+    "near-twin in train. Cost shape: signature pass over each side, band "
+    "equi-join whose left side is eval-sized — the daily-audit cost "
+    "scales with the eval sets, and only band hashes cross the exchange.",
+    tags=("llm", "curation"),
+)
+def corpus_split_leakage_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.dedup import minhash_cross_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    assigned = docs.withColumn(
+        "split",
+        F.when(first_hex.isin(*"0123456789ab"), "train")
+        .when(first_hex.isin("c", "d"), "val")
+        .otherwise("test"),
+    )
+    train = assigned.filter(F.col("split") == "train").select("doc_id", "text")
+    evals = assigned.filter(F.col("split") != "train")
+    pairs = minhash_cross_pairs(
+        evals.select("doc_id", "text"), train, jaccard_threshold=0.8
+    )
+    leaked = pairs.select(F.col("delta_id").alias("doc_id")).distinct().withColumn(
+        "leak", F.lit(1)
+    )
+    return (
+        evals.join(leaked, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("leak"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_near_leaked"),
+        )
+    )

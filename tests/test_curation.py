@@ -103,3 +103,46 @@ def test_corpus_stats_exact_values(spark):
     assert r["total_chars"] == len("Hello world") + len("hello  spark world") + 1
     # vocab is lowercased: {hello, world, spark, x}
     assert r["vocab_size"] == 4
+
+
+def test_split_near_leakage_planted(spark, tmp_path):
+    """corpus_split_leakage_near must catch a PLANTED near-duplicate that
+    straddles the train/eval boundary (one word changed — far above the
+    0.8 Jaccard gate), and not flag unrelated eval docs."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    def split_of(doc_id: int) -> str:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+        if h in "0123456789ab":
+            return "train"
+        return "val" if h in "cd" else "test"
+
+    train_id = next(i for i in range(1000) if split_of(i) == "train")
+    eval_id = next(i for i in range(1000) if split_of(i) != "train")
+    other_id = next(
+        i for i in range(1000) if split_of(i) != "train" and i != eval_id
+    )
+    # varied vocabulary so the distinct-shingle set is large and a one-word
+    # edit keeps true Jaccard ~0.95 (repeated text has tiny shingle sets
+    # where a single edit drops Jaccard below any useful threshold)
+    base = " ".join(f"token{i} word{i*7%97}" for i in range(60))
+    rows = [
+        (train_id, base),
+        (eval_id, base.replace("token30", "changed", 1)),  # near-dup of train
+        (other_id, " ".join(f"other{i} thing{i*5%89}" for i in range(60))),
+    ]
+    d = str(tmp_path / "leak")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    out = {
+        r["split"]: (r["n_docs"], r["n_near_leaked"])
+        for r in all_queries()["corpus_split_leakage_near"].fn(spark, d).collect()
+    }
+    leaked_total = sum(v[1] for v in out.values())
+    assert leaked_total == 1, out
+    assert split_of(eval_id) in out and out[split_of(eval_id)][1] == 1, out
