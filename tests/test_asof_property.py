@@ -152,3 +152,49 @@ def test_asof_tolerance_equals_bruteforce(left, right, tol_hours):
         ]
         want = max(cands, key=lambda c: (c[1], c[0]))[0] if cands else None
         assert got.get(i) == want, (i, got.get(i), want)
+
+
+_ms_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20_000)),  # millisecond offsets
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_ms_rows, right=_ms_rows, tol=st.integers(1, 10))
+def test_asof_tolerance_subsecond_equals_bruteforce(left, right, tol):
+    """Tolerance semantics at MILLISECOND granularity vs an independent
+    brute force: the exact two-sided interval [lt - tol, lt], matching
+    pandas merge_asof (regression for the whole-second-floor compare that
+    admitted rows up to ~1s outside the window)."""
+    spark = _get_spark()
+    ldf = spark.createDataFrame(
+        [
+            (i, k, _BASE + dt.timedelta(milliseconds=ms))
+            for i, (k, ms) in enumerate(left)
+        ],
+        ["lid", "key", "ts"],
+    )
+    rdf = spark.createDataFrame(
+        [
+            (j, k, _BASE + dt.timedelta(milliseconds=ms))
+            for j, (k, ms) in enumerate(right)
+        ],
+        "rid bigint, rkey bigint, rts timestamp",
+    )
+    out = asof_join(
+        ldf, rdf, "key", "rkey", "ts", "rts",
+        tie_breakers=["rid"], how="left", tolerance_seconds=tol,
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    for i, (k, lms) in enumerate(left):
+        cands = [
+            (rms, j)
+            for j, (rk, rms) in enumerate(right)
+            if rk == k and lms - tol * 1000 <= rms <= lms
+        ]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, lms, tol, got[i], want)
+    assert len(got) == len(left)
