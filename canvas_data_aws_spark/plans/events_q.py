@@ -1387,3 +1387,72 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mad"), 4).alias("mad_value"),
         )
     )
+
+
+@register(
+    "ts_forecast_seasonal_naive",
+    """
+    WITH train AS (
+      SELECT event_type,
+             CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+             value
+      FROM events WHERE ts < TIMESTAMP '2024-01-24'
+    ),
+    profile AS (
+      SELECT event_type, dow, hod, AVG(value) AS fc
+      FROM train GROUP BY event_type, dow, hod
+    ),
+    eval_ AS (
+      SELECT event_type,
+             CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+             value
+      FROM events WHERE ts >= TIMESTAMP '2024-01-24'
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           AVG(ABS(e.value - p.fc)) AS mae,
+           AVG(e.value - p.fc) AS bias
+    FROM eval_ e JOIN profile p
+      ON p.event_type = e.event_type AND p.dow = e.dow AND p.hod = e.hod
+    GROUP BY e.event_type
+    """,
+    doc="Seasonal-naive forecasting with a real holdout evaluation: the "
+    "(event_type x day-of-week x hour) mean-value profile is fit on "
+    "everything before the cutoff week and scored against the held-out "
+    "week with MAE and signed bias — the baseline every fancier "
+    "forecaster must beat, and the backtest shape (train window, frozen "
+    "profile, out-of-sample error) a metrics pipeline runs daily. The "
+    "profile is a BOUNDED aggregate (types x 168 cells) joined back on "
+    "its key; both passes push their time predicate to the scan. MAE/bias "
+    "ship UNROUNDED (quotients of float sums land on rounding halves "
+    "where engines split — the comparator canonicalizes at 9dp). "
+    "Day numbering pinned to Sunday=0 on both engines.",
+    tags=("events", "timeseries"),
+)
+def ts_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    cut = F.lit("2024-01-24").cast("timestamp")
+    keyed = e.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+        "value",
+        "ts",
+    )
+    profile = (
+        keyed.filter(F.col("ts") < cut)
+        .groupBy("event_type", "dow", "hod")
+        .agg(F.avg("value").alias("fc"))
+    )
+    ev = keyed.filter(F.col("ts") >= cut)
+    return (
+        ev.join(profile, ["event_type", "dow", "hod"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval"),
+            F.avg(F.abs(F.col("value") - F.col("fc"))).alias("mae"),
+            F.avg(F.col("value") - F.col("fc")).alias("bias"),
+        )
+    )
