@@ -496,3 +496,43 @@ def test_bigram_windows_all_partitioned(registry, spark, sf_dir):
     assert 1 <= n_windows <= 3, plan[:2000]
     assert plan.count("windowspecdefinition(doc_id") == n_windows, plan[:2000]
     assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_gopher_rules_zero_exchange(registry, spark, sf_dir):
+    plan = _plan(registry, spark, sf_dir, "text_gopher_rules")
+    assert "Exchange" not in plan, "row-local rule set shuffles: " + plan[:1500]
+
+
+def test_anomaly_mad_partitioned_percentiles(registry, spark, sf_dir):
+    """events_anomaly_mad: both exact-percentile passes are GROUPED by
+    event_type — no single-partition aggregation of the raw events."""
+    plan = explain_str(registry["events_anomaly_mad"].fn(spark, sf_dir), mode="simple")
+    assert "percentile_disc" in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+
+
+def test_split_ships_digests_not_text(registry, spark, sf_dir):
+    """corpus_train_val_split: the leakage agg/join keys are md5 digests —
+    the normalized TEXT column must be projected away before any exchange."""
+    plan = explain_str(
+        registry["corpus_train_val_split"].fn(spark, sf_dir), mode="simple"
+    )
+    for line in plan.splitlines():
+        if line.strip().startswith("Exchange hashpartitioning"):
+            assert "text" not in line, line
+    assert "md5" in plan
+
+
+def test_hybrid_fusion_no_rank_window(registry, spark, sf_dir):
+    """hybrid_search_fusion chose score fusion over RRF precisely so no
+    unpartitioned rank window exists; both top-ks must fuse to
+    TakeOrdered."""
+    plan = explain_str(registry["hybrid_search_fusion"].fn(spark, sf_dir), mode="simple")
+    assert "Window" not in plan, plan[:2000]
+    assert plan.count("TakeOrderedAndProject") >= 2, plan[:2000]
+
+
+def test_forecast_pushes_time_predicates(registry, spark, sf_dir):
+    plan = _plan(registry, spark, sf_dir, "ts_forecast_seasonal_naive")
+    pushed = pushed_filters(plan)
+    assert any("ts" in f and ("GreaterThanOrEqual" in f or "LessThan" in f) for f in pushed), pushed
