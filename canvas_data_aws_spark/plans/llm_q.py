@@ -1696,33 +1696,12 @@ def sim_search_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "serving"),
 )
 def hybrid_search_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.search import bm25_index, bm25_query
     from canvas_data_aws_spark.operators.similarity import cosine
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    toks = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    df_t = (
-        tf.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("term")
-        .agg(F.count("*").cast("double").alias("df"))
-    )
-    k1, b = 1.5, 0.75
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    denom = F.col("tf") + k1 * ((1 - b) + b * F.col("dl") / F.col("avgdl"))
-    sparse = (
-        tf.join(df_t, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))  # single-row scalar: safe broadcast
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * (F.col("tf") * (k1 + 1.0)) / denom), 4).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(20)
-    )
+    # the sparse list IS the standalone BM25 operator pipeline, composed
+    sparse = bm25_query(bm25_index(docs, id_col="doc_id"), list(_BM25_TERMS), k=20)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     dense = (
