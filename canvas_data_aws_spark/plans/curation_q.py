@@ -1021,3 +1021,60 @@ def corpus_split_leakage_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_near_leaked"),
         )
     )
+
+
+@register(
+    "corpus_mix_temperature",
+    r"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                      x -> length(x) > 0))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    powered AS (
+      SELECT source, n_docs, n_tokens,
+             POWER(n_tokens, 0.5) AS p
+      FROM per_source
+    ),
+    tot AS (SELECT SUM(p) AS z, SUM(n_tokens) AS all_tokens FROM powered)
+    SELECT source, n_docs, n_tokens,
+           ROUND(p / z, 6) AS mix_rate,
+           ROUND(100000.0 * p / z, 2) AS target_tokens,
+           ROUND(100000.0 * p / z / n_tokens, 4) AS epochs
+    FROM powered, tot
+    """,
+    doc="Temperature-scaled source mixing (alpha = 0.5): sampling rates "
+    "proportional to n_tokens^alpha, renormalized — the standard "
+    "rebalancing knob from multilingual pretraining (alpha < 1 upsamples "
+    "small sources relative to their natural share; alpha = 1 recovers "
+    "proportional mixing, alpha = 0 uniform — cf. the exponent-smoothed "
+    "sampling of Conneau & Lample's cross-lingual LM work). Reports per "
+    "source the mix rate, the token allocation under a 100k budget, and "
+    "the implied epochs (>1 means the source repeats). Pure aggregate "
+    "arithmetic: one per-source rollup plus a one-row normalizer "
+    "broadcast; complements corpus_token_budget_plan (uniform) and "
+    "corpus_mix_weighted (explicit weights).",
+    tags=("llm", "curation"),
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    alpha, budget = 0.5, 100000.0
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda x: F.length(x) > 0))
+    per_source = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("n_tokens"),
+    )
+    powered = per_source.withColumn("p", F.pow(F.col("n_tokens"), F.lit(alpha)))
+    tot = powered.agg(F.sum("p").alias("z"))
+    return powered.crossJoin(F.broadcast(tot)).select(  # single-row scalar
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("p") / F.col("z"), 6).alias("mix_rate"),
+        F.round(F.lit(budget) * F.col("p") / F.col("z"), 2).alias("target_tokens"),
+        F.round(F.lit(budget) * F.col("p") / F.col("z") / F.col("n_tokens"), 4).alias(
+            "epochs"
+        ),
+    )
