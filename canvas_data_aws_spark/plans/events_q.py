@@ -1456,3 +1456,49 @@ def ts_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("value") - F.col("fc")).alias("bias"),
         )
     )
+
+
+@register(
+    "events_lag_features",
+    """
+    WITH f AS (
+      SELECT user_id, event_id, ts, value,
+             LAG(value)  OVER w AS value_lag1,
+             AVG(value)  OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS value_roll3,
+             date_diff('second', LAG(ts) OVER w, ts) AS secs_since_prev,
+             ROW_NUMBER() OVER w AS user_event_no
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, value_lag1,
+           ROUND(value_roll3, 6) AS value_roll3,
+           CAST(secs_since_prev AS BIGINT) AS secs_since_prev,
+           CAST(user_event_no AS INT) AS user_event_no
+    FROM f
+    """,
+    doc="Per-user lag/rolling feature engineering — the feature-store "
+    "transform an event-level ML training set needs: previous value, "
+    "3-event rolling mean, seconds since the previous event, and the "
+    "user's event ordinal. ALL four features ride ONE user_id window "
+    "specification, so Catalyst plans a single exchange + single sort "
+    "shared by every feature (asserted in the plan audit) — adding more "
+    "lags/rolls to the same spec costs no extra shuffle at any scale. "
+    "Rolling mean is a quotient of a fixed 3-row frame: identical "
+    "operand order in both engines, rounded at 6dp.",
+    tags=("events", "timeseries"),
+)
+def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = w.rowsBetween(-2, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("value").over(w).alias("value_lag1"),
+        F.round(F.avg("value").over(w3), 6).alias("value_roll3"),
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+        .cast("bigint")
+        .alias("secs_since_prev"),
+        F.row_number().over(w).cast("int").alias("user_event_no"),
+    )

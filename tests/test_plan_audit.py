@@ -536,3 +536,11 @@ def test_forecast_pushes_time_predicates(registry, spark, sf_dir):
     plan = _plan(registry, spark, sf_dir, "ts_forecast_seasonal_naive")
     pushed = pushed_filters(plan)
     assert any("ts" in f and ("GreaterThanOrEqual" in f or "LessThan" in f) for f in pushed), pushed
+
+
+def test_lag_features_single_exchange(registry, spark, sf_dir):
+    """events_lag_features: all four features share ONE user_id window spec
+    — exactly one hash exchange and one Window node in the plan."""
+    plan = explain_str(registry["events_lag_features"].fn(spark, sf_dir), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert plan.count("Window [") <= 2, plan[:2000]  # rn + analytic may split
