@@ -1774,3 +1774,68 @@ def text_bm25_merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.join(F.broadcast(cut), F.col("doc_id") > F.col("c")).drop("c")
     idx = bm25_merge(bm25_index(base, id_col="doc_id"), delta)
     return bm25_query(idx, list(_BM25_TERMS), k=10)
+
+
+@register(
+    "corpus_ngram_novelty",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(words[i:i+2], ' ')
+                            for i in range(1, len(words) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents)
+    ),
+    ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+      WHERE len(shingles) > 0
+    ),
+    sdf AS (
+      SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY shingle
+    )
+    SELECT e.doc_id,
+           CAST(ANY_VALUE(e.n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN s.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           SUM(CASE WHEN s.df = 1 THEN 1 ELSE 0 END)
+             / CAST(ANY_VALUE(e.n_sh) AS DOUBLE) AS novelty_share
+    FROM ex e JOIN sdf s ON s.shingle = e.shingle
+    GROUP BY e.doc_id
+    """,
+    doc="Per-document n-gram novelty: the share of a document's distinct "
+    "3-word shingles that appear NOWHERE else in the corpus — the "
+    "duplication/memorization signal data-analysis reports track (low "
+    "novelty = templated or near-duplicated content; the aggregate "
+    "distribution quantifies corpus-level duplication beyond pair "
+    "detection). Same inverted shingle index as the Jaccard dedup tier: "
+    "one shingle-key exchange for the document frequencies, joined back "
+    "and rolled up per doc — counts are exact integers; the share ships "
+    "UNROUNDED (1/2^k denominators land exactly on rounding halves).",
+    tags=("llm", "curation", "text"),
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select("doc_id", word_shingles(F.col("text"), k=3).alias("shingles"))
+    ex = (
+        sh.filter(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("shingle"),
+        )
+    )
+    sdf = ex.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        ex.join(sdf, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_sh").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            (
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.first("n_sh").cast("double")
+            ).alias("novelty_share"),
+        )
+    )
