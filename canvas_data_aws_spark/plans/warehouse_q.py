@@ -757,3 +757,57 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "table_file_layout_audit",
+    """
+    SELECT o_orderstatus,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Physical-layout audit via input_file_name(): orders is written "
+    "partitioned by status (hash-repartitioned first, so each status "
+    "lands in exactly one task and therefore exactly one file per "
+    "partition directory), then the report groups rows by their SOURCE "
+    "FILE and rolls up per partition value — files-per-partition and "
+    "rows-per-partition, the numbers a compaction planner reads to find "
+    "small-file buildup and partition skew (ingest/compaction.py is the "
+    "fix this report triggers). The oracle states the layout CONTRACT "
+    "relationally: one file per status carrying exactly that status's "
+    "rows — so the value compare proves the physical write placed every "
+    "row in the right directory, not just that counting works.",
+    tags=("warehouse", "maintenance"),
+)
+def table_file_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"cda_filelayout_{tag}", "orders")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .repartition("o_orderstatus")
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out)
+    per_file = (
+        back.select(
+            F.input_file_name().alias("file"),
+            F.col("o_orderstatus"),
+        )
+        .groupBy("file")
+        .agg(
+            F.first("o_orderstatus").alias("o_orderstatus"),
+            F.count("*").alias("file_rows"),
+        )
+    )
+    return per_file.groupBy("o_orderstatus").agg(
+        F.count_distinct("file").cast("bigint").alias("n_files"),
+        F.sum("file_rows").cast("bigint").alias("n_rows"),
+    )
