@@ -52,7 +52,7 @@ def asof_join(
     tie_breakers: list[str] | None = None,
     how: str = "inner",
     direction: str = "backward",
-    tolerance_seconds: int | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: for every left row, the single latest right row with
     ``right_ts <= left_ts`` on the same key (SURVEY.md §2 B.3 `join_asof`).
@@ -98,7 +98,13 @@ def asof_join(
         # diverging from pandas merge_asof's exact two-sided interval.
         return F.unix_micros(frame[col_name].cast("timestamp"))
 
-    tol = None if tolerance_seconds is None else int(tolerance_seconds) * 1_000_000
+    # round, don't floor: int(0.5) * 1e6 would silently turn a half-second
+    # tolerance into ZERO while the window compare is microsecond-exact
+    tol = (
+        None
+        if tolerance_seconds is None
+        else int(round(float(tolerance_seconds) * 1_000_000))
+    )
     if direction == "forward":
         rng = right[right_ts] >= ltagged[left_ts]
         if tol is not None:

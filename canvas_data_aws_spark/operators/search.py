@@ -96,6 +96,22 @@ def bm25_merge(
     rest of the corpus."""
     if index.n_buckets <= 0:
         raise ValueError("index.n_buckets must be positive")
+    # Guard id-disjointness: a re-ingested id would union a SECOND set of
+    # tf/dl rows, double-counting in n_docs/avgdl and returning duplicate id
+    # rows from bm25_query — silent relevance corruption on the daily-ingest
+    # path. The check is one bounded semi-join count (dl is one row per doc).
+    dup = (
+        new_docs.select(F.col(index.id_col))
+        .join(index.dl.select(index.id_col), index.id_col, "left_semi")
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "bm25_merge: new_docs contains ids already present in the index; "
+            "delete-then-merge or dedup upstream (blind union double-counts "
+            "n_docs/avgdl and duplicates query results)"
+        )
     fresh = bm25_index(
         new_docs, text_col=text_col, id_col=index.id_col, n_buckets=index.n_buckets
     )

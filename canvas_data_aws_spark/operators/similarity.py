@@ -276,6 +276,23 @@ def ivf_upsert(
     """
     from pyspark.sql.types import IntegerType
 
+    # Guard id-disjointness: a re-ingested id would leave TWO rows for the
+    # same vector in `assigned` (possibly in different cells if the vector
+    # changed), so ivf_query would return duplicate ids. One bounded
+    # semi-join probe, same contract as search.bm25_merge.
+    dup = (
+        new_vectors.select(F.col(index.corpus_id))
+        .join(index.assigned.select(index.corpus_id), index.corpus_id, "left_semi")
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "ivf_upsert: new_vectors contains ids already present in the "
+            "index; delete-then-upsert or dedup upstream (blind union "
+            "duplicates query results)"
+        )
+
     cents_rows = index.centroids.orderBy("cell").collect()  # k rows: bounded
     cents = np.array([np.asarray(r["centroid"], dtype=np.float64) for r in cents_rows])
     bc = new_vectors.sparkSession.sparkContext.broadcast(cents)

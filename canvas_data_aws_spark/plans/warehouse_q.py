@@ -783,18 +783,36 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_file_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
+    import shutil
     import tempfile
 
+    # Cache key includes a content fingerprint of the source orders parquet
+    # (path + per-file size/mtime): if orders is regenerated in place, the
+    # rewrite regenerates too instead of serving a stale layout the DuckDB
+    # oracle (which counts LIVE orders) would mismatch. Write-to-tmp +
+    # atomic os.rename keeps concurrent callers from ever observing a
+    # half-overwritten directory (same pattern as sources/tpch_supplement).
+    from canvas_data_aws_spark.sources.tpch_supplement import _source_fingerprint
+
+    fp = _source_fingerprint(sf_dir, ("orders",))
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), f"cda_filelayout_{tag}", "orders")
+    out = os.path.join(
+        tempfile.gettempdir(), f"cda_filelayout_{tag}-{fp}", "orders"
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        tmp = out + f".tmp-{os.getpid()}"
         (
             load_table(spark, sf_dir, "orders")
             .repartition("o_orderstatus")
             .write.mode("overwrite")
             .partitionBy("o_orderstatus")
-            .parquet(out)
+            .parquet(tmp)
         )
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     back = spark.read.parquet(out)
     per_file = (
         back.select(

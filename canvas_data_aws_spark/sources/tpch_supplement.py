@@ -30,6 +30,7 @@ callers race benignly on an atomic rename.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -44,9 +45,40 @@ CACHE_ROOT = os.environ.get(
 )
 
 
+def _source_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
+    """Content fingerprint of the fixture dir + its source tables.
+
+    The cache key must change when the SOURCE parquet changes, not just the
+    directory's leaf name: two roots sharing a basename (v1/sf0.1 vs
+    v2/sf0.1), or a fixture regenerated in place, must not serve a stale
+    supplement (both Spark and the DuckDB oracle would read the same stale
+    parquet and the contract would stay green while joins against the live
+    part/supplier tables silently drop keys). Hash the absolute path plus
+    (relpath, size, mtime_ns) of every file under each source table's
+    parquet path.
+    """
+    h = hashlib.sha256(os.path.realpath(sf_dir).encode())
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        entries = []
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    entries.append((os.path.relpath(fp, p), st.st_size, st.st_mtime_ns))
+        elif os.path.exists(p):
+            st = os.stat(p)
+            entries.append((t, st.st_size, st.st_mtime_ns))
+        for e in sorted(entries):
+            h.update(repr(e).encode())
+    return h.hexdigest()[:16]
+
+
 def partsupp_path(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    return os.path.join(CACHE_ROOT, tag, "partsupp.parquet")
+    fp = _source_fingerprint(sf_dir, ("part", "supplier"))
+    return os.path.join(CACHE_ROOT, f"{tag}-{fp}", "partsupp.parquet")
 
 
 def ensure_partsupp(spark: SparkSession, sf_dir: str) -> str:
@@ -63,6 +95,14 @@ def ensure_partsupp(spark: SparkSession, sf_dir: str) -> str:
         raise ValueError(
             f"supplier keys not contiguous in {sf_dir} ({lo}..{hi}, n={n}); "
             "the stride formula needs a dense key range"
+        )
+    if int(n) < 4:
+        # stride max(1, n//4) only yields 4 DISTINCT offsets mod n for
+        # n >= 4; below that the wrap emits duplicate (partkey, suppkey)
+        # primary-key rows, contradicting the distinctness contract
+        raise ValueError(
+            f"supplier count {n} in {sf_dir} is below 4; partsupp needs "
+            "4 distinct suppliers per part"
         )
     stride = max(1, int(n) // 4)
     ps = (
@@ -118,7 +158,8 @@ SHIP_MODES = ("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
 
 def lineitem_ext_path(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    return os.path.join(CACHE_ROOT, tag, "lineitem_ext.parquet")
+    fp = _source_fingerprint(sf_dir, ("lineitem", "orders"))
+    return os.path.join(CACHE_ROOT, f"{tag}-{fp}", "lineitem_ext.parquet")
 
 
 def ensure_lineitem_ext(spark: SparkSession, sf_dir: str) -> str:

@@ -198,3 +198,39 @@ def test_asof_tolerance_subsecond_equals_bruteforce(left, right, tol):
         want = max(cands)[1] if cands else None
         assert got[i] == want, (i, k, lms, tol, got[i], want)
     assert len(got) == len(left)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_ms_rows, right=_ms_rows, tol_ms=st.sampled_from([250, 500, 750, 1500]))
+def test_asof_fractional_tolerance(left, right, tol_ms):
+    """FRACTIONAL tolerance_seconds (e.g. 0.5) must mean half a second, not
+    floor-to-zero (round-6 advice: int(0.5)*1e6 == 0 silently disabled the
+    window)."""
+    spark = _get_spark()
+    ldf = spark.createDataFrame(
+        [
+            (i, k, _BASE + dt.timedelta(milliseconds=ms))
+            for i, (k, ms) in enumerate(left)
+        ],
+        ["lid", "key", "ts"],
+    )
+    rdf = spark.createDataFrame(
+        [
+            (j, k, _BASE + dt.timedelta(milliseconds=ms))
+            for j, (k, ms) in enumerate(right)
+        ],
+        "rid bigint, rkey bigint, rts timestamp",
+    )
+    out = asof_join(
+        ldf, rdf, "key", "rkey", "ts", "rts",
+        tie_breakers=["rid"], how="left", tolerance_seconds=tol_ms / 1000.0,
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    for i, (k, lms) in enumerate(left):
+        cands = [
+            (rms, j)
+            for j, (rk, rms) in enumerate(right)
+            if rk == k and lms - tol_ms <= rms <= lms
+        ]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, lms, tol_ms, got[i], want)

@@ -682,3 +682,17 @@ def test_pca_whiten_unit_variance(spark, sf_dir):
     assert np.allclose(np.diag(cov), 1.0, atol=1e-3)
     off = cov - np.diag(np.diag(cov))
     assert np.abs(off).max() < 1e-6
+
+
+def test_ivf_upsert_rejects_duplicate_ids(spark, sf_dir):
+    """Re-ingesting an existing id must raise, not leave two assigned rows
+    that duplicate ivf_query results (round-6 advice)."""
+    import pytest
+
+    import canvas_data_aws_spark.operators.similarity as sim
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(64)
+    idx = sim.ivf_index(emb, n_clusters=4)
+    with pytest.raises(ValueError, match="already present"):
+        sim.ivf_upsert(idx, emb.limit(3))

@@ -107,3 +107,17 @@ def test_bm25_merge_equals_one_shot(spark, sf_dir):
     assert merged.dl.count() == docs.count()
     assert merged.tf.exceptAll(one_shot.tf).count() == 0
     assert one_shot.tf.exceptAll(merged.tf).count() == 0
+
+
+def test_bm25_merge_rejects_duplicate_ids(spark, sf_dir):
+    """Re-ingesting an existing id must raise, not silently double-count
+    n_docs/avgdl and duplicate query rows (round-6 advice)."""
+    import pytest
+
+    from canvas_data_aws_spark.operators.search import bm25_index, bm25_merge
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    idx = bm25_index(docs, id_col="doc_id")
+    with pytest.raises(ValueError, match="already present"):
+        bm25_merge(idx, docs.limit(5))

@@ -64,3 +64,60 @@ def test_lineitem_ext_shape(spark, sf_dir):
     )
     row2 = j.agg(F.min("d"), F.max("d")).collect()[0]
     assert 30 <= row2[0] and row2[1] <= 90
+
+
+def test_cache_key_tracks_source_content(spark, sf_dir, tmp_path):
+    """Two fixture roots sharing a leaf basename, or a fixture regenerated
+    in place, must map to DIFFERENT cache dirs — the round-6 advice's stale-
+    supplement trap (Spark and the DuckDB oracle both reading a stale
+    partsupp keeps the contract green while dropping live keys)."""
+    import os
+    import shutil
+    import time
+
+    from canvas_data_aws_spark.sources.tpch_supplement import partsupp_path
+
+    base = partsupp_path(sf_dir)
+
+    # same leaf name under a different root -> different key
+    alt_root = tmp_path / "v2" / os.path.basename(os.path.normpath(sf_dir))
+    alt_root.mkdir(parents=True)
+    for t in ("part", "supplier"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = alt_root / f"{t}.parquet"
+        (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, str(dst))
+    assert partsupp_path(str(alt_root)) != base
+
+    # regenerate in place (mtime bump) -> different key
+    probe = None
+    for root, _d, files in os.walk(str(alt_root / "part.parquet")):
+        for f in files:
+            probe = os.path.join(root, f)
+            break
+        if probe:
+            break
+    if probe is None:  # part.parquet is a bare file
+        probe = str(alt_root / "part.parquet")
+    before = partsupp_path(str(alt_root))
+    st = os.stat(probe)
+    os.utime(probe, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    assert partsupp_path(str(alt_root)) != before
+
+
+def test_partsupp_rejects_tiny_supplier_count(spark, tmp_path):
+    """Below 4 suppliers the stride wraps mod n and would emit duplicate
+    (ps_partkey, ps_suppkey) primary-key rows — the generator must refuse."""
+    import pytest
+
+    from canvas_data_aws_spark.sources.tpch_supplement import ensure_partsupp
+
+    d = tmp_path / "tiny"
+    d.mkdir()
+    spark.createDataFrame([(1,), (2,)], ["p_partkey"]).write.parquet(
+        str(d / "part.parquet")
+    )
+    spark.createDataFrame([(1,), (2,), (3,)], ["s_suppkey"]).write.parquet(
+        str(d / "supplier.parquet")
+    )
+    with pytest.raises(ValueError, match="below 4"):
+        ensure_partsupp(spark, str(d))
