@@ -245,7 +245,21 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+    # Keep the last few runs in-file: single-sample per-query timings have a
+    # ±0.3-0.7 s noise floor at sf0.1 (measured, BENCH_NOISE.md), so drift
+    # questions need run-to-run history, not one overwritten snapshot.
+    full_path = os.path.join(REPO, "BENCH_FULL.json")
+    history = []
+    try:
+        with open(full_path) as f:
+            prev = json.load(f)
+        history = prev.get("history", [])
+        if "value" in prev:
+            history.insert(0, {"value": prev["value"], "queries": prev["queries"], "sf": prev.get("sf")})
+    except (OSError, ValueError):
+        pass
+    full["history"] = history[:4]
+    with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full))  # full detail for raw logs (NOT the last line)
     print(json.dumps(compact_result(timings, sf)))  # last line: fits the tail

@@ -264,21 +264,43 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.streaming.ops import stream_stream_interval_join
 
     events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
-    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
-    span = (hi - lo) / 4
+    # Staging is ONE write job (round-6 advice: the old shape ran a driver
+    # agg().first() for the time bounds plus EIGHT filtered scan+writes —
+    # nine scans of events). The bounds become a broadcast scalar crossJoin
+    # feeding a computed slice column, and one partitioned write lays out
+    # event_type=*/slice=* dirs; the repartition on the write keys puts each
+    # (type, slice) in exactly one task, i.e. one file, which the per-slice
+    # mtime stamping (FileStreamSource orders by mtime) requires.
+    bounds = events.agg(F.min("ts").alias("__lo"), F.max("ts").alias("__hi"))
+    micros = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    sliced = (
+        events.filter(F.col("event_type").isin("click", "error"))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "slice",
+            F.least(
+                F.lit(3),
+                F.floor(
+                    (micros("ts") - micros("__lo"))
+                    * 4
+                    / F.greatest(F.lit(1), micros("__hi") - micros("__lo"))
+                ),
+            ).cast("int"),
+        )
+        .drop("__lo", "__hi")
+    )
     workdir = tempfile.mkdtemp(prefix="cda_ssjo_")
-    click_dir = os.path.join(workdir, "clicks")
-    err_dir = os.path.join(workdir, "errors")
-    for etype, d in (("click", click_dir), ("error", err_dir)):
-        os.makedirs(d)
+    staged_root = os.path.join(workdir, "staged")
+    (
+        sliced.repartition("event_type", "slice")
+        .write.partitionBy("event_type", "slice")
+        .parquet(staged_root)
+    )
+    click_dir = os.path.join(staged_root, "event_type=click")
+    err_dir = os.path.join(staged_root, "event_type=error")
+    for d in (click_dir, err_dir):
         for i in range(4):
-            a = lo + i * span
-            b = hi if i == 3 else lo + (i + 1) * span
-            upper = F.col("ts") <= b if i == 3 else F.col("ts") < b
-            part = events.filter((F.col("event_type") == etype) & (F.col("ts") >= a) & upper)
-            sub = os.path.join(d, f"slice={i}")
-            part.coalesce(1).write.parquet(sub)
-            for f in glob.glob(os.path.join(sub, "*.parquet")):
+            for f in glob.glob(os.path.join(d, f"slice={i}", "*.parquet")):
                 os.utime(f, (1_000_000 + i, 1_000_000 + i))
     schema = spark.read.parquet(click_dir).schema
 
