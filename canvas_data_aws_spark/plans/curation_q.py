@@ -685,7 +685,11 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_cross_dedup_near",
     None,  # xxhash64-seeded MinHash — rows-only; recall vs the exact
-    # delta-x-state Jaccard tier is asserted in tests/test_llm_ops.py
+    # delta-x-state Jaccard tier is asserted in tests/test_llm_ops.py, and a
+    # CONTAINMENT oracle (DuckDB-computed exact duplicate set must be a
+    # subset of the band-join report — identical normalized text implies
+    # identical signatures) is proven in
+    # tests/test_curation.py::test_cross_dedup_near_contains_exact
     doc="Incremental NEAR-dup against corpus state — corpus_cross_dedup's "
     "fuzzy sibling, the step that keeps a daily ingest from re-admitting "
     "paraphrased/reformatted duplicates exact hashing misses: delta docs "
@@ -980,6 +984,9 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_split_leakage_near",
     None,  # MinHash banding is seed/hash-dependent — rows-only; detection
     # quality is pinned by tests/test_curation.py::test_split_near_leakage_planted
+    # plus a CONTAINMENT oracle (DuckDB exact cross-split leak set proven a
+    # subset of the near report) in
+    # tests/test_curation.py::test_split_leakage_near_contains_exact
     doc="NEAR-duplicate leakage audit across the train/val/test split — the "
     "follow-through corpus_train_val_split's exact-dup audit promises: "
     "eval-side documents (val+test, the delta) are MinHash-LSH banded "

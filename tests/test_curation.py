@@ -146,3 +146,121 @@ def test_split_near_leakage_planted(spark, tmp_path):
     leaked_total = sum(v[1] for v in out.values())
     assert leaked_total == 1, out
     assert split_of(eval_id) in out and out[split_of(eval_id)][1] == 1, out
+
+
+def _planted_dup_fixture(spark, sf_dir, tmp_path, cross_split: bool):
+    """Fixture docs plus EXACT duplicates planted across a boundary:
+    train/eval (md5 split) when cross_split, else state/delta (doc_id%10).
+    Returns (fixture_dir, expected_leaked_new_ids)."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = [(r["doc_id"], r["text"]) for r in docs.limit(40).collect()]
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+
+    def is_train(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[0] in "0123456789ab"
+
+    planted, nid, expect = [], max_id + 1, []
+    for src_id, text in base[:8]:
+        # find a new id on the OTHER side of the boundary from a train/state doc
+        while True:
+            nid += 1
+            if cross_split and not is_train(nid):
+                break
+            if not cross_split and nid % 10 >= 8:
+                break
+        # source doc must sit on the train/state side for the copy to leak
+        if cross_split and not is_train(src_id):
+            continue
+        if not cross_split and src_id % 10 >= 8:
+            continue
+        if len(text.split()) < 3:
+            continue  # <k_shingle words -> no signature, guarantee n/a
+        planted.append((nid, text))
+        expect.append(nid)
+    assert len(expect) >= 3, "fixture too small to plant duplicates"
+    d = str(tmp_path / "dup_fixture")
+    docs.unionByName(
+        spark.createDataFrame(planted, ["doc_id", "text"])
+    ).write.parquet(f"{d}/documents.parquet")
+    return d, expect
+
+
+def _duckdb_exact_cross(d, boundary_sql):
+    """Independent DuckDB computation of the exact (normalized-text-equal)
+    cross-boundary leak set."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{d}/documents.parquet/*.parquet')"
+    )
+    rows = con.execute(
+        r"""
+        WITH a AS (
+          SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS nt,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) IN
+                      ('0','1','2','3','4','5','6','7','8','9','a','b')
+                      THEN 'train'
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('c','d')
+                      THEN 'val' ELSE 'test' END AS split
+          FROM documents)
+        SELECT DISTINCT e.doc_id FROM a e JOIN a t ON e.nt = t.nt AND """
+        + boundary_sql
+    ).fetchall()
+    return {r[0] for r in rows}
+
+
+def test_split_leakage_near_contains_exact(spark, sf_dir, tmp_path):
+    """Containment oracle for the rows-only corpus_split_leakage_near:
+    identical normalized text => identical shingle set => identical MinHash
+    signatures => est Jaccard 1.0 and every band shared — so the EXACT
+    cross-split leak set (computed independently in DuckDB) is guaranteed
+    a subset of the near-dup report. Pins the sketch against silent
+    no-op regressions the way bloom's superset test does."""
+    from canvas_data_aws_spark.operators.dedup import minhash_cross_pairs
+
+    d, _ = _planted_dup_fixture(spark, sf_dir, tmp_path, cross_split=True)
+    exact = _duckdb_exact_cross(d, "t.split = 'train' AND e.split <> 'train'")
+    assert exact, "planting failed: no exact cross-split duplicates"
+
+    docs = spark.read.parquet(f"{d}/documents.parquet").select("doc_id", "text")
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    assigned = docs.withColumn(
+        "is_train", first_hex.isin(*"0123456789ab")
+    )
+    pairs = minhash_cross_pairs(
+        assigned.filter(~F.col("is_train")).select("doc_id", "text"),
+        assigned.filter(F.col("is_train")).select("doc_id", "text"),
+        jaccard_threshold=0.8,
+    )
+    near = {r["delta_id"] for r in pairs.collect()}
+    assert exact <= near, f"false negatives vs exact tier: {sorted(exact - near)[:5]}"
+    # and the registry query's per-split counts must cover the exact set
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    out = all_queries()["corpus_split_leakage_near"].fn(spark, d).collect()
+    assert sum(r["n_near_leaked"] for r in out) >= len(exact)
+
+
+def test_cross_dedup_near_contains_exact(spark, sf_dir, tmp_path):
+    """Same containment oracle for corpus_cross_dedup_near: delta docs whose
+    normalized text exactly matches a state doc (DuckDB-computed) must all
+    be reported by the MinHash band join at any threshold <= 1.0."""
+    from canvas_data_aws_spark.operators.dedup import minhash_cross_pairs
+
+    d, _ = _planted_dup_fixture(spark, sf_dir, tmp_path, cross_split=False)
+    exact = _duckdb_exact_cross(
+        d, "t.doc_id % 10 < 8 AND e.doc_id % 10 >= 8"
+    )
+    assert exact, "planting failed: no exact delta-state duplicates"
+    docs = spark.read.parquet(f"{d}/documents.parquet").select("doc_id", "text")
+    pairs = minhash_cross_pairs(
+        docs.filter(F.col("doc_id") % 10 >= 8),
+        docs.filter(F.col("doc_id") % 10 < 8),
+        jaccard_threshold=0.5,
+    )
+    near = {r["delta_id"] for r in pairs.collect()}
+    assert exact <= near, f"false negatives vs exact tier: {sorted(exact - near)[:5]}"
