@@ -84,3 +84,46 @@ def test_fingerprint_matches_python_reference(texts):
 
     for i, t in enumerate(texts):
         assert got[i] == ref(t), (t, got[i], ref(t))
+
+
+def test_ewma_long_key_matches_pandas(tmp_path):
+    """Segmented ts_ewma on a SINGLE key spanning >3 segments (1600 rows,
+    segment size 512) equals pandas ewm(adjust=True) after the query's 4dp
+    rounding — pinning the depth-1 carry-chain truncation claim by test:
+    history older than one full segment carries weight <= 0.7^512 ~ 2e-80
+    (below one double ulp), so the truncated closed form and pandas' exact
+    recurrence must agree bit-for-bit at 4dp."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    spark = _get_spark()
+    n = 1600
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            7,  # one user: one window partition, 4 segments
+            i,
+            base + dt.timedelta(seconds=i),
+            ((i * 2654435761) % 997) / 97.0,  # deterministic, non-round values
+        )
+        for i in range(1, n + 1)
+    ]
+    d = str(tmp_path / "ewma")
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    ).write.parquet(f"{d}/events.parquet")
+
+    out = all_queries()["ts_ewma"].fn(spark, d).orderBy("event_id").collect()
+    got = [r["ewma"] for r in out]
+    want = (
+        pd.Series([r[3] for r in rows]).ewm(alpha=0.3, adjust=True).mean().tolist()
+    )
+    assert len(got) == n
+    for i, (g, w) in enumerate(zip(got, want)):
+        # 4dp bit-equality modulo the engines' half-rounding convention:
+        # require the unrounded reference to round to the same 4dp value
+        # within one ulp of the rounding boundary
+        assert abs(g - w) < 0.5e-4 + 1e-9, (i, g, w)
