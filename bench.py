@@ -112,6 +112,15 @@ HEADLINE = [
     "tpch_q12",
     "tpch_q21",
     "corpus_bigram_logprob",
+    # round 7: driver-facing shipped-column variants of the supplement
+    # TPC-H seven (observed part-supplier bridge from lineitem)
+    "tpch_q2_shipped",
+    "tpch_q9_shipped",
+    "tpch_q11_shipped",
+    "tpch_q16_shipped",
+    "tpch_q20_shipped",
+    "tpch_q12_shipped",
+    "tpch_q21_shipped",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

@@ -92,6 +92,7 @@ def _load_all_modules() -> None:
         star_q,
         streaming_q,
         tpch_q,
+        tpch_shipped_q,
         warehouse_q,
         windows_extra_q,
         windows_q,
