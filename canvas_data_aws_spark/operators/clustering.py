@@ -22,24 +22,35 @@ from pyspark.sql import DataFrame
 
 
 def connected_components(
-    vertices: DataFrame,
+    vertices: DataFrame | None,
     edges: DataFrame,
     vertex_col: str = "id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 8,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """(vertex, component) with component = min vertex id in the component.
 
-    ``vertices`` seeds every node (singletons map to themselves); ``edges``
-    is undirected (both directions are propagated each round).
+    ``vertices`` seeds every node (singletons map to themselves); pass
+    ``None`` when every vertex is an edge endpoint by construction — the
+    final singleton join-back (one vertex-sized shuffle join) is skipped.
+    ``edges`` is undirected (both directions are propagated each round).
+    ``assume_unique``: caller guarantees the edge list is duplicate-free
+    AND stays so after symmetrization (e.g. a deduped bipartite graph with
+    disjoint src/dst key ranges) — skips one full-edge-list distinct
+    shuffle. Correctness is unaffected by duplicates (min is idempotent);
+    the distinct only bounds join fan-out, so only skip it when uniqueness
+    genuinely holds.
     """
     bidir = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionAll(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    if not assume_unique:
+        bidir = bidir.distinct()
     # hash-partition on src ONCE: every round's join then moves only the
     # (tiny) label set; the edge list never re-exchanges
-    bidir = bidir.distinct().repartition("src").cache()
+    bidir = bidir.repartition("src").cache()
 
     # Iterate only over vertices that touch an edge — in a dedup graph
     # that's a tiny fraction of the corpus. Singletons (component = self)
@@ -92,6 +103,10 @@ def connected_components(
             break
     bidir.unpersist()
     lab = labels.select(F.col("v").alias(vertex_col), "component")
+    if vertices is None:
+        # every vertex touches an edge (caller's contract): the label table
+        # IS the answer, no singleton join-back needed
+        return lab
     return (
         vertices.select(F.col(vertex_col))
         .join(lab, vertex_col, "left")
@@ -171,6 +186,8 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     iterations: int = 3,
+    assume_unique: bool = False,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (community detection): every node
     starts labeled with its own id; each round it adopts the most frequent
@@ -187,19 +204,22 @@ def label_propagation(
     ``localCheckpoint`` truncates lineage per round; the hash build is
     pinned off the checkpoint-fed side (same stats-misestimate hazard as
     :func:`pagerank`).
+
+    ``assume_unique``: caller guarantees a duplicate-free edge list —
+    skips the defensive distinct (duplicates would inflate label counts,
+    changing the vote, so only pass it when uniqueness genuinely holds).
+    ``symmetric``: caller guarantees every edge appears in both
+    directions — the node set is then src alone (skips half the
+    node-derivation union).
     """
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .repartition("src")
-        .persist()
-    )
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionAll(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .persist()
-    )
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not assume_unique:
+        e = e.distinct()
+    e = e.repartition("src").persist()
+    nodes = e.select(F.col("src").alias("id"))
+    if not symmetric:
+        nodes = nodes.unionAll(e.select(F.col("dst").alias("id")))
+    nodes = nodes.distinct().persist()
     labels = nodes.withColumn("lab", F.col("id"))
     for _ in range(iterations):
         cand = (

@@ -360,8 +360,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bidir = eda.unionAll(
         eda.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    labels = label_propagation(bidir, iterations=3)
+    )
+    # eda is already distinct and BIPARTITE with disjoint key ranges
+    # (custkey < 1M < suppkey+1M), so the symmetrized list is
+    # duplicate-free by construction and every node appears as a src —
+    # both defensive shuffles inside the operator can be skipped
+    labels = label_propagation(bidir, iterations=3, assume_unique=True, symmetric=True)
     return labels.select("id", F.col("lab").alias("community"))
 
 
@@ -416,11 +420,17 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)  # vertices + edges both read this
     )
-    verts = (
-        eda.select(F.col("src").alias("id"))
-        .unionAll(eda.select(F.col("dst").alias("id")))
-        .distinct()
-    )
+    # every vertex is an edge endpoint by construction (the vertex set IS
+    # src ∪ dst), and eda is distinct + bipartite with disjoint key ranges
+    # (custkey < 1M < suppkey+1M) so symmetrization stays duplicate-free:
+    # vertices=None skips the singleton join-back, assume_unique skips the
+    # operator's defensive full-edge-list distinct
     return connected_components(
-        verts, eda, vertex_col="id", src_col="src", dst_col="dst", max_iterations=8
+        None,
+        eda,
+        vertex_col="id",
+        src_col="src",
+        dst_col="dst",
+        max_iterations=8,
+        assume_unique=True,
     ).select("id", "component")

@@ -64,6 +64,25 @@ def build():
             df = df.unionAll(p)
         df.write.mode("overwrite").parquet(out)
         print(f"built {t}", flush=True)
+    # partsupp: replicate the 1x generated bridge with ps_suppkey shifted
+    # per replica (matching the supplier shift) — 10x rows, keys landing in
+    # each replica's supplier block. Written INTO the replica dir:
+    # ensure_partsupp prefers a shipped partsupp.parquet over generation
+    # (whose stride needs a dense supplier range the blocks don't have).
+    ps_out = f"{DST}/partsupp.parquet"
+    if not os.path.exists(ps_out):
+        from canvas_data_aws_spark.sources.tpch_supplement import ensure_partsupp
+
+        base = spark.read.parquet(ensure_partsupp(spark, SRC))
+        parts = [
+            base.withColumn("ps_suppkey", F.col("ps_suppkey") + F.lit(i * 10_000_000))
+            for i in range(N)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionAll(p)
+        df.write.mode("overwrite").parquet(ps_out)
+        print("built partsupp", flush=True)
 
 
 def run(qname, sf_dir):
