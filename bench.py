@@ -121,6 +121,8 @@ HEADLINE = [
     "tpch_q20_shipped",
     "tpch_q12_shipped",
     "tpch_q21_shipped",
+    "corpus_dup_ngram_spans",
+    "corpus_perplexity_buckets",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

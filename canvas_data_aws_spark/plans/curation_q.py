@@ -1085,3 +1085,196 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs"
         ),
     )
+
+
+@register(
+    "corpus_dup_ngram_spans",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                                   ' ') AS words
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    base AS (SELECT doc_id, len(words) AS n_tokens FROM d),
+    sh AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(words[i:i+7], ' ')) AS h
+      FROM d, UNNEST(range(1, len(words) - 6)) AS t(i)
+    ),
+    freq AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1),
+    starts AS (
+      SELECT s.doc_id, s.pos AS st, s.pos + 7 AS en
+      FROM sh s JOIN freq USING (h)
+    ),
+    flagged AS (
+      SELECT doc_id, st, en,
+             CASE WHEN st > COALESCE(MAX(en) OVER (
+                    PARTITION BY doc_id ORDER BY st
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM starts
+    ),
+    islands AS (
+      SELECT doc_id, st, en,
+             SUM(new_island) OVER (
+               PARTITION BY doc_id ORDER BY st
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    cov AS (
+      SELECT doc_id, MAX(en) - MIN(st) + 1 AS covered
+      FROM islands GROUP BY doc_id, island
+    ),
+    per_doc AS (SELECT doc_id, SUM(covered) AS dup_tokens FROM cov GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           COALESCE(p.dup_tokens, 0) / CAST(b.n_tokens AS DOUBLE) AS dup_fraction
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Duplicated-n-gram SPAN coverage per document — the Spark-shaped "
+    "stand-in for exact substring deduplication (Lee et al., "
+    "'Deduplicating Training Data Makes Language Models Better'): every "
+    "8-word shingle occurring more than once ANYWHERE in the corpus marks "
+    "its 8-token span as duplicated; overlapping spans merge (classic "
+    "island detection: a span opens a new island when its start exceeds "
+    "the running max of previous ends — one doc_id-partitioned window), "
+    "and the report is each doc's duplicated-token count and fraction — "
+    "the filter signal for memorization-prone boilerplate. Scale shape: "
+    "shingles cross the exchange as 16-byte md5 digests (identical "
+    "strings in both engines — never raw text), the duplicate-shingle "
+    "set is HAVING-reduced before the start-position join, and the "
+    "interval merge is windowed per doc. The fraction ships UNROUNDED: "
+    "it is a quotient of exact integers, bit-identical in both engines, "
+    "where a 4dp ROUND could straddle a binary half.",
+    tags=("llm", "curation", "dedup"),
+)
+def corpus_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from canvas_data_aws_spark.operators.dedup import word_shingles
+
+    K = 8
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    base = docs.select(
+        "doc_id", F.size(F.split(norm, " ")).cast("bigint").alias("n_tokens")
+    )
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("text"), K, distinct=False)).alias(
+            "pos", "shingle"
+        ),
+    ).select("doc_id", "pos", F.md5("shingle").alias("h"))
+    dup = sh.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1).select("h")
+    starts = sh.join(dup, "h").select(
+        "doc_id", F.col("pos").alias("st"), (F.col("pos") + K - 1).alias("en")
+    )
+    w = Window.partitionBy("doc_id").orderBy("st")
+    prev_max_en = F.max("en").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = starts.withColumn(
+        "new_island",
+        (F.col("st") > F.coalesce(prev_max_en, F.lit(-1))).cast("int"),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    cov = islands.groupBy("doc_id", "island").agg(
+        (F.max("en") - F.min("st") + 1).alias("covered")
+    )
+    per_doc = cov.groupBy("doc_id").agg(F.sum("covered").alias("dup_tokens"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+@register(
+    "corpus_perplexity_buckets",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(n) AS total FROM freq),
+    scored AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(AVG(-ln(f.n / tot.total)), 4) AS score
+      FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
+      GROUP BY t.doc_id
+    ),
+    cuts AS (
+      SELECT percentile_disc(0.3333) WITHIN GROUP (ORDER BY score) AS c_head,
+             percentile_disc(0.6667) WITHIN GROUP (ORDER BY score) AS c_mid
+      FROM scored
+    )
+    SELECT CASE WHEN s.score <= c.c_head THEN 'head'
+                WHEN s.score <= c.c_mid THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+           MIN(s.score) AS min_score,
+           MAX(s.score) AS max_score
+    FROM scored s CROSS JOIN cuts c
+    GROUP BY 1
+    """,
+    doc="CCNet-style perplexity bucketing: documents scored by the unigram-"
+    "LM mean negative log-probability (the corpus_unigram_logprob "
+    "machinery), then split into head/middle/tail thirds at "
+    "percentile_disc cutpoints — the standard keep-the-head curation "
+    "gate (Wenzek et al., CCNet). The cutpoints are a one-row aggregate "
+    "broadcast back as a row-local CASE — the same global-NTILE "
+    "replacement pattern as orders_pareto_share (no data-sized "
+    "single-partition window anywhere); percentile_disc returns multiset "
+    "ELEMENTS, bit-identical across engines on the 4dp-rounded scores. "
+    "Per-bucket stats are counts and element picks (min/max), never "
+    "order-dependent float sums.",
+    tags=("llm", "curation"),
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("n") / F.col("total"))), 4).alias("score"),
+        )
+    )
+    cuts = scored.agg(
+        F.expr("percentile_disc(0.3333) WITHIN GROUP (ORDER BY score)").alias("c_head"),
+        F.expr("percentile_disc(0.6667) WITHIN GROUP (ORDER BY score)").alias("c_mid"),
+    )
+    bucket = (
+        F.when(F.col("score") <= F.col("c_head"), "head")
+        .when(F.col("score") <= F.col("c_mid"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))  # single-row scalar: safe broadcast
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+    )
