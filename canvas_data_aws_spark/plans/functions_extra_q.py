@@ -80,3 +80,38 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_nationkey").agg(
         F.array_join(F.sort_array(F.collect_list("c_mktsegment")), "|").alias("segments")
     )
+
+
+@register(
+    "fn_variant",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT)     AS k_int,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE)  AS k_dbl,
+           json_extract_string(props, '$.missing') IS NULL    AS missing_is_null,
+           CAST(CAST(json_extract_string(props, '$.k') AS INT) >= 50
+                AS BOOLEAN)                                   AS k_high
+    FROM events
+    """,
+    doc="Spark 4 VARIANT surface over events.props: parse_json into the "
+    "shredded binary VARIANT type, then typed path extraction with "
+    "variant_get — the open-format semi-structured column (the same "
+    "engine path Iceberg/Delta variant columns use), distinct from "
+    "fn_json's string-walking get_json_object/from_json: VARIANT parses "
+    "ONCE per row into a binary encoding every subsequent extraction "
+    "reads without re-tokenizing, the right shape when many paths are "
+    "pulled from the same large document at 100 TB. Missing paths yield "
+    "typed NULLs (checked), numerics extract at int and double width "
+    "from one encoding. Oracle mirrors with DuckDB json_extract.",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_int"),
+        F.expr("variant_get(parse_json(props), '$.k', 'double')").alias("k_dbl"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'string')")
+        .isNull()
+        .alias("missing_is_null"),
+        (F.expr("variant_get(parse_json(props), '$.k', 'int')") >= 50).alias("k_high"),
+    )
