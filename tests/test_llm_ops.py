@@ -696,3 +696,60 @@ def test_ivf_upsert_rejects_duplicate_ids(spark, sf_dir):
     idx = sim.ivf_index(emb, n_clusters=4)
     with pytest.raises(ValueError, match="already present"):
         sim.ivf_upsert(idx, emb.limit(3))
+
+
+def test_clustering_fast_path_flags_equal_defensive_path(spark):
+    """assume_unique/symmetric/vertices=None fast paths must give the same
+    answers as the defensive path on a graph that satisfies the contracts,
+    and the defensive path must still absorb duplicate edges."""
+    import pyspark.sql.functions as F
+
+    from canvas_data_aws_spark.operators.clustering import (
+        connected_components,
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 101), (2, 101), (3, 102), (4, 103), (4, 102)], ["src", "dst"]
+    )
+    verts = edges.select(F.col("src").alias("id")).unionAll(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    cc_def = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            verts, edges, vertex_col="id", src_col="src", dst_col="dst"
+        ).collect()
+    }
+    cc_fast = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            None, edges, vertex_col="id", src_col="src", dst_col="dst",
+            assume_unique=True,
+        ).collect()
+    }
+    assert cc_def == cc_fast and len(cc_def) == 7
+
+    # duplicate edges through the defensive path: same result
+    dup_edges = edges.unionAll(edges)
+    cc_dup = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            verts, dup_edges, vertex_col="id", src_col="src", dst_col="dst"
+        ).collect()
+    }
+    assert cc_dup == cc_def
+
+    bidir = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lpa_def = {
+        (r["id"], r["lab"]) for r in label_propagation(bidir, iterations=3).collect()
+    }
+    lpa_fast = {
+        (r["id"], r["lab"])
+        for r in label_propagation(
+            bidir, iterations=3, assume_unique=True, symmetric=True
+        ).collect()
+    }
+    assert lpa_def == lpa_fast and len(lpa_def) == 7
