@@ -123,6 +123,8 @@ HEADLINE = [
     "tpch_q21_shipped",
     "corpus_dup_ngram_spans",
     "corpus_perplexity_buckets",
+    "ts_decompose_additive",
+    "fn_variant",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

@@ -1502,3 +1502,79 @@ def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("secs_since_prev"),
         F.row_number().over(w).cast("int").alias("user_event_no"),
     )
+
+
+@register(
+    "ts_decompose_additive",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             ROUND(AVG(value), 4) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+      SELECT event_type, hour_ts, y,
+             AVG(y) OVER (
+               PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS trend
+      FROM hourly
+    ),
+    seasonal AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM hour_ts) AS INT) AS hod,
+             ROUND(AVG(y - trend), 4) AS s
+      FROM trended GROUP BY 1, 2
+    )
+    SELECT t.event_type, CAST(t.hour_ts AS TIMESTAMP) AS hour_ts,
+           t.y, t.trend, s.s AS seasonal,
+           t.y - t.trend - s.s AS residual
+    FROM trended t
+    JOIN seasonal s
+      ON s.event_type = t.event_type
+     AND s.hod = CAST(EXTRACT(hour FROM t.hour_ts) AS INT)
+    """,
+    doc="Classic additive time-series decomposition per event type: hourly "
+    "series y, trend as a 24-point centered moving average (one "
+    "event_type-partitioned frame window), hour-of-day seasonal as the "
+    "mean detrended value (a 24-row-per-type rollup joined back on the "
+    "bounded (type, hod) key), residual = y - trend - seasonal — the "
+    "anomaly-detection / forecasting preprocessing primitive (STL's "
+    "cheap windowed ancestor). Determinism: every aggregate is ROUNDed "
+    "to 4dp at its own stage and downstream arithmetic consumes the "
+    "ROUNDED values, so order-dependent double summation never crosses "
+    "an engine boundary unrounded; the frame average itself sums in "
+    "frame order (identical in both engines). All windows partition by "
+    "event_type — at 100 TB each series decomposes independently; only "
+    "the hour-bucketed rollup (8760 rows/type/year) flows into the "
+    "window, never raw events.",
+    tags=("events", "timeseries"),
+)
+def ts_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.round(F.avg("value"), 4).alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-11, 12)
+    )
+    trended = hourly.withColumn("trend", F.avg("y").over(w))
+    seasonal = trended.groupBy(
+        F.col("event_type").alias("s_event_type"),
+        F.hour("hour_ts").cast("int").alias("hod"),
+    ).agg(F.round(F.avg(F.col("y") - F.col("trend")), 4).alias("s"))
+    return (
+        trended.join(
+            F.broadcast(seasonal),  # bounded: 24 rows per event type
+            (F.col("event_type") == F.col("s_event_type"))
+            & (F.hour("hour_ts").cast("int") == F.col("hod")),
+        )
+        .select(
+            "event_type",
+            "hour_ts",
+            "y",
+            "trend",
+            F.col("s").alias("seasonal"),
+            (F.col("y") - F.col("trend") - F.col("s")).alias("residual"),
+        )
+    )
