@@ -1168,9 +1168,16 @@ def corpus_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", "shingle"
         ),
     ).select("doc_id", "pos", F.md5("shingle").alias("h"))
-    dup = sh.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1).select("h")
-    starts = sh.join(dup, "h").select(
-        "doc_id", F.col("pos").alias("st"), (F.col("pos") + K - 1).alias("en")
+    # duplicate detection as ONE h-partitioned count window instead of
+    # groupBy(h) + join back: the join formulation shuffles sh by h AND
+    # re-runs the tokenize/shingle/md5 pipeline for the probe side; the
+    # window shuffles the same rows by h exactly once and keeps them.
+    # (h is high-cardinality — never a single-partition window.)
+    wdup = Window.partitionBy("h")
+    starts = (
+        sh.withColumn("c", F.count(F.lit(1)).over(wdup))
+        .filter(F.col("c") > 1)
+        .select("doc_id", F.col("pos").alias("st"), (F.col("pos") + K - 1).alias("en"))
     )
     w = Window.partitionBy("doc_id").orderBy("st")
     prev_max_en = F.max("en").over(w.rowsBetween(Window.unboundedPreceding, -1))
