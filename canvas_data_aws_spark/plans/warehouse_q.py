@@ -829,3 +829,96 @@ def table_file_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("file").cast("bigint").alias("n_files"),
         F.sum("file_rows").cast("bigint").alias("n_rows"),
     )
+
+
+@register(
+    "table_zorder_clustering",
+    """
+    WITH b AS (
+      SELECT MIN(o_custkey) AS c_lo, MAX(o_custkey) AS c_hi,
+             MIN(o_orderdate) AS d_lo, MAX(o_orderdate) AS d_hi
+      FROM orders
+    ),
+    scaled AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(FLOOR(255 * (o_custkey - c_lo) / (c_hi - c_lo + 1)) AS BIGINT) AS cb,
+             CAST(FLOOR(255 * date_diff('day', d_lo, o_orderdate)
+                      / (date_diff('day', d_lo, d_hi) + 1)) AS BIGINT) AS db
+      FROM orders, b
+    ),
+    zed AS (
+      SELECT o_custkey, o_orderdate,
+             ((cb & 1) << 1) | ((cb & 2) << 2) | ((cb & 4) << 3)
+           | ((cb & 8) << 4) | ((cb & 16) << 5) | ((cb & 32) << 6)
+           | ((cb & 64) << 7) | ((cb & 128) << 8)
+           | (db & 1) | ((db & 2) << 1) | ((db & 4) << 2)
+           | ((db & 8) << 3) | ((db & 16) << 4) | ((db & 32) << 5)
+           | ((db & 64) << 6) | ((db & 128) << 7) AS z
+      FROM scaled
+    )
+    SELECT CAST(FLOOR(z / 4096) AS INT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(o_custkey) - MIN(o_custkey) AS BIGINT) AS custkey_span,
+           CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS BIGINT)
+             AS orderdate_span_days
+    FROM zed GROUP BY 1
+    """,
+    doc="Z-order (Morton-curve) multi-dimensional clustering — the OSS "
+    "equivalent of a lakehouse OPTIMIZE ZORDER BY (custkey, orderdate): "
+    "both dimensions normalize to 8-bit ranks against min/max bounds (one "
+    "scalar-row broadcast), their bits interleave into a 16-bit Morton "
+    "key (pure integer shifts/masks, engine-exact), and rows group into "
+    "16 fixed z-range buckets — the file surrogates a clustered write "
+    "would produce via repartitionByRange(z) + sortWithinPartitions(z) "
+    "(ingest/compaction.py is the physical-write half). The report is "
+    "each bucket's row count and min/max SPAN of both dimensions: z-"
+    "buckets bound BOTH columns simultaneously (naive date-range "
+    "clustering leaves custkey spans at full width), which is exactly "
+    "the property that lets a scan skip files on predicates over either "
+    "column. All integer math — no float crosses an engine boundary.",
+    tags=("warehouse", "maintenance"),
+)
+def table_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    b = o.agg(
+        F.min("o_custkey").alias("c_lo"),
+        F.max("o_custkey").alias("c_hi"),
+        F.min("o_orderdate").alias("d_lo"),
+        F.max("o_orderdate").alias("d_hi"),
+    )
+    scaled = o.crossJoin(F.broadcast(b)).select(  # single-row scalar broadcast
+        "o_custkey",
+        "o_orderdate",
+        F.floor(
+            255 * (F.col("o_custkey") - F.col("c_lo"))
+            / (F.col("c_hi") - F.col("c_lo") + 1)
+        )
+        .cast("bigint")
+        .alias("cb"),
+        F.floor(
+            255
+            * F.datediff("o_orderdate", "d_lo")
+            / (F.datediff("d_hi", "d_lo") + 1)
+        )
+        .cast("bigint")
+        .alias("db"),
+    )
+    z = None
+    for i in range(8):
+        c_term = F.shiftleft(F.col("cb").bitwiseAND(F.lit(1 << i)), i + 1)
+        d_term = F.shiftleft(F.col("db").bitwiseAND(F.lit(1 << i)), i)
+        term = c_term.bitwiseOR(d_term)
+        z = term if z is None else z.bitwiseOR(term)
+    zed = scaled.select("o_custkey", "o_orderdate", z.alias("z"))
+    return (
+        zed.groupBy(F.floor(F.col("z") / 4096).cast("int").alias("z_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.max("o_custkey") - F.min("o_custkey"))
+            .cast("bigint")
+            .alias("custkey_span"),
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+            .cast("bigint")
+            .alias("orderdate_span_days"),
+        )
+    )
