@@ -1,0 +1,124 @@
+"""Command-line entry point: ``python -m canvas_data_aws_spark <cmd>``.
+
+The reference ships as two Lambda handlers driven by schedule/queue events
+(sync-canvas-data-files.py / fetch-canvas-data-file.py); this CLI is the
+operator-facing equivalent for a Spark deployment — the same sync
+choreography invokable from cron/Airflow/a shell, plus direct access to
+the named query registry:
+
+    python -m canvas_data_aws_spark list [--tag llm]
+    python -m canvas_data_aws_spark query tpch_q3 --sf-dir /data/sf0.1 -n 20
+    python -m canvas_data_aws_spark sync --root /lake [--dry-run] [--additive]
+    python -m canvas_data_aws_spark bench
+
+``sync`` resolves credentials secret-file-first/env-fallback (the
+reference's secrets path), pulls the snapshot manifest from the API, and
+converges the local lake via the declarative reconciler; every fetch is
+HMAC-signed. Exit code is 0 on success, 2 on bad usage, 1 on failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_list(args: argparse.Namespace) -> int:
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    for name, q in sorted(all_queries().items()):
+        if args.tag and args.tag not in q.tags:
+            continue
+        kind = "local-only" if q.local_only else ("oracle" if q.oracle else "rows-only")
+        print(f"{name:40s} [{kind}] {','.join(q.tags)}")
+    return 0
+
+
+def _cmd_query(args: argparse.Namespace) -> int:
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.session import get_spark
+
+    reg = all_queries()
+    if args.name not in reg:
+        print(f"unknown query: {args.name} (see `list`)", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"cda-query-{args.name}")
+    df = reg[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.rows, truncate=False)
+    return 0
+
+
+def _cmd_sync(args: argparse.Namespace) -> int:
+    from canvas_data_aws_spark.ingest.api_client import CanvasDataClient
+    from canvas_data_aws_spark.ingest.credentials import (
+        hmac_auth_headers,
+        resolve_credentials,
+    )
+    from canvas_data_aws_spark.ingest.fetchers import http_fetcher
+    from canvas_data_aws_spark.ingest.reconciler import SyncEngine
+    from canvas_data_aws_spark.session import get_spark
+
+    creds = resolve_credentials(secret_file=args.secret_file)
+    client = CanvasDataClient(creds, **(
+        {"base_url": args.base_url} if args.base_url else {}
+    ))
+    engine = SyncEngine(
+        root=args.root,
+        dry_run=args.dry_run,
+        max_fetch_tasks=args.max_fetch_tasks,
+        on_summary=lambda s: print(json.dumps(s.as_dict())),
+    )
+    spark = get_spark(app_name="cda-sync")
+    engine.apply(
+        spark,
+        client.sync_manifest_rows(),
+        http_fetcher(headers=hmac_auth_headers(creds)),
+        additive=args.additive,
+    )
+    return 0
+
+
+def _cmd_bench(_args: argparse.Namespace) -> int:
+    import importlib
+
+    bench = importlib.import_module("bench")
+    bench.main()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="canvas_data_aws_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pl = sub.add_parser("list", help="list registered queries")
+    pl.add_argument("--tag", help="filter by tag (e.g. tpch, llm, streaming)")
+    pl.set_defaults(fn=_cmd_list)
+
+    pq = sub.add_parser("query", help="run one registered query")
+    pq.add_argument("name")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pq.add_argument("-n", "--rows", type=int, default=20)
+    pq.add_argument("--explain", action="store_true", help="print the physical plan")
+    pq.set_defaults(fn=_cmd_query)
+
+    ps = sub.add_parser("sync", help="converge a local lake to the remote manifest")
+    ps.add_argument("--root", required=True, help="lake root directory")
+    ps.add_argument("--base-url", help="API base URL override (e.g. a mirror)")
+    ps.add_argument("--secret-file", help="JSON file with api_key/api_secret")
+    ps.add_argument("--dry-run", action="store_true")
+    ps.add_argument("--additive", action="store_true", help="never delete local files")
+    ps.add_argument("--max-fetch-tasks", type=int, default=16)
+    ps.set_defaults(fn=_cmd_sync)
+
+    pb = sub.add_parser("bench", help="run the headline bench (bench.py)")
+    pb.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
