@@ -127,3 +127,85 @@ def test_ewma_long_key_matches_pandas(tmp_path):
         # require the unrounded reference to round to the same 4dp value
         # within one ulp of the rounding boundary
         assert abs(g - w) < 0.5e-4 + 1e-9, (i, g, w)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_dup_ngram_spans_matches_bruteforce(docs, tmp_path_factory):
+    """corpus_dup_ngram_spans (shingle -> corpus-duplicate detection ->
+    per-doc interval merge) equals an independent pure-Python computation
+    of duplicated-span token coverage. The 3-letter alphabet forces heavy
+    8-gram collisions, exercising overlapping-island merging."""
+    from collections import Counter
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    spark = _get_spark()
+    K = 8
+    texts = [" ".join(ws) for ws in docs]
+    d = str(tmp_path_factory.mktemp("dupspan"))
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in all_queries()["corpus_dup_ngram_spans"].fn(spark, d).collect()
+    }
+
+    # brute force: same normalization (lower/collapse/trim), DISTINCT
+    # shingles per doc (word_shingles default), global count, covered set
+    def toks(t):
+        return [w for w in " ".join(t.lower().split()).split(" ") if w != ""] if t.strip() else []
+
+    words = {i: toks(t) for i, t in enumerate(texts)}
+    # distinct=False semantics (what the query and its oracle implement):
+    # EVERY occurrence counts — a doc-internal 8-gram repeat alone marks
+    # both its spans as duplicated, with or without a cross-doc twin
+    counts = Counter()
+    for ws in words.values():
+        for p in range(len(ws) - K + 1):
+            counts[" ".join(ws[p : p + K])] += 1
+    for i, ws in words.items():
+        if not texts[i].strip():
+            assert i not in out  # empty docs filtered
+            continue
+        covered = set()
+        for p in range(len(ws) - K + 1):
+            if counts[" ".join(ws[p : p + K])] > 1:
+                covered |= set(range(p, p + K))
+        got_n, got_dup = out[i]
+        assert got_dup == len(covered), (i, texts[i], got_dup, len(covered))
+
+
+def test_zorder_interleave_matches_python_reference():
+    """The Morton bit-interleave inside table_zorder_clustering equals an
+    independent pure-Python interleave for every 8-bit pair (exhaustive on
+    a grid)."""
+    import pyspark.sql.functions as F
+
+    spark = _get_spark()
+    pairs = [(c, d) for c in range(0, 256, 17) for d in range(0, 256, 13)]
+    df = spark.createDataFrame(pairs, "cb long, db long")
+    z = None
+    for i in range(8):
+        c_term = F.shiftleft(F.col("cb").bitwiseAND(F.lit(1 << i)), i + 1)
+        d_term = F.shiftleft(F.col("db").bitwiseAND(F.lit(1 << i)), i)
+        term = c_term.bitwiseOR(d_term)
+        z = term if z is None else z.bitwiseOR(term)
+    got = {(r["cb"], r["db"]): r["z"] for r in df.select("cb", "db", z.alias("z")).collect()}
+
+    def ref(c, d):
+        out = 0
+        for i in range(8):
+            out |= ((c >> i) & 1) << (2 * i + 1)
+            out |= ((d >> i) & 1) << (2 * i)
+        return out
+
+    for c, d in pairs:
+        assert got[(c, d)] == ref(c, d), (c, d, got[(c, d)], ref(c, d))
