@@ -116,6 +116,15 @@ def main(argv: list[str] | None = None) -> int:
     pb = sub.add_parser("bench", help="run the headline bench (bench.py)")
     pb.set_defaults(fn=_cmd_bench)
 
+    pn = sub.add_parser("lint", help="scale-lint a query's physical plan")
+    pn.add_argument("name", help="query name, or --all")
+    pn.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    pn.set_defaults(
+        fn=lambda a: __import__(
+            "canvas_data_aws_spark.lint", fromlist=["main"]
+        ).main([a.name, a.sf_dir])
+    )
+
     args = p.parse_args(argv)
     return args.fn(args)
 
