@@ -1509,7 +1509,7 @@ def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS hour_ts,
-             ROUND(AVG(value), 4) AS y
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS y
       FROM events GROUP BY 1, 2
     ),
     trended AS (
@@ -1521,7 +1521,7 @@ def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     seasonal AS (
       SELECT event_type, CAST(EXTRACT(hour FROM hour_ts) AS INT) AS hod,
-             ROUND(AVG(y - trend), 4) AS s
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY y - trend) AS s
       FROM trended GROUP BY 1, 2
     )
     SELECT t.event_type, CAST(t.hour_ts AS TIMESTAMP) AS hour_ts,
@@ -1538,11 +1538,17 @@ def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mean detrended value (a 24-row-per-type rollup joined back on the "
     "bounded (type, hod) key), residual = y - trend - seasonal — the "
     "anomaly-detection / forecasting preprocessing primitive (STL's "
-    "cheap windowed ancestor). Determinism: every aggregate is ROUNDed "
-    "to 4dp at its own stage and downstream arithmetic consumes the "
-    "ROUNDED values, so order-dependent double summation never crosses "
-    "an engine boundary unrounded; the frame average itself sums in "
-    "frame order (identical in both engines). All windows partition by "
+    "cheap windowed ancestor; a MEDIAN seasonal is also STL's own "
+    "robustness choice). Determinism — every term is order-independent "
+    "and nothing rounds at a flippable boundary: y is an exact DECIMAL "
+    "sum divided by a count (bit-identical quotient of exact values); "
+    "trend is the frame average of identical doubles (1-ulp-stable, "
+    "inside the comparator's 9dp canonicalization); seasonal is "
+    "percentile_disc — an ELEMENT of the multiset, never an order-"
+    "dependent mean (ROUND(avg, 4) flipped on decimal halves under the "
+    "test suite's different partition count); residual is pure "
+    "arithmetic of those terms; y/trend/seasonal/residual all ship "
+    "unrounded. All windows partition by "
     "event_type — at 100 TB each series decomposes independently; only "
     "the hour-bucketed rollup (8760 rows/type/year) flows into the "
     "window, never raw events.",
@@ -1552,17 +1558,22 @@ def ts_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
-    ).agg(F.round(F.avg("value"), 4).alias("y"))
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("y")
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour_ts")
         .rowsBetween(-11, 12)
     )
     trended = hourly.withColumn("trend", F.avg("y").over(w))
-    seasonal = trended.groupBy(
+    seasonal = trended.withColumn("__d", F.col("y") - F.col("trend")).groupBy(
         F.col("event_type").alias("s_event_type"),
         F.hour("hour_ts").cast("int").alias("hod"),
-    ).agg(F.round(F.avg(F.col("y") - F.col("trend")), 4).alias("s"))
+    ).agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __d)").alias("s"))
     return (
         trended.join(
             F.broadcast(seasonal),  # bounded: 24 rows per event type
