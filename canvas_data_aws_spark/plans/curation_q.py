@@ -1285,3 +1285,110 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score").alias("max_score"),
         )
     )
+
+
+@register(
+    "corpus_dup_span_strip",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                                   ' ') AS words
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    toks AS (
+      SELECT doc_id, i - 1 AS pos, words[i] AS tok
+      FROM d, UNNEST(range(1, len(words) + 1)) AS t(i)
+    ),
+    sh AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(words[i:i+7], ' ')) AS h
+      FROM d, UNNEST(range(1, len(words) - 6)) AS t(i)
+    ),
+    freq AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1),
+    covered AS (
+      SELECT DISTINCT s.doc_id, s.pos + o.o AS pos
+      FROM sh s JOIN freq USING (h),
+           UNNEST(range(0, 8)) AS o(o)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+    ),
+    rebuilt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(len(d.words) AS BIGINT) AS n_tokens,
+           COALESCE(r.kept_tokens, 0) AS kept_tokens,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="The ACTION half of corpus_dup_ngram_spans: emit each document's "
+    "cleaned text with every corpus-duplicated 8-gram span REMOVED — the "
+    "boilerplate-stripping rewrite of exact-substring deduplication (Lee "
+    "et al. remove duplicated spans rather than whole documents, "
+    "preserving the unique remainder). Covered token positions come "
+    "straight from the duplicate span starts (an 8-wide sequence "
+    "explode + distinct — overlap handling is set union, no island "
+    "merge needed), kept tokens anti-join on (doc, pos), and the text "
+    "reassembles per doc via an ordered array sort — deterministic "
+    "strings, engine-exact. Scale shape identical to the report query: "
+    "16-byte digests cross the exchange, never shingle text; the "
+    "reassembly state is one document per group.",
+    tags=("llm", "curation", "dedup"),
+)
+def corpus_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from canvas_data_aws_spark.operators.dedup import word_shingles
+
+    K = 8
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    base = docs.select("doc_id", F.split(norm, " ").alias("words"))
+    toks = base.select(
+        "doc_id", F.posexplode("words").alias("pos", "tok")
+    )
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("text"), K, distinct=False)).alias(
+            "pos", "shingle"
+        ),
+    ).select("doc_id", "pos", F.md5("shingle").alias("h"))
+    wdup = Window.partitionBy("h")
+    covered = (
+        sh.withColumn("c", F.count(F.lit(1)).over(wdup))
+        .filter(F.col("c") > 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + K - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", F.size("words").cast("bigint").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -264,3 +264,27 @@ def test_cross_dedup_near_contains_exact(spark, sf_dir, tmp_path):
     )
     near = {r["delta_id"] for r in pairs.collect()}
     assert exact <= near, f"false negatives vs exact tier: {sorted(exact - near)[:5]}"
+
+
+def test_dup_span_strip_complements_report(spark, sf_dir):
+    """Cross-query invariant: the strip action removes EXACTLY the tokens
+    the report counts — kept_tokens == n_tokens - dup_tokens per doc, and
+    the cleaned text re-tokenizes to kept_tokens words."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    reg = all_queries()
+    report = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in reg["corpus_dup_ngram_spans"].fn(spark, sf_dir).collect()
+    }
+    stripped = reg["corpus_dup_span_strip"].fn(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in stripped} == set(report)
+    some_dup = False
+    for r in stripped:
+        n, dup = report[r["doc_id"]]
+        assert r["n_tokens"] == n
+        assert r["kept_tokens"] == n - dup, (r["doc_id"], n, dup, r["kept_tokens"])
+        n_words = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert n_words == r["kept_tokens"]
+        some_dup = some_dup or dup > 0
+    assert some_dup, "fixture should contain duplicated spans"
