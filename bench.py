@@ -125,6 +125,8 @@ HEADLINE = [
     "corpus_perplexity_buckets",
     "ts_decompose_additive",
     "fn_variant",
+    "corpus_dup_span_strip",
+    "table_zorder_clustering",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000
