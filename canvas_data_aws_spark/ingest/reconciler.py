@@ -115,6 +115,9 @@ class SyncSummary:
     files_fetched: int = 0
     files_skipped: int = 0
     files_removed: int = 0
+    #: files whose fetch/delete raised (isolated per-file; absent from the
+    #: lake, re-planned as fetch by the next converge run)
+    files_failed: int = 0
     tables_created: int = 0
     tables_updated: int = 0
     dry_run: bool = False
@@ -233,11 +236,21 @@ class SyncEngine:
                 )
 
         metrics = obs.get
+        # plan-level counts from the observed metrics; failure count from
+        # the executor rollup (actions beginning "failed") — plan counts
+        # stay the verdict totals (sync_metrics_summary parity), failures
+        # report how much of the fetch plan did NOT land this run
+        n_failed = 0
+        if not self.dry_run:
+            n_failed = sum(
+                int(t) for a, t in totals.items() if a.startswith("failed")
+            )
         summary = SyncSummary(
             total_files=int(metrics["total"]),
             files_fetched=int(metrics["fetch"] or 0),
             files_skipped=int(metrics["skip"] or 0),
             files_removed=int(metrics["delete"] or 0),
+            files_failed=n_failed,
             dry_run=self.dry_run,
         )
         # sink_notify analog (sync-canvas-data-files.py:141-145): the
@@ -343,17 +356,28 @@ def _apply_worker(root: str, fetcher: Callable[[str, str], None], io_threads: in
     from concurrent.futures import ThreadPoolExecutor
 
     def _one(key: str, verdict: str, url: str | None) -> str:
+        # Per-file failure ISOLATION, matching the reference's
+        # one-Lambda-per-file blast radius: a single permanently-failing
+        # URL must not abort the whole sync job (an uncaught raise here
+        # fails the Spark task and with it every other file's work). The
+        # failure is reported as its own action; the file stays absent, so
+        # the NEXT converge run re-plans it as a fetch — eventual
+        # consistency through idempotent re-runs, exactly the reference's
+        # daily-retry semantics.
         dest = os.path.join(root, key)
-        if verdict == "delete":
+        try:
+            if verdict == "delete":
+                if os.path.exists(dest):
+                    os.remove(dest)
+                    return "deleted"
+                return "already absent"
             if os.path.exists(dest):
-                os.remove(dest)
-                return "deleted"
-            return "already absent"
-        if os.path.exists(dest):
-            return "skip (exists)"
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-        fetcher(url, dest)
-        return "fetched"
+                return "skip (exists)"
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            fetcher(url, dest)
+            return "fetched"
+        except Exception as e:  # noqa: BLE001 — isolate ANY per-file failure
+            return f"failed ({type(e).__name__})"
 
     def _worker(batches):
         import pandas as pd

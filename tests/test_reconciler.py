@@ -66,6 +66,7 @@ def test_apply_converges_to_mirror(spark, tmp_path):
         "files_fetched": 1,
         "files_skipped": 1,
         "files_removed": 1,
+        "files_failed": 0,
         "tables_created": 0,
         "tables_updated": 0,
         "dry_run": False,
@@ -240,3 +241,45 @@ def test_apply_log_complete_below_cap(spark, tmp_path):
         copy_fetcher(),
     )
     assert engine.log == ["fetched: raw_files/users/a.gz"]
+
+
+def test_apply_isolates_per_file_failures(spark, tmp_path):
+    """One permanently-failing URL must not abort the sync (the reference's
+    one-Lambda-per-file blast radius): other files land, the failure is
+    counted, and the NEXT converge run fetches the healed file."""
+    import os
+
+    from canvas_data_aws_spark.ingest.reconciler import SyncEngine
+
+    src = tmp_path / "remote"
+    src.mkdir()
+    for name in ("good1.gz", "bad.gz", "good2.gz"):
+        (src / name).write_bytes(name.encode())
+    rows = [
+        {"table": "t", "filename": n, "url": f"file://{src}/{n}"}
+        for n in ("good1.gz", "bad.gz", "good2.gz")
+    ]
+    root = str(tmp_path / "lake")
+
+    def flaky(url, dest):
+        if "bad.gz" in url:
+            raise OSError("remote 500")
+        with open(url.replace("file://", ""), "rb") as f, open(dest, "wb") as o:
+            o.write(f.read())
+
+    eng = SyncEngine(root=root, max_fetch_tasks=2)
+    s1 = eng.apply(spark, rows, flaky)
+    assert s1.files_failed == 1 and s1.files_fetched == 3  # 3 planned, 1 failed
+    assert os.path.exists(os.path.join(root, "raw_files/t/good1.gz"))
+    assert os.path.exists(os.path.join(root, "raw_files/t/good2.gz"))
+    assert not os.path.exists(os.path.join(root, "raw_files/t/bad.gz"))
+    assert any("failed (OSError)" in line for line in eng.log)
+
+    def healed(url, dest):
+        with open(url.replace("file://", ""), "rb") as f, open(dest, "wb") as o:
+            o.write(f.read())
+
+    eng2 = SyncEngine(root=root, max_fetch_tasks=2)
+    s2 = eng2.apply(spark, rows, healed)
+    assert s2.files_failed == 0
+    assert os.path.exists(os.path.join(root, "raw_files/t/bad.gz"))
