@@ -118,6 +118,9 @@ class SyncSummary:
     #: files whose fetch/delete raised (isolated per-file; absent from the
     #: lake, re-planned as fetch by the next converge run)
     files_failed: int = 0
+    #: work items beyond max_files_per_run, left for the next run
+    #: (continuation_reinvoke analog — re-run to converge)
+    files_remaining: int = 0
     tables_created: int = 0
     tables_updated: int = 0
     dry_run: bool = False
@@ -144,6 +147,15 @@ class SyncEngine:
     io_threads: int = 8  # concurrent fetches within one task (I/O-bound)
     on_summary: Callable[["SyncSummary"], None] | None = None  # sink_notify
     log_sample_cap: int = 10_000  # max per-file lines the driver retains
+    #: continuation_reinvoke analog (sync-canvas-data-files.py:88-98): the
+    #: reference re-invokes itself when <30 s of Lambda budget remain,
+    #: paginating the work list cursor-free across invocations. Spark jobs
+    #: have no 15-minute bound, but the SAME bounded-converge contract is
+    #: useful (maintenance windows, rate-limited origins): cap the files
+    #: applied per run; reconciliation is idempotent, so repeated runs
+    #: converge — each run re-plans and the already-fetched prefix verdicts
+    #: 'skip'. None = unbounded (single-run converge).
+    max_files_per_run: int | None = None
     log: list[str] = field(default_factory=list)
 
     def plan(
@@ -180,6 +192,12 @@ class SyncEngine:
             F.sum((F.col("verdict") == "delete").cast("long")).alias("delete"),
         )
         work = observed.filter(F.col("verdict").isin("fetch", "delete"))
+        if self.max_files_per_run is not None:
+            # bounded converge: a deterministic key-ordered prefix of the
+            # work list (TakeOrdered — the cap is driver-bounded); the
+            # remainder is simply not dispatched and the next run's plan
+            # picks it up (fetched files verdict 'skip' then)
+            work = work.orderBy("key").limit(int(self.max_files_per_run))
 
         if self.dry_run:
             work_rows = work.collect()
@@ -241,18 +259,35 @@ class SyncEngine:
         # stay the verdict totals (sync_metrics_summary parity), failures
         # report how much of the fetch plan did NOT land this run
         n_failed = 0
+        n_applied = 0
         if not self.dry_run:
             n_failed = sum(
                 int(t) for a, t in totals.items() if a.startswith("failed")
             )
+            n_applied = sum(int(t) for t in totals.values())
         summary = SyncSummary(
             total_files=int(metrics["total"]),
             files_fetched=int(metrics["fetch"] or 0),
             files_skipped=int(metrics["skip"] or 0),
             files_removed=int(metrics["delete"] or 0),
             files_failed=n_failed,
+            files_remaining=(
+                0
+                if self.dry_run or self.max_files_per_run is None
+                else max(
+                    0,
+                    int(metrics["fetch"] or 0)
+                    + int(metrics["delete"] or 0)
+                    - n_applied,
+                )
+            ),
             dry_run=self.dry_run,
         )
+        if summary.files_remaining > 0:
+            self.log.append(
+                f"continuation: {summary.files_remaining} work items remain "
+                "(bounded run); re-run to converge"
+            )
         # sink_notify analog (sync-canvas-data-files.py:141-145): the
         # reference publishes the run summary to SNS; here any callable
         # sink (log, file, queue) observes the same payload.

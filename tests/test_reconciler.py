@@ -67,6 +67,7 @@ def test_apply_converges_to_mirror(spark, tmp_path):
         "files_skipped": 1,
         "files_removed": 1,
         "files_failed": 0,
+        "files_remaining": 0,
         "tables_created": 0,
         "tables_updated": 0,
         "dry_run": False,
@@ -283,3 +284,39 @@ def test_apply_isolates_per_file_failures(spark, tmp_path):
     s2 = eng2.apply(spark, rows, healed)
     assert s2.files_failed == 0
     assert os.path.exists(os.path.join(root, "raw_files/t/bad.gz"))
+
+
+def test_bounded_converge_continuation(spark, tmp_path):
+    """continuation_reinvoke analog: max_files_per_run caps each run's
+    dispatched work; repeated idempotent runs converge, each reporting the
+    remaining backlog (the reference's cursor-free self-reinvoke
+    pagination, sync-canvas-data-files.py:88-98)."""
+    import os
+
+    from canvas_data_aws_spark.ingest.reconciler import SyncEngine
+
+    src = tmp_path / "remote"
+    src.mkdir()
+    names = [f"f{i}.gz" for i in range(5)]
+    for n in names:
+        (src / n).write_bytes(n.encode())
+    rows = [{"table": "t", "filename": n, "url": f"file://{src}/{n}"} for n in names]
+    root = str(tmp_path / "lake")
+
+    def fetch(url, dest):
+        with open(url.replace("file://", ""), "rb") as f, open(dest, "wb") as o:
+            o.write(f.read())
+
+    remaining = []
+    for _run in range(3):
+        eng = SyncEngine(root=root, max_files_per_run=2)
+        s = eng.apply(spark, rows, fetch)
+        remaining.append(s.files_remaining)
+        if s.files_remaining:
+            assert any("continuation:" in line for line in eng.log)
+    assert remaining == [3, 1, 0]
+    for n in names:
+        assert os.path.exists(os.path.join(root, f"raw_files/t/{n}"))
+    # converged: one more run is a no-op with nothing remaining
+    s = SyncEngine(root=root, max_files_per_run=2).apply(spark, rows, fetch)
+    assert s.files_remaining == 0 and s.files_failed == 0
