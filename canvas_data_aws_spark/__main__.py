@@ -69,6 +69,7 @@ def _cmd_sync(args: argparse.Namespace) -> int:
         root=args.root,
         dry_run=args.dry_run,
         max_fetch_tasks=args.max_fetch_tasks,
+        max_files_per_run=args.max_files_per_run,
         on_summary=lambda s: print(json.dumps(s.as_dict())),
     )
     spark = get_spark(app_name="cda-sync")
@@ -111,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--dry-run", action="store_true")
     ps.add_argument("--additive", action="store_true", help="never delete local files")
     ps.add_argument("--max-fetch-tasks", type=int, default=16)
+    ps.add_argument(
+        "--max-files-per-run",
+        type=int,
+        help="bounded converge: cap dispatched work per run (re-run to finish)",
+    )
     ps.set_defaults(fn=_cmd_sync)
 
     pb = sub.add_parser("bench", help="run the headline bench (bench.py)")
