@@ -1839,3 +1839,57 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_share"),
         )
     )
+
+
+@register(
+    "sim_ivf_nprobe_sweep",
+    None,  # depends on KMeans cell assignment — rows-only by design
+    doc="The retune curve behind sim_ivf_recall_report: recall@10 vs "
+    "nprobe in {1, 2, 4, 8} (of 16 cells) against exact brute-force "
+    "cosine, one row per setting with the mean scanned-cell fraction — "
+    "the quality/cost frontier an operator reads to pick nprobe after "
+    "corpus drift (recall climbs toward 1.0 as nprobe approaches "
+    "n_clusters; cost climbs linearly). The index is built ONCE and "
+    "each sweep point reuses its cell partitions with partition "
+    "pruning, so the sweep costs one clustering pass plus four pruned "
+    "k-bounded query passes. Monotonicity (recall non-decreasing in "
+    "nprobe) is asserted by test.",
+    tags=("llm", "similarity"),
+)
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from canvas_data_aws_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_index,
+        ivf_query,
+    )
+
+    n_clusters = 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=10).select("query_id", "vec_id")
+    idx = ivf_index(emb, n_clusters=n_clusters)
+    rows = []
+    for nprobe in (1, 2, 4, 8):
+        approx = ivf_query(idx, queries, k=10, nprobe=nprobe).select(
+            "query_id", "vec_id"
+        )
+        hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        rows.append(
+            exact.groupBy()
+            .agg(F.count("*").alias("n_exact"))
+            .crossJoin(hits.groupBy().agg(F.count("*").alias("n_hit")))
+            .select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                F.round(F.lit(nprobe) / F.lit(n_clusters), 4).alias(
+                    "scan_fraction"
+                ),
+                F.round(
+                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
+                ).alias("recall_at_10"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("nprobe")

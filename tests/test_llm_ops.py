@@ -753,3 +753,20 @@ def test_clustering_fast_path_flags_equal_defensive_path(spark):
         ).collect()
     }
     assert lpa_def == lpa_fast and len(lpa_def) == 7
+
+
+def test_ivf_nprobe_sweep_monotone(spark, sf_dir):
+    """The sweep's recall must be non-decreasing in nprobe and reach the
+    single-report setting's floor at nprobe=4."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["sim_ivf_nprobe_sweep"].fn(spark, sf_dir)
+        .orderBy("nprobe")
+        .collect()
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+    recalls = [r["recall_at_10"] for r in rows]
+    assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[2] >= 0.5  # same floor class as sim_ivf_recall_report
+    assert rows[-1]["scan_fraction"] == 0.5
