@@ -1589,3 +1589,114 @@ def ts_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("y") - F.col("trend") - F.col("s")).alias("residual"),
         )
     )
+
+
+@register(
+    "events_anomaly_stl",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+      SELECT event_type, hour_ts, y,
+             AVG(y) OVER (
+               PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS trend
+      FROM hourly
+    ),
+    seasonal AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM hour_ts) AS INT) AS hod,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY y - trend) AS s
+      FROM trended GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT t.event_type, t.hour_ts, t.y - t.trend - s.s AS r
+      FROM trended t
+      JOIN seasonal s
+        ON s.event_type = t.event_type
+       AND s.hod = CAST(EXTRACT(hour FROM t.hour_ts) AS INT)
+    ),
+    rmed AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY r) AS med
+      FROM resid GROUP BY event_type
+    ),
+    rmad AS (
+      SELECT d.event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY ABS(d.r - m.med)) AS mad
+      FROM resid d JOIN rmed m ON m.event_type = d.event_type
+      GROUP BY d.event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(CASE WHEN ABS(d.r - m.med) > 3 * 1.4826 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_hours
+    FROM resid d
+    JOIN rmed m ON m.event_type = d.event_type
+    JOIN rmad a ON a.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+    doc="Seasonal-aware anomaly detection — the composition "
+    "ts_decompose_additive exists FOR: hours whose deseasonalized, "
+    "detrended residual exceeds 3 robust sigmas (median + 1.4826*MAD of "
+    "the residual per type, the events_anomaly_mad gate applied AFTER "
+    "decomposition, so a nightly dip or weekend spike is no longer a "
+    "false positive the way it is for raw-value gates). Every statistic "
+    "is an order-independent element pick or exact-decimal quotient "
+    "(the decompose determinism contract), counts are integers — exact "
+    "cross-engine. Plan: the decompose stages plus two bounded "
+    "event_type-keyed percentile passes; windows only ever see the "
+    "hour-bucketed rollup.",
+    tags=("events", "timeseries"),
+)
+def events_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_ts").rowsBetween(-11, 12)
+    trended = hourly.withColumn("trend", F.avg("y").over(w))
+    seasonal = trended.withColumn("__d", F.col("y") - F.col("trend")).groupBy(
+        F.col("event_type").alias("s_event_type"),
+        F.hour("hour_ts").cast("int").alias("hod"),
+    ).agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __d)").alias("s"))
+    resid = (
+        trended.join(
+            F.broadcast(seasonal),
+            (F.col("event_type") == F.col("s_event_type"))
+            & (F.hour("hour_ts").cast("int") == F.col("hod")),
+        )
+        .select(
+            "event_type",
+            "hour_ts",
+            (F.col("y") - F.col("trend") - F.col("s")).alias("r"),
+        )
+    )
+    rmed = resid.groupBy(F.col("event_type").alias("m_event_type")).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)").alias("med")
+    )
+    dev = resid.join(
+        F.broadcast(rmed), F.col("event_type") == F.col("m_event_type")
+    ).withColumn("adev", F.abs(F.col("r") - F.col("med")))
+    rmad = dev.groupBy(F.col("event_type").alias("a_event_type")).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(rmad), F.col("event_type") == F.col("a_event_type"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalous_hours"),
+        )
+    )
