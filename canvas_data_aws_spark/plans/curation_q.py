@@ -1392,3 +1392,90 @@ def corpus_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+@register(
+    "corpus_kneser_ney_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok,
+             generate_subscripts(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), 1) AS pos
+      FROM documents
+      WHERE LENGTH(trim(text)) > 0
+    ),
+    big AS (
+      SELECT doc_id,
+             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             tok AS w2
+      FROM toks
+    ),
+    pairs AS (SELECT doc_id, w1, w2 FROM big WHERE w1 IS NOT NULL),
+    bigf AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n_succ FROM bigf GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS n_pred FROM bigf GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS n_types FROM bigf)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln(
+             (b.c12 - 0.75) / x.c1
+             + (0.75 * x.n_succ / x.c1) * (c.n_pred / t.n_types)
+           )), 4) AS avg_neg_logprob_kn
+    FROM pairs p
+    JOIN bigf b ON b.w1 = p.w1 AND b.w2 = p.w2
+    JOIN ctx  x ON x.w1 = p.w1
+    JOIN cont c ON c.w2 = p.w2
+    CROSS JOIN tot t
+    GROUP BY p.doc_id
+    """,
+    doc="Interpolated Kneser-Ney bigram scoring — the canonical n-gram "
+    "smoothing (Kneser & Ney 1995; Chen & Goodman 1998's evaluation "
+    "winner), one rung above corpus_bigram_logprob's raw MLE: "
+    "P(w2|w1) = max(c12 - D, 0)/c1 + D*N1+(w1,.)/c1 * N1+(.,w2)/N1+(.,.) "
+    "with absolute discount D = 0.75 and the CONTINUATION unigram "
+    "(distinct left-context count, not raw frequency — 'Francisco' is "
+    "frequent but only ever follows 'San', so KN scores it low as a "
+    "novel continuation). Every scored bigram exists in the corpus "
+    "(c12 >= 1 > D), so the max() clamp is never active and the formula "
+    "is one row-local expression over five count tables: bigram counts, "
+    "context totals + distinct-successor counts (one shared rollup), "
+    "distinct-predecessor counts, and the one-row bigram-type total "
+    "broadcast. All joins are vocabulary-bounded token-key exchanges "
+    "with NO broadcast hint (unbounded on raw web text; AQE decides); "
+    "per-doc rollup is one doc_id exchange.",
+    tags=("llm", "curation"),
+)
+def corpus_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    D = 0.75
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = docs.select("doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select("doc_id", F.lag("tok").over(w).alias("w1"), F.col("tok").alias("w2"))
+        .filter(F.col("w1").isNotNull())
+    )
+    bigf = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bigf.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n_succ")
+    )
+    cont = bigf.groupBy(F.col("w2").alias("c_w2")).agg(F.count("*").alias("n_pred"))
+    tot = bigf.agg(F.count("*").alias("n_types"))
+    p_kn = (F.col("c12") - D) / F.col("c1") + (
+        D * F.col("n_succ") / F.col("c1")
+    ) * (F.col("n_pred") / F.col("n_types"))
+    return (
+        pairs.join(bigf, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, pairs.w2 == F.col("c_w2"))
+        .crossJoin(F.broadcast(tot))  # single-row scalar: safe broadcast
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p_kn)), 4).alias("avg_neg_logprob_kn"),
+        )
+    )
