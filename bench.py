@@ -127,6 +127,8 @@ HEADLINE = [
     "fn_variant",
     "corpus_dup_span_strip",
     "table_zorder_clustering",
+    "events_anomaly_stl",
+    "corpus_kneser_ney_logprob",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000
