@@ -115,3 +115,44 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("missing_is_null"),
         (F.expr("variant_get(parse_json(props), '$.k', 'int')") >= 50).alias("k_high"),
     )
+
+
+@register(
+    "fn_xml",
+    """
+    SELECT event_id,
+           event_type AS xml_event_type,
+           value      AS xml_value,
+           TRUE       AS has_type_tag
+    FROM events
+    """,
+    doc="Spark 4 XML surface: to_xml renders a struct per row, from_xml "
+    "parses it back under an explicit schema, and the query ships the "
+    "ROUNDTRIPPED fields — so the oracle is the identity projection, "
+    "proving parse(render(x)) == x value-exactly for string and double "
+    "fields (the same roundtrip-oracle trick a renderer-less second "
+    "engine allows; DuckDB has no XML functions to mirror the "
+    "intermediate string, which never leaves the plan). has_type_tag "
+    "additionally asserts the rendered form really contains the field "
+    "element, pinning that to_xml emitted markup rather than a no-op.",
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.types import StringType
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    rendered = F.to_xml(F.struct("event_type", "value"))
+    parsed = F.from_xml(rendered, schema)
+    return ev.select(
+        "event_id",
+        parsed.getField("event_type").alias("xml_event_type"),
+        parsed.getField("value").alias("xml_value"),
+        rendered.contains("<event_type>").alias("has_type_tag"),
+    )
