@@ -129,6 +129,7 @@ HEADLINE = [
     "table_zorder_clustering",
     "events_anomaly_stl",
     "corpus_kneser_ney_logprob",
+    "dq_column_profile",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000
