@@ -130,6 +130,9 @@ HEADLINE = [
     "events_anomaly_stl",
     "corpus_kneser_ney_logprob",
     "dq_column_profile",
+    "table_cdc_apply",
+    "events_value_histogram",
+    "sketch_count_min",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

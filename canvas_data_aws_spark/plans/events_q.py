@@ -1700,3 +1700,62 @@ def events_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_anomalous_hours"),
         )
     )
+
+
+@register(
+    "events_value_histogram",
+    """
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    bucketed AS (
+      SELECT CAST(LEAST(19, FLOOR((e.value - b.lo) * 20 / (b.hi - b.lo)))
+                  AS BIGINT) AS bucket,
+             e.value, b.lo, b.hi
+      FROM events e CROSS JOIN b
+    )
+    SELECT bucket,
+           COUNT(*) AS n,
+           lo + bucket * (hi - lo) / 20 AS lo_edge,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v
+    FROM bucketed
+    GROUP BY bucket, lo, hi
+    """,
+    doc="Equi-width histogram of events.value in 20 buckets: data-driven "
+    "bounds via ONE broadcast scalar crossJoin (no driver-side "
+    "agg().first() pre-action), then a row-local FLOOR bucket id and a "
+    "20-group aggregate that combines map-side. The max value clamps into "
+    "the last bucket via LEAST. Bucket arithmetic is explicit FLOOR on "
+    "identical double expressions both engines (CAST would round in "
+    "DuckDB, truncate in Spark — the table_zorder_clustering lesson); no "
+    "SUM(double) crosses the compare (partial-sum order is "
+    "partition-count dependent), only COUNT/MIN/MAX, which are "
+    "order-independent. At 100 TB: two scans (bounds + bucket) of one "
+    "column each, both fully pushed down; the aggregate state is 20 "
+    "groups per task.",
+    tags=("events",),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("value")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucketed = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.least(
+            F.lit(19),
+            F.floor(
+                (F.col("value") - F.col("lo")) * 20 / (F.col("hi") - F.col("lo"))
+            ),
+        ).cast("bigint"),
+    )
+    return bucketed.groupBy("bucket", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    ).select(
+        "bucket",
+        "n",
+        (F.col("lo") + F.col("bucket") * (F.col("hi") - F.col("lo")) / 20).alias(
+            "lo_edge"
+        ),
+        "min_v",
+        "max_v",
+    )

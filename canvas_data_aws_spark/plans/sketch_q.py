@@ -267,3 +267,78 @@ def sketch_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("bigint").alias("n_occurrences"),
         )
     )
+
+
+# Count-min sketch geometry: d=4 lanes of w=512 counters, pairwise-
+# independent integer hashes h_i(k) = ((a_i*k + b_i) mod P) mod w. The
+# hashes are plain BIGINT arithmetic so the DuckDB oracle computes the
+# IDENTICAL sketch — an exact-hash oracle for a sketch operator (rare:
+# most sketches are rows-only because engine hash functions differ).
+CMS_P = 1_000_000_007
+CMS_W = 512
+CMS_LANES = [(0, 31, 7), (1, 131, 23), (2, 61, 101), (3, 97, 53)]
+
+
+@register(
+    "sketch_count_min",
+    """
+    WITH lanes(lane, a, b) AS (
+      VALUES (0, 31, 7), (1, 131, 23), (2, 61, 101), (3, 97, 53)
+    ),
+    counters AS (
+      SELECT l.lane,
+             ((l.a * e.user_id + l.b) % 1000000007) % 512 AS bucket,
+             COUNT(*) AS cnt
+      FROM events e CROSS JOIN lanes l
+      GROUP BY 1, 2
+    ),
+    truth AS (SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY 1)
+    SELECT t.user_id, t.true_n, MIN(c.cnt) AS cms_est
+    FROM truth t
+    CROSS JOIN lanes l
+    JOIN counters c
+      ON c.lane = l.lane
+     AND c.bucket = ((l.a * t.user_id + l.b) % 1000000007) % 512
+    GROUP BY t.user_id, t.true_n
+    """,
+    doc="Count-min sketch over event frequencies: d=4 x w=512 counters "
+    "built in ONE pass (row-local lane explode, then a 2048-group "
+    "aggregate that combines map-side — the counter table is fixed-size "
+    "regardless of input rows, the whole point of the sketch at 100 TB), "
+    "then point queries for every key answered by MIN over the key's d "
+    "counters via a BROADCAST join of the 2048-row counter table. The "
+    "deterministic (a*k+b) mod P mod w hashes make the estimate "
+    "bit-reproducible in DuckDB, so this sketch gets an EXACT oracle "
+    "instead of the usual rows-only check; the true counts ride along so "
+    "the CMS overestimate guarantee (est >= truth, equality when no "
+    "collision) is visible per row and pinned by test_sketches.",
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    lane_arr = F.array(
+        *[
+            F.struct(
+                F.lit(lane).alias("lane"),
+                F.pmod(
+                    F.pmod(F.lit(a) * F.col("user_id") + F.lit(b), F.lit(CMS_P)),
+                    F.lit(CMS_W),
+                ).alias("bucket"),
+            )
+            for lane, a, b in CMS_LANES
+        ]
+    )
+    counters = (
+        ev.select(F.explode(lane_arr).alias("lb"))
+        .select("lb.lane", "lb.bucket")
+        .groupBy("lane", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    probes = truth.select(
+        "user_id", "true_n", F.explode(lane_arr).alias("lb")
+    ).select("user_id", "true_n", "lb.lane", "lb.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["lane", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -922,3 +922,93 @@ def table_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("orderdate_span_days"),
         )
     )
+
+
+@register(
+    "table_cdc_apply",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(-1 AS BIGINT) AS seq, 'upsert' AS op,
+             o_totalprice AS price, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    log AS (
+      SELECT o_orderkey AS k, o_orderkey * 2 AS seq, 'upsert' AS op,
+             o_totalprice * 1.1 AS price, 'U' AS status
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey * 2 + 1, 'delete',
+             CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey * 2 + 2, 'upsert',
+             o_totalprice * 0.9, 'R'
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM log)
+    )
+    SELECT k AS o_orderkey, price AS o_totalprice, status AS o_orderstatus,
+           seq AS last_seq
+    FROM ranked WHERE rn = 1 AND op = 'upsert'
+    """,
+    doc="CDC change-log application (the Debezium/lakehouse materialization "
+    "primitive): a base snapshot plus an ordered insert/update/delete log "
+    "collapse to final table state via last-writer-wins per key. The log "
+    "deliberately stacks multiple ops per key — update then delete then "
+    "re-insert — so delete masking and post-delete resurrection are both "
+    "exercised (keys divisible by 2, 5 and 7 end alive with the second "
+    "upsert's row; keys divisible by 5 but not 7 end deleted). One hash "
+    "shuffle on the key; the per-key ROW_NUMBER window is key-partitioned "
+    "(no global window). At 100 TB the snapshot is bucketed on the key and "
+    "the log is delta-sized, so the union shuffles only the delta onto the "
+    "snapshot's layout — the same co-location argument as "
+    "table_merge_upsert.",
+    tags=("warehouse",),
+)
+def table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.filter(k % 3 == 0).select(
+        k.alias("k"),
+        F.lit(-1).cast("bigint").alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    up1 = o.filter(k % 2 == 0).select(
+        k.alias("k"),
+        (k * 2).cast("bigint").alias("seq"),
+        F.lit("upsert").alias("op"),
+        (F.col("o_totalprice") * 1.1).alias("price"),
+        F.lit("U").alias("status"),
+    )
+    dels = o.filter(k % 5 == 0).select(
+        k.alias("k"),
+        (k * 2 + 1).cast("bigint").alias("seq"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    up2 = o.filter(k % 7 == 0).select(
+        k.alias("k"),
+        (k * 2 + 2).cast("bigint").alias("seq"),
+        F.lit("upsert").alias("op"),
+        (F.col("o_totalprice") * 0.9).alias("price"),
+        F.lit("R").alias("status"),
+    )
+    changes = base.unionByName(up1).unionByName(dels).unionByName(up2)
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    return (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "upsert"))
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("price").alias("o_totalprice"),
+            F.col("status").alias("o_orderstatus"),
+            F.col("seq").alias("last_seq"),
+        )
+    )

@@ -82,3 +82,37 @@ def test_bloom_decontaminate_supersets_exact(spark, sf_dir):
     }
     assert exact, "fixture should contain contaminated docs"
     assert exact <= bloom, f"false negatives: {sorted(exact - bloom)[:5]}"
+
+
+def test_count_min_overestimates_and_hits_truth(spark, sf_dir):
+    """CMS contract: every estimate >= the true count (the one-sided error
+    guarantee), collisions actually occur at this key cardinality (some
+    row strictly overestimates — otherwise the sketch geometry is not
+    being exercised), and the global min collision-free key count is
+    positive (MIN over 4 lanes recovers the exact count for most keys)."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    rows = all_queries()["sketch_count_min"].fn(spark, sf_dir).collect()
+    assert rows, "no keys"
+    assert all(r.cms_est >= r.true_n for r in rows), "CMS underestimated"
+    n_exact = sum(1 for r in rows if r.cms_est == r.true_n)
+    assert n_exact > 0, "no key recovered exactly — hashes look broken"
+
+
+def test_cdc_apply_delete_and_resurrection(spark, sf_dir):
+    """Keys divisible by 5 but by neither 7 (resurrect) nor 2/3-with-later-
+    seq considerations must be absent; keys divisible by 35 must be present
+    with the second upsert's 'R' row (post-delete resurrection)."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    out = {
+        r.o_orderkey: r
+        for r in all_queries()["table_cdc_apply"].fn(spark, sf_dir).collect()
+    }
+    assert out, "empty CDC result"
+    dead = [k for k in out if k % 5 == 0 and k % 7 != 0]
+    assert not dead, f"deleted keys leaked: {dead[:5]}"
+    resurrected = [k for k in out if k % 35 == 0]
+    assert resurrected, "fixture has no % 35 keys"
+    assert all(out[k].o_orderstatus == "R" for k in resurrected)
+    assert all(out[k].last_seq == k * 2 + 2 for k in resurrected)
