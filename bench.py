@@ -133,6 +133,8 @@ HEADLINE = [
     "table_cdc_apply",
     "events_value_histogram",
     "sketch_count_min",
+    "events_ab_cuped",
+    "ts_holt_linear",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

@@ -1759,3 +1759,133 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_v",
         "max_v",
     )
+
+
+@register(
+    "events_ab_cuped",
+    """
+    WITH cutoff AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS cut FROM events
+    ),
+    per_user AS (
+      SELECT e.user_id,
+             e.user_id % 2 AS variant,
+             CAST(SUM(CASE WHEN epoch_us(e.ts) < c.cut
+                           THEN CAST(e.value AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN epoch_us(e.ts) >= c.cut
+                           THEN CAST(e.value AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS y
+      FROM events e CROSS JOIN cutoff c
+      GROUP BY e.user_id
+    ),
+    scaled AS (
+      SELECT user_id, variant, x, y,
+             CAST(ROUND(x * 1000000.0, 0) AS BIGINT) AS xi,
+             CAST(ROUND(y * 1000000.0, 0) AS BIGINT) AS yi
+      FROM per_user
+    ),
+    gl AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0)))
+                  AS DOUBLE) / 1000000000000.0 AS sxx,
+             CAST(SUM(CAST(xi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0)))
+                  AS DOUBLE) / 1000000000000.0 AS sxy
+      FROM scaled
+    ),
+    pv AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COUNT(*) AS DOUBLE) AS nv,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sxv,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS syv
+      FROM per_user GROUP BY variant
+    ),
+    joined AS (
+      SELECT pv.variant, pv.n_users, pv.nv, pv.sxv, pv.syv, g.n, g.sx,
+             (g.sxy - g.sx * g.sy / g.n) / (g.sxx - g.sx * g.sx / g.n) AS theta
+      FROM pv CROSS JOIN gl g
+    )
+    SELECT variant, n_users,
+           syv / nv AS mean_post,
+           theta,
+           syv / nv - theta * (sxv / nv - sx / n) AS mean_cuped
+    FROM joined
+    """,
+    doc="CUPED variance reduction for the A/B readout (Deng et al., WSDM "
+    "2013): the pre-period covariate X (per-user spend before the "
+    "experiment midpoint) adjusts the post-period metric Y as "
+    "Y - theta*(X - mean(X)) with theta = cov(X,Y)/var(X), shrinking "
+    "metric variance without biasing the between-variant delta. All "
+    "moment sums are exact DECIMAL (double sums depend on partition merge "
+    "order); theta and the adjusted means are quotient chains of those "
+    "exact sums, shipped UNROUNDED (identical op order is bit-exact both "
+    "engines; ROUND on a quotient flips rounding halves). Plan: one "
+    "broadcast scalar cutoff, ONE user-keyed shuffle building (x, y), "
+    "then a 2-group and a 1-group aggregate combined by a broadcast "
+    "crossJoin — at 100 TB the per-user table is the only large "
+    "intermediate and it shuffles once.",
+    tags=("events",),
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cut = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).select(F.expr("(lo + hi) div 2").alias("cut"))
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(18,6)")
+    micros = F.unix_micros("ts")
+    per_user = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(micros < F.col("cut"), dec(F.col("value"))).otherwise(zero))
+            .cast("double")
+            .alias("x"),
+            F.sum(F.when(micros >= F.col("cut"), dec(F.col("value"))).otherwise(zero))
+            .cast("double")
+            .alias("y"),
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    # Second moments as scaled-integer products summed exactly in
+    # DECIMAL(38,0): DuckDB's DECIMAL multiply does not widen past 18
+    # digits (overflows where Spark would widen to (37,12)), and a BIGINT
+    # product of ~1e10-sized scaled integers overflows int64 under ANSI —
+    # so the operands are cast to DECIMAL(19,0) first: the product is
+    # (38,0)-exact and identically typed in BOTH engines. x is an exact
+    # multiple of 1e-6 (it left a DECIMAL(18,6) sum), so ROUND(x*1e6)
+    # recovers the scaled integer exactly.
+    xi = F.round(F.col("x") * 1000000.0, 0).cast("bigint").cast("decimal(19,0)")
+    yi = F.round(F.col("y") * 1000000.0, 0).cast("bigint").cast("decimal(19,0)")
+    glob = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        (F.sum(xi * xi).cast("double") / 1000000000000.0).alias("sxx"),
+        (F.sum(xi * yi).cast("double") / 1000000000000.0).alias("sxy"),
+    )
+    pv = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("double").alias("nv"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sxv"),
+        F.sum(dec(F.col("y"))).cast("double").alias("syv"),
+    )
+    joined = pv.crossJoin(F.broadcast(glob)).withColumn(
+        "theta",
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+        / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
+    )
+    return joined.select(
+        "variant",
+        "n_users",
+        (F.col("syv") / F.col("nv")).alias("mean_post"),
+        "theta",
+        (
+            F.col("syv") / F.col("nv")
+            - F.col("theta") * (F.col("sxv") / F.col("nv") - F.col("sx") / F.col("n"))
+        ).alias("mean_cuped"),
+    )

@@ -209,3 +209,66 @@ def test_zorder_interleave_matches_python_reference():
 
     for c, d in pairs:
         assert got[(c, d)] == ref(c, d), (c, d, got[(c, d)], ref(c, d))
+
+
+def test_cuped_reduces_user_level_variance(spark, sf_dir):
+    """The point of CUPED: Var(Y - theta*(X - mean X)) <= Var(Y) at the
+    user level. Recompute per-user (x, y) directly, apply the QUERY's
+    theta, and check the variance actually shrank (the fixture has
+    pre/post correlation by construction — users keep their spend
+    habits), and that theta is finite and shared across variant rows."""
+    import numpy as np
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = all_queries()["events_ab_cuped"].fn(spark, sf_dir).collect()
+    assert len(rows) == 2
+    thetas = {r.theta for r in rows}
+    assert len(thetas) == 1
+    theta = thetas.pop()
+    assert np.isfinite(theta)
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    cut = (lo + hi) // 2
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.unix_micros("ts") < cut, F.col("value")).otherwise(0.0)).alias("x"),
+            F.sum(F.when(F.unix_micros("ts") >= cut, F.col("value")).otherwise(0.0)).alias("y"),
+        )
+        .toPandas()
+    )
+    x, y = pu["x"].to_numpy(), pu["y"].to_numpy()
+    raw_var = y.var()
+    adj_var = (y - theta * (x - x.mean())).var()
+    assert adj_var <= raw_var + 1e-9, (adj_var, raw_var)
+    # theta should be close to the numpy covariance ratio (decimal
+    # quantization of the moments perturbs it below 1e-6 relative)
+    theta_np = np.cov(x, y, bias=True)[0, 1] / x.var()
+    assert abs(theta - theta_np) <= 1e-6 * max(1.0, abs(theta_np))
+
+
+def test_holt_linear_matches_reference_loop(spark, sf_dir):
+    """The recursive-CTE Holt smoother must equal the textbook sequential
+    loop (alpha=0.5, beta=0.3, l0=y0, b0=y1-y0) to double precision."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    rows = sorted(
+        all_queries()["ts_holt_linear"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.t,
+    )
+    assert rows and rows[0].t == 0
+    ys = [r.y for r in rows]
+    level, trend = ys[0], ys[1] - ys[0]
+    assert rows[0].level == level and rows[0].trend == trend
+    for i in range(1, len(rows)):
+        new_level = 0.5 * ys[i] + 0.5 * (level + trend)
+        trend = 0.3 * (new_level - level) + 0.7 * trend
+        level = new_level
+        assert abs(rows[i].level - level) < 1e-9, i
+        assert abs(rows[i].trend - trend) < 1e-9, i
+        assert rows[i].forecast_next == rows[i].level + rows[i].trend
