@@ -21,8 +21,11 @@ import pyspark.sql.functions as F
 from canvas_data_aws_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/cda10x"
-N = 10
+# Replica factor: 10 by default; CDA_PROBE_FACTOR=100 gives a 100x probe
+# (sf0.1 is ~17 MB on disk, so even 100x fits /tmp comfortably). Each
+# factor builds into its own directory and reuses it across invocations.
+N = int(os.environ.get("CDA_PROBE_FACTOR", "10"))
+DST = f"/tmp/cda{N}x"
 
 spark = get_spark()
 
@@ -104,4 +107,4 @@ if __name__ == "__main__":
     for q in names:
         t1 = run(q, SRC)
         t10 = run(q, DST)
-        print(f"PROBE {q}: 1x={t1:.2f}s 10x={t10:.2f}s growth={t10 / t1:.1f}x", flush=True)
+        print(f"PROBE {q}: 1x={t1:.2f}s {N}x={t10:.2f}s growth={t10 / t1:.1f}x", flush=True)
