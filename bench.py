@@ -135,6 +135,9 @@ HEADLINE = [
     "sketch_count_min",
     "events_ab_cuped",
     "ts_holt_linear",
+    "doc_fingerprint_winnowing",
+    "dq_benford_first_digit",
+    "events_cumulative_distinct_users",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

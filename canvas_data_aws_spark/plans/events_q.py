@@ -1889,3 +1889,289 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("theta") * (F.col("sxv") / F.col("nv") - F.col("sx") / F.col("n"))
         ).alias("mean_cuped"),
     )
+
+
+@register(
+    "events_cumulative_distinct_users",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+      FROM events GROUP BY user_id
+    ),
+    daily_new AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY day
+    ),
+    days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events)
+    SELECT d.day,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST((SELECT SUM(n2.n_new) FROM daily_new n2 WHERE n2.day <= d.day)
+                AS BIGINT) AS cum_users
+    FROM days d LEFT JOIN daily_new n USING (day)
+    """,
+    doc="Cumulative distinct users to date (the growth-accounting curve): "
+    "distinct-to-date equals the running sum of FIRST-SEEN counts, so the "
+    "expensive dedup is ONE user-keyed MIN aggregate and the cumulation "
+    "runs over the day-grain table — which is span-bounded (days, not "
+    "rows), so instead of a global single-partition window the running "
+    "sum is a broadcast theta-join of the tiny day table against itself "
+    "(day^2 pairs of a few-hundred-row table, fully parallel — the same "
+    "no-global-window rule the linter enforces at error severity). At "
+    "100 TB only the first-seen aggregate scales with data.",
+    tags=("events",),
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    daily_new = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    days = ev.select("day").distinct()
+    prior = daily_new.select(
+        F.col("day").alias("day2"), F.col("n_new").alias("n_new2")
+    )
+    cum = (
+        days.join(F.broadcast(prior), F.col("day2") <= F.col("day"))
+        .groupBy("day")
+        .agg(F.sum("n_new2").cast("bigint").alias("cum_users"))
+    )
+    return (
+        cum.join(daily_new, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            "cum_users",
+        )
+    )
+
+
+@register(
+    "events_duplicate_purchase_screen",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, value, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id,
+           a.event_id AS event_a,
+           b.event_id AS event_b,
+           ABS(a.us - b.us) // 1000000 AS gap_s,
+           a.value AS value_a,
+           b.value AS value_b,
+           CASE WHEN a.value = b.value THEN 1 ELSE 0 END AS same_value
+    FROM p a JOIN p b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+    WHERE ABS(a.us - b.us) <= 3600 * 1000000
+    """,
+    doc="Rapid-repeat purchase screen (the double-charge / card-testing "
+    "fraud pattern): all pairs of purchases by the SAME user within one "
+    "hour, with the exact seconds gap and a same-amount flag. Timestamps "
+    "compare as exact integer microseconds (date_diff('second') would "
+    "truncate at whole-second boundaries differently from a float delta); "
+    "the pair key orders event_id a < b so each pair emits once. Plan: "
+    "filter pushed to the scan (event_type = 'purchase'), then ONE "
+    "user-keyed shuffle self-join — quadratic only within a (user, 1 h) "
+    "neighborhood, which is bounded by per-user purchase rate, not data "
+    "size; no global ordering anywhere. At 100 TB the join is an ordinary "
+    "equi-shuffle on user_id and AQE handles hot users via skew split.",
+    tags=("events",),
+)
+def events_duplicate_purchase_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value", F.unix_micros("ts").alias("us"))
+    )
+    a = p.select(
+        "user_id",
+        F.col("event_id").alias("event_a"),
+        F.col("us").alias("us_a"),
+        F.col("value").alias("value_a"),
+    )
+    b = p.select(
+        "user_id",
+        F.col("event_id").alias("event_b"),
+        F.col("us").alias("us_b"),
+        F.col("value").alias("value_b"),
+    )
+    gap_us = F.abs(F.col("us_a") - F.col("us_b"))
+    return (
+        a.join(b, "user_id")
+        .filter((F.col("event_a") < F.col("event_b")) & (gap_us <= 3600 * 1_000_000))
+        .select(
+            "user_id",
+            "event_a",
+            "event_b",
+            F.expr("abs(us_a - us_b) div 1000000").alias("gap_s"),
+            "value_a",
+            "value_b",
+            F.when(F.col("value_a") == F.col("value_b"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("same_value"),
+        )
+    )
+
+
+@register(
+    "ts_time_weighted_avg",
+    """
+    WITH e AS (
+      SELECT user_id, value, epoch_us(ts) AS us, event_id
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id,
+             CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS vi,
+             LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+               AS dt_us
+      FROM e
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(dt_us) AS BIGINT) AS n_segments,
+             CAST(SUM(dt_us) AS BIGINT) AS span_us,
+             SUM(CAST(vi AS DECIMAL(19,0)) * CAST(dt_us AS DECIMAL(19,0)))
+               AS wsum
+      FROM seg WHERE dt_us IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_segments,
+           span_us // 1000000 AS span_s,
+           CAST(wsum AS DOUBLE) / (1000000.0 * CAST(span_us AS DOUBLE)) AS twap
+    FROM agg
+    """,
+    doc="Time-weighted average (TWAP) of events.value per user over an "
+    "IRREGULAR series: each observation holds until the next one, so the "
+    "weight is the exact microsecond gap to the successor (LEAD inside "
+    "the user partition; the last observation has no successor and "
+    "carries no weight). The weighted sum is EXACT: value scales to an "
+    "integer (x1e6), both factors cast to DECIMAL(19,0) so the product "
+    "is (38,0)-exact and identically typed in both engines (the CUPED "
+    "moment-sum pattern — BIGINT products overflow int64, DuckDB DECIMAL "
+    "multiply won't widen past 18 digits on its own); the final TWAP is "
+    "one quotient of exact values, shipped unrounded. Plan: ONE "
+    "user-keyed shuffle feeding a user-partitioned LEAD window and the "
+    "per-user aggregate — no global window, no second exchange.",
+    tags=("timeseries",),
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 1000000.0, 0).cast("bigint").alias("vi"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = ev.select(
+        "user_id",
+        "vi",
+        (F.lead("us").over(w) - F.col("us")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    agg = seg.groupBy("user_id").agg(
+        F.count("dt_us").cast("bigint").alias("n_segments"),
+        F.sum("dt_us").cast("bigint").alias("span_us"),
+        F.sum(
+            F.col("vi").cast("decimal(19,0)") * F.col("dt_us").cast("decimal(19,0)")
+        ).alias("wsum"),
+    )
+    return agg.select(
+        "user_id",
+        "n_segments",
+        F.expr("span_us div 1000000").alias("span_s"),
+        (
+            F.col("wsum").cast("double")
+            / (F.lit(1000000.0) * F.col("span_us").cast("double"))
+        ).alias("twap"),
+    )
+
+
+@register(
+    "events_survival_hazard",
+    """
+    WITH p AS (
+      SELECT user_id,
+             CAST(date_trunc('day', MIN(ts)) AS DATE) AS first_day,
+             CAST(date_trunc('day', MAX(ts)) AS DATE) AS last_day
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    g AS (SELECT MAX(last_day) AS end_day FROM p),
+    lifetimes AS (
+      SELECT date_diff('day', first_day, last_day) AS dur,
+             CASE WHEN date_diff('day', last_day, gg.end_day) > 3
+                  THEN 1 ELSE 0 END AS churned
+      FROM p CROSS JOIN g gg
+    ),
+    by_dur AS (
+      SELECT dur,
+             CAST(SUM(churned) AS BIGINT) AS n_churned,
+             CAST(COUNT(*) - SUM(churned) AS BIGINT) AS n_censored,
+             CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM lifetimes GROUP BY dur
+    )
+    SELECT d.dur,
+           (SELECT CAST(SUM(b2.n_total) AS BIGINT) FROM by_dur b2
+             WHERE b2.dur >= d.dur) AS n_at_risk,
+           d.n_churned,
+           d.n_censored,
+           d.n_churned * 1.0 / (SELECT SUM(b3.n_total) FROM by_dur b3
+                                 WHERE b3.dur >= d.dur) AS hazard
+    FROM by_dur d
+    """,
+    doc="Kaplan-Meier style survival table over purchase activity: a "
+    "user's lifetime is days between first and last purchase; users whose "
+    "last purchase predates the corpus end by > 3 days count as churned "
+    "(an event) at that duration, the rest are right-censored. Per "
+    "duration d: n_at_risk = users with lifetime >= d, churn events, "
+    "censorings, and the discrete hazard d_i/n_i — an exact quotient of "
+    "integer counts (the survival curve is the running product of "
+    "(1 - hazard); shipping hazards keeps every value engine-exact where "
+    "an exp-sum-log product would drift). The at-risk cumulation runs "
+    "over the duration spine — day-span-bounded, a few hundred rows — so "
+    "it is a broadcast theta-join of the tiny by_dur table against "
+    "itself, not a global window (the events_cumulative_distinct_users "
+    "pattern). At 100 TB only the per-user MIN/MAX aggregate scales with "
+    "data.",
+    tags=("events",),
+)
+def events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.min("ts")).cast("date").alias("first_day"),
+            F.date_trunc("day", F.max("ts")).cast("date").alias("last_day"),
+        )
+    )
+    g = p.agg(F.max("last_day").alias("end_day"))
+    lifetimes = p.crossJoin(F.broadcast(g)).select(
+        F.datediff("last_day", "first_day").alias("dur"),
+        F.when(F.datediff("end_day", "last_day") > 3, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("churned"),
+    )
+    by_dur = lifetimes.groupBy("dur").agg(
+        F.sum("churned").cast("bigint").alias("n_churned"),
+        (F.count(F.lit(1)) - F.sum("churned")).cast("bigint").alias("n_censored"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+    other = by_dur.select(
+        F.col("dur").alias("dur2"), F.col("n_total").alias("n_total2")
+    )
+    at_risk = (
+        by_dur.select("dur")
+        .join(F.broadcast(other), F.col("dur2") >= F.col("dur"))
+        .groupBy("dur")
+        .agg(F.sum("n_total2").cast("bigint").alias("n_at_risk"))
+    )
+    return (
+        by_dur.join(F.broadcast(at_risk), "dur")
+        .select(
+            "dur",
+            "n_at_risk",
+            "n_churned",
+            "n_censored",
+            (F.col("n_churned") * F.lit(1.0) / F.col("n_at_risk")).alias("hazard"),
+        )
+    )

@@ -1893,3 +1893,173 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), rows).orderBy("nprobe")
+
+
+@register(
+    "doc_fingerprint_winnowing",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                                   ' ') AS words
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    grams AS (
+      SELECT doc_id, len(words) - 2 AS n_grams, i - 1 AS pos,
+             md5(array_to_string(words[i:i+2], ' ')) AS h
+      FROM d, UNNEST(range(1, len(words) - 1)) AS t(i)
+      WHERE len(words) >= 3
+    ),
+    windowed AS (
+      SELECT doc_id, n_grams,
+             MIN(h || '#' || LPAD(CAST(pos AS VARCHAR), 7, '0')) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      FROM grams
+    ),
+    fp AS (SELECT DISTINCT doc_id, n_grams, sel FROM windowed)
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           MIN(sel) AS min_fp,
+           MAX(sel) AS max_fp,
+           COUNT(*) * 1.0 / n_grams AS density
+    FROM fp GROUP BY doc_id, n_grams
+    """,
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, "
+    "the MOSS algorithm): 3-gram md5 fingerprints, and from every window "
+    "of w=4 consecutive grams keep the minimum — guaranteeing any shared "
+    "run of >= w+k-1 tokens between two documents shares at least one "
+    "selected fingerprint, at ~2/(w+1) the storage of the full shingle "
+    "set. Selection is MIN over the (hash '#' zero-padded-pos) string so "
+    "the tie-break is positional and identical in both engines; md5 is "
+    "the portable gram hash (same text -> same hex in Spark and DuckDB). "
+    "Plan: row-local gram expansion (transform over the word array — no "
+    "join), ONE doc-partitioned pos-ordered window for the sliding "
+    "minimum, then a per-doc aggregate; nothing global anywhere. At "
+    "100 TB the selected-fingerprint table (the thing you'd join for "
+    "plagiarism/near-dup candidates) is w+1 times smaller than the "
+    "shingle table dedup_ngram_jaccard ships.",
+    tags=("llm", "text"),
+)
+def doc_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            ).alias("words"),
+        )
+        .filter(F.size("words") >= 3)
+    )
+    grams = d.select(
+        "doc_id",
+        (F.size("words") - 2).cast("bigint").alias("n_grams"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words) - 3), i -> "
+                "struct(i AS pos, md5(concat_ws(' ', words[i], words[i+1], "
+                "words[i+2])) AS h))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "n_grams", "g.pos", "g.h")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    sel = F.min(
+        F.concat(
+            F.col("h"),
+            F.lit("#"),
+            F.lpad(F.col("pos").cast("string"), 7, "0"),
+        )
+    ).over(w)
+    fp = (
+        grams.select("doc_id", "n_grams", sel.alias("sel"))
+        .distinct()
+    )
+    return fp.groupBy("doc_id", "n_grams").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+        F.min("sel").alias("min_fp"),
+        F.max("sel").alias("max_fp"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_fp",
+        "min_fp",
+        "max_fp",
+        (F.col("n_fp") * 1.0 / F.col("n_grams")).alias("density"),
+    )
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+    WITH s AS (
+      SELECT lang AS labeled_lang,
+             {_SCORE['en']} AS s_en,
+             {_SCORE['fr']} AS s_fr,
+             {_SCORE['de']} AS s_de,
+             {_SCORE['es']} AS s_es
+      FROM documents
+    ),
+    pred AS (
+      SELECT labeled_lang,
+             CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+                  WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                  WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+                  WHEN s_es > 0 THEN 'es'
+                  ELSE 'und' END AS pred_lang
+      FROM s
+    ),
+    cm AS (
+      SELECT labeled_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY labeled_lang, pred_lang
+    ),
+    tot AS (
+      SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS n_labeled
+      FROM cm GROUP BY labeled_lang
+    )
+    SELECT cm.labeled_lang, cm.pred_lang, cm.n, t.n_labeled,
+           cm.n * 1.0 / t.n_labeled AS share_of_labeled,
+           CASE WHEN cm.labeled_lang = cm.pred_lang THEN 1 ELSE 0 END AS is_correct
+    FROM cm JOIN tot t USING (labeled_lang)
+    """,
+    doc="Confusion matrix for the heuristic language-ID against the "
+    "labeled lang column — the eval loop that turns text_lang_id from a "
+    "scorer into a measured classifier: per (labeled, predicted) cell "
+    "counts, per-label recall shares, and a diagonal flag. The per-label "
+    "totals come from a second tiny aggregate over the cell counts "
+    "joined back broadcast — NOT a window partitioned by language, which "
+    "would concentrate each language's whole corpus in one partition at "
+    "scale. Row counts are exact; shares are quotients of exact counts, "
+    "unrounded. Plan: one scan + two map-side-combining aggregates whose "
+    "state is |langs|^2 cells, then a broadcast join of two <=25-row "
+    "tables.",
+    tags=("llm", "text"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("lang").alias("labeled_lang"), lang_id(F.col("text")).alias("pred_lang")
+    )
+    cm = d.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cm.groupBy("labeled_lang").agg(
+        F.sum("n").cast("bigint").alias("n_labeled")
+    )
+    return cm.join(F.broadcast(tot), "labeled_lang").select(
+        "labeled_lang",
+        "pred_lang",
+        "n",
+        "n_labeled",
+        (F.col("n") * F.lit(1.0) / F.col("n_labeled")).alias("share_of_labeled"),
+        F.when(F.col("labeled_lang") == F.col("pred_lang"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_correct"),
+    )

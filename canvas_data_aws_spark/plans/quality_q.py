@@ -452,3 +452,165 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(cols)}, {stacked}) AS (column_name, n_nulls, n_distinct)"
         )
     )
+
+
+# Benford machinery: first-significant-digit of an exact integer (cents)
+# via a floor-division CASE cascade — log10() would hit 1-ulp boundary
+# disagreements between engines at exact powers of ten; integer compares
+# and floor-divides cannot. The expected shares are hard literals (not
+# engine-computed log10(1+1/d)) for the same reason.
+_BENFORD_P = {
+    1: "0.301029995663981", 2: "0.176091259055681", 3: "0.124938736608300",
+    4: "0.096910013008056", 5: "0.079181246047625", 6: "0.066946789630613",
+    7: "0.057991946977687", 8: "0.051152522447381", 9: "0.045757490560675",
+}
+
+
+def _digit_cascade(divop: str) -> str:
+    clauses = []
+    for k in range(17, 0, -1):
+        p = 10 ** k
+        clauses.append(f"WHEN c >= {p} THEN c {divop} {p}")
+    clauses.append("ELSE c")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+_BENFORD_CASE = (
+    "CASE "
+    + " ".join(f"WHEN digit = {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD_P.items())
+    + " END"
+)
+
+
+@register(
+    "dq_benford_first_digit",
+    f"""
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (SELECT {_digit_cascade('//')} AS digit FROM cents),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS DOUBLE) AS n FROM counts)
+    SELECT c.digit, c.n_obs,
+           c.n_obs / t.n AS obs_share,
+           {_BENFORD_CASE.replace('digit', 'c.digit')} AS benford_share,
+           (c.n_obs - t.n * ({_BENFORD_CASE.replace('digit', 'c.digit')}))
+             * (c.n_obs - t.n * ({_BENFORD_CASE.replace('digit', 'c.digit')}))
+             / (t.n * ({_BENFORD_CASE.replace('digit', 'c.digit')})) AS chi_term
+    FROM counts c CROSS JOIN tot t
+    """,
+    doc="Benford's-law first-digit audit of order totals — the classic "
+    "fraud/synthetic-data screen: observed first-significant-digit shares "
+    "vs log10(1+1/d) expectations with per-digit chi-square terms. Digit "
+    "extraction is an integer floor-division cascade over exact cents "
+    "(log10 on doubles disagrees by 1 ulp at exact powers of ten between "
+    "engines; integer compares cannot), and the Benford expectations are "
+    "shared hard literals, so every output value is engine-exact with "
+    "shares/chi terms shipped unrounded. Plan: one scan, 9-group "
+    "aggregate with map-side combine, broadcast scalar total — the "
+    "aggregate state is 9 counters regardless of input size.",
+    tags=("quality",),
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c")
+    )
+    digits = cents.select(F.expr(_digit_cascade("div")).alias("digit"))
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    tot = counts.agg(F.sum("n_obs").cast("double").alias("n"))
+    bp = F.expr(_BENFORD_CASE)
+    joined = counts.crossJoin(F.broadcast(tot))
+    return joined.select(
+        "digit",
+        "n_obs",
+        (F.col("n_obs") / F.col("n")).alias("obs_share"),
+        bp.alias("benford_share"),
+        (
+            (F.col("n_obs") - F.col("n") * bp)
+            * (F.col("n_obs") - F.col("n") * bp)
+            / (F.col("n") * bp)
+        ).alias("chi_term"),
+    )
+
+
+# Candidate functional dependencies for the FD audit: a mix of true keys
+# (order/doc primary keys) and deliberately-violated candidates so the
+# report exercises both verdicts. Each entry: (table, lhs, rhs).
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("events", "user_id", "event_type"),
+    ("documents", "doc_id", "lang"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        parts.append(
+            f"""
+    SELECT '{table}: {lhs} -> {rhs}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           CAST(MAX(d) AS BIGINT) AS max_rhs_distinct,
+           SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+             AS violation_share
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS d FROM {table} GROUP BY {lhs})
+    """
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq_functional_dependency",
+    _fd_oracle(),
+    doc="Functional-dependency audit: for each candidate FD A -> B, count "
+    "the A-groups whose B is not single-valued (n_violating), the worst "
+    "per-key distinct count, and the violation share — the check that "
+    "catches denormalization drift (a 'key' silently mapping to two "
+    "customers) before a downstream join fans out. The candidate list "
+    "mixes true primary keys with deliberately-violated pairs so both "
+    "verdicts appear. Plan: one COUNT(DISTINCT) aggregate per candidate "
+    "(each an ordinary key-partitioned shuffle with partial aggregation) "
+    "unioned into a six-row report; violation_share is a quotient of "
+    "exact counts, shipped unrounded. At 100 TB each candidate is one "
+    "exchange on its own key — independent, no global state.",
+    tags=("quality",),
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    outs = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        per_key = (
+            load_table(spark, sf_dir, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("d"))
+        )
+        outs.append(
+            per_key.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.max("d").cast("bigint").alias("max_rhs_distinct"),
+            ).select(
+                F.lit(f"{table}: {lhs} -> {rhs}").alias("fd"),
+                "n_keys",
+                "n_violating",
+                "max_rhs_distinct",
+                (F.col("n_violating") * F.lit(1.0) / F.col("n_keys")).alias(
+                    "violation_share"
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
