@@ -138,6 +138,14 @@ HEADLINE = [
     "doc_fingerprint_winnowing",
     "dq_benford_first_digit",
     "events_cumulative_distinct_users",
+    "events_duplicate_purchase_screen",
+    "ts_time_weighted_avg",
+    "events_survival_hazard",
+    "dq_functional_dependency",
+    "text_langid_confusion",
+    "orders_mix_shift_decomposition",
+    "corpus_global_shuffle",
+    "embed_linear_probe",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

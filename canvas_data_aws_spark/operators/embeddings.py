@@ -138,3 +138,86 @@ def pca_whiten(
         return pd.Series(list(out))
 
     return df.withColumn(out_col, _whiten(F.col(vec_col)))
+
+
+@dataclass(frozen=True)
+class RidgeModel:
+    weights: np.ndarray  # (d,) feature weights
+    bias: float
+    lam: float
+
+
+def ridge_fit(
+    df: DataFrame,
+    target_col: str,
+    vec_col: str = "embedding",
+    lam: float = 1.0,
+) -> RidgeModel:
+    """Closed-form ridge regression of a scalar target on an embedding
+    column — the "linear probe" evaluation of representation quality.
+
+    Same execution contract as :func:`pca_fit`: ONE moment pass. Each Arrow
+    batch emits a single partial row holding (n, X'^T X', X'^T y) for the
+    bias-augmented design matrix X' = [X, 1]; partials reduce element-wise
+    via posexplode + groupBy(pos) (key space (d+1)^2 + (d+1) + 1 —
+    dimension-bounded, data-independent), and the driver solves the
+    (d+1) x (d+1) normal equations (gram + n*lam*I') w = X'^T y with numpy
+    (the bias row/col is not regularized). Executors never hold more than a
+    batch; the driver never holds more than O(d^2) regardless of corpus
+    size."""
+
+    moment_schema = T.StructType(
+        [T.StructField("m", T.ArrayType(T.DoubleType()), False)]
+    )
+
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            xa = np.hstack([x, np.ones((len(x), 1))])
+            y = pdf[target_col].to_numpy(dtype=np.float64)
+            g = xa.T @ xa
+            b = xa.T @ y
+            yield pd.DataFrame(
+                {"m": [np.concatenate(([float(len(x))], g.ravel(), b)).tolist()]}
+            )
+
+    partials = df.select(vec_col, target_col).mapInPandas(_partials, moment_schema)
+    reduced = (
+        partials.select(F.posexplode("m").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+        .collect()  # (d+1)^2 + (d+1) + 1 rows — dimension-bounded
+    )
+    flat = np.zeros(max(r["pos"] for r in reduced) + 1)
+    for r in reduced:
+        flat[r["pos"]] = r["val"]
+    n = flat[0]
+    da = int(round((-1 + np.sqrt(1 + 4 * (len(flat) - 1))) / 2))  # d + 1
+    gram = flat[1 : 1 + da * da].reshape(da, da)
+    xty = flat[1 + da * da :]
+    reg = np.eye(da) * (n * lam)
+    reg[-1, -1] = 0.0  # never regularize the bias
+    w = np.linalg.solve(gram + reg, xty)
+    return RidgeModel(weights=w[:-1], bias=float(w[-1]), lam=lam)
+
+
+def ridge_predict(
+    df: DataFrame,
+    model: RidgeModel,
+    vec_col: str = "embedding",
+    out_col: str = "pred",
+) -> DataFrame:
+    """Score rows with a fitted ridge model: x @ w + b as one Arrow-batched
+    GEMV per batch. Weights ship in the UDF closure (KBs); row-local, no
+    shuffle."""
+    w = model.weights.copy()
+    b = model.bias
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(vs: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series(x @ w + b)
+
+    return df.withColumn(out_col, _score(F.col(vec_col)))

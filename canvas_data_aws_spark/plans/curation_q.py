@@ -1479,3 +1479,58 @@ def corpus_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(p_kn)), 4).alias("avg_neg_logprob_kn"),
         )
     )
+
+
+@register(
+    "corpus_global_shuffle",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(CONCAT('epoch7-', CAST(doc_id AS VARCHAR))) AS k
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, k,
+             CAST(strpos('0123456789abcdef', substring(k, 1, 1)) - 1
+                  AS BIGINT) AS shard
+      FROM keyed
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM sharded
+    """,
+    doc="Deterministic global shuffle for a training epoch: every doc gets "
+    "a pseudorandom sort key md5(seed || doc_id) — reshuffling is just a "
+    "new seed string — a shard from the key's first hex nibble, and an "
+    "exact position within its shard (the (shard, pos) pair IS the "
+    "dataloader's read order; same seed => byte-identical epoch order on "
+    "any cluster layout, the reproducibility property training runs "
+    "need). md5 is the portable hash (identical hex in Spark and DuckDB); "
+    "the rank tie-breaks on doc_id though md5 keys are already unique "
+    "per unique doc_id. Plan: row-local keying, then ONE hash exchange on "
+    "shard feeding a shard-partitioned sort — exactly the work a "
+    "partitioned shard write pays anyway; 16 shards here, but the shard "
+    "nibble count is the parallelism knob (production: enough hex chars "
+    "that a shard is ~10 GB).",
+    tags=("curation", "llm"),
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    keyed = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("epoch7-"), F.col("doc_id").cast("string"))).alias("k"),
+    )
+    sharded = keyed.withColumn(
+        "shard",
+        (
+            F.instr(F.lit("0123456789abcdef"), F.substring("k", 1, 1)) - 1
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return sharded.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

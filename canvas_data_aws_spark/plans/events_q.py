@@ -1963,7 +1963,7 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
            CASE WHEN a.value = b.value THEN 1 ELSE 0 END AS same_value
     FROM p a JOIN p b
       ON a.user_id = b.user_id AND a.event_id < b.event_id
-    WHERE ABS(a.us - b.us) <= 3600 * 1000000
+    WHERE ABS(a.us - b.us) <= CAST(3600 AS BIGINT) * 1000000
     """,
     doc="Rapid-repeat purchase screen (the double-charge / card-testing "
     "fraud pattern): all pairs of purchases by the SAME user within one "

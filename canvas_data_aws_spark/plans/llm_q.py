@@ -2063,3 +2063,35 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_correct"),
     )
+
+
+@register(
+    "embed_linear_probe",
+    None,  # the (d+1)x(d+1) matrix solve is not SQL-expressible — rows-only;
+    # numpy equivalence + train-R^2 >= 0 pinned by tests/test_llm_ops.py
+    doc="Linear probe on the embedding space (the standard representation-"
+    "quality eval): closed-form ridge regression of the label on the "
+    "embedding, fit in ONE distributed moment pass — each Arrow batch "
+    "emits a single (n, X'^T X', X'^T y) partial for the bias-augmented "
+    "design, partials reduce element-wise with a (pos, val) groupBy whose "
+    "key space is (d+1)^2 + d + 2 (dimension-bounded, never data-bounded), "
+    "and the driver solves the normal equations with numpy (the pca_fit / "
+    "MLlib Gramian pattern; driver state is O(d^2) regardless of corpus "
+    "size). Scoring is a row-local Arrow GEMV with the weights in the UDF "
+    "closure. operators/embeddings.py::ridge_fit/ridge_predict.",
+    tags=("llm", "similarity", "iterative"),
+)
+def embed_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.embeddings import ridge_fit, ridge_predict
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("double").alias("y")
+    )
+    model = ridge_fit(emb, target_col="y", lam=1e-3)
+    out = ridge_predict(emb, model)
+    return out.select(
+        "vec_id",
+        F.col("y").cast("bigint").alias("label"),
+        F.round("pred", 4).alias("pred"),
+        F.round(F.col("pred") - F.col("y"), 4).alias("residual"),
+    )

@@ -1012,3 +1012,104 @@ def table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seq").alias("last_seq"),
         )
     )
+
+
+@register(
+    "orders_mix_shift_decomposition",
+    """
+    WITH cutoff AS (
+      SELECT (MIN(epoch_us(o_orderdate)) + MAX(epoch_us(o_orderdate))) // 2
+               AS cut
+      FROM orders
+    ),
+    seg AS (
+      SELECT o.o_orderpriority AS segment,
+             CASE WHEN epoch_us(o.o_orderdate) < c.cut THEN 0 ELSE 1 END
+               AS period,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders o CROSS JOIN cutoff c
+    ),
+    per AS (
+      SELECT segment, period,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(price) AS rev
+      FROM seg GROUP BY segment, period
+    ),
+    pivoted AS (
+      SELECT segment,
+             CAST(SUM(CASE WHEN period = 0 THEN n ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN period = 1 THEN n ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN period = 0 THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev1,
+             CAST(SUM(CASE WHEN period = 1 THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev2
+      FROM per GROUP BY segment
+    )
+    SELECT segment, n1, n2, rev1, rev2,
+           (n2 - n1) * (rev1 / n1) AS volume_effect,
+           n1 * (rev2 / n2 - rev1 / n1) AS rate_effect,
+           (n2 - n1) * (rev2 / n2 - rev1 / n1) AS mix_cross_effect,
+           rev2 - rev1 AS delta
+    FROM pivoted
+    """,
+    doc="Price-volume-mix decomposition of period-over-period revenue "
+    "change per order-priority segment (the FP&A bridge chart): delta "
+    "splits exactly into volume (count change at old rate), rate (rate "
+    "change at old volume), and the cross term — volume + rate + cross "
+    "== rev2 - rev1 by construction. Period split is a broadcast scalar "
+    "midpoint (no driver pre-action); revenue sums are exact "
+    "DECIMAL(18,2) cast to DOUBLE at the edge, so every downstream "
+    "quotient/product is the same op chain on identical operands in both "
+    "engines, shipped unrounded. Plan: one scan, one (segment, period) "
+    "aggregate with map-side combine, then a segment-grain pivot — "
+    "aggregate state is |segments| x 2 regardless of input size.",
+    tags=("warehouse",),
+)
+def orders_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # o_orderdate is parquet TIMESTAMP_NTZ; with the session TZ pinned to
+    # UTC (load_table) the cast to TIMESTAMP is a pure relabel for epoch math.
+    odate = F.col("o_orderdate").cast("timestamp")
+    cut = o.agg(
+        F.min(F.unix_micros(odate)).alias("lo"),
+        F.max(F.unix_micros(odate)).alias("hi"),
+    ).select(F.expr("(lo + hi) div 2").alias("cut"))
+    seg = o.crossJoin(F.broadcast(cut)).select(
+        F.col("o_orderpriority").alias("segment"),
+        F.when(F.unix_micros(F.col("o_orderdate").cast("timestamp")) < F.col("cut"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("period"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    per = seg.groupBy("segment", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("price").alias("rev"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    piv = per.groupBy("segment").agg(
+        F.sum(F.when(F.col("period") == 0, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("period") == 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("period") == 0, F.col("rev")).otherwise(zero))
+        .cast("double")
+        .alias("rev1"),
+        F.sum(F.when(F.col("period") == 1, F.col("rev")).otherwise(zero))
+        .cast("double")
+        .alias("rev2"),
+    )
+    avg1 = F.col("rev1") / F.col("n1")
+    avg2 = F.col("rev2") / F.col("n2")
+    return piv.select(
+        "segment",
+        "n1",
+        "n2",
+        "rev1",
+        "rev2",
+        ((F.col("n2") - F.col("n1")) * avg1).alias("volume_effect"),
+        (F.col("n1") * (avg2 - avg1)).alias("rate_effect"),
+        ((F.col("n2") - F.col("n1")) * (avg2 - avg1)).alias("mix_cross_effect"),
+        (F.col("rev2") - F.col("rev1")).alias("delta"),
+    )

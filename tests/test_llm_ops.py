@@ -770,3 +770,38 @@ def test_ivf_nprobe_sweep_monotone(spark, sf_dir):
     assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
     assert recalls[2] >= 0.5  # same floor class as sim_ivf_recall_report
     assert rows[-1]["scan_fraction"] == 0.5
+
+
+def test_linear_probe_matches_numpy_and_r2(spark, sf_dir):
+    """ridge_fit's distributed moment pass must agree with a local numpy
+    solve of the same normal equations, and the ridge train fit can never
+    be worse than the mean predictor (R^2 >= 0: w=0 is in the feasible
+    set and carries zero penalty)."""
+    import numpy as np
+
+    from canvas_data_aws_spark.operators.embeddings import ridge_fit
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("double").alias("y")
+    )
+    model = ridge_fit(emb, target_col="y", lam=1e-3)
+    local = emb.orderBy("vec_id").collect()
+    x = np.array([np.asarray(r.embedding, dtype=np.float64) for r in local])
+    y = np.array([r.y for r in local])
+    xa = np.hstack([x, np.ones((len(x), 1))])
+    reg = np.eye(xa.shape[1]) * (len(x) * 1e-3)
+    reg[-1, -1] = 0.0
+    w = np.linalg.solve(xa.T @ xa + reg, xa.T @ y)
+    np.testing.assert_allclose(model.weights, w[:-1], rtol=1e-6, atol=1e-8)
+    assert abs(model.bias - w[-1]) < 1e-6 * max(1.0, abs(w[-1]))
+
+    rows = all_queries()["embed_linear_probe"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(local)
+    pred = {r.vec_id: r.pred for r in rows}
+    sse = sum((pred[r.vec_id] - r.y) ** 2 for r in local)
+    sst = float(((y - y.mean()) ** 2).sum())
+    assert sse <= sst * (1 + 1e-9), "train R^2 must be >= 0 for ridge"
+    for r in rows:
+        assert abs(r.residual - round(r.pred - r.label, 4)) <= 1e-9

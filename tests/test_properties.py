@@ -348,3 +348,199 @@ def test_cumulative_distinct_users_invariants(spark, sf_dir):
     for r in rows:
         assert r.cum_users == prev + r.n_new
         prev = r.cum_users
+
+
+def test_duplicate_purchase_screen_pair_semantics(spark, sf_dir):
+    """Each qualifying pair appears exactly once with event_a < event_b,
+    the gap respects the 1 h bound, and the report matches a brute-force
+    pandas recount of qualifying pairs."""
+    from itertools import combinations
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = (
+        all_queries()["events_duplicate_purchase_screen"].fn(spark, sf_dir).collect()
+    )
+    seen = set()
+    for r in rows:
+        assert r.event_a < r.event_b
+        assert 0 <= r.gap_s <= 3600
+        assert r.same_value == int(r.value_a == r.value_b)
+        assert (r.event_a, r.event_b) not in seen
+        seen.add((r.event_a, r.event_b))
+
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    by_user = {}
+    for p in purchases:
+        by_user.setdefault(p.user_id, []).append(p)
+    expect = set()
+    for evs in by_user.values():
+        for a, b in combinations(sorted(evs, key=lambda e: e.event_id), 2):
+            if abs(a.us - b.us) <= 3600 * 1_000_000:
+                expect.add((a.event_id, b.event_id))
+    assert seen == expect
+
+
+def test_twap_matches_pandas_and_bounds(spark, sf_dir):
+    """TWAP must equal the pandas-computed time-weighted mean of the
+    1e-6-rounded values exactly (the weighted sum is DECIMAL-exact, the
+    final quotient is one double op), and must lie within the per-user
+    value range."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    got = {
+        r.user_id: r
+        for r in all_queries()["ts_time_weighted_avg"].fn(spark, sf_dir).collect()
+    }
+    assert got
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda e: (e.us, e.event_id))
+        if len(evs) < 2:
+            assert uid not in got
+            continue
+        wsum = 0
+        span = 0
+        for a, b in zip(evs, evs[1:]):
+            dt = b.us - a.us
+            wsum += round(a.value * 1_000_000) * dt
+            span += dt
+        r = got[uid]
+        assert r.n_segments == len(evs) - 1
+        assert r.span_s == span // 1_000_000
+        assert r.twap == wsum / (1_000_000.0 * span), uid
+        vals = [e.value for e in evs[:-1]]
+        assert min(vals) - 1e-6 <= r.twap <= max(vals) + 1e-6
+
+
+def test_survival_hazard_invariants(spark, sf_dir):
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = sorted(
+        all_queries()["events_survival_hazard"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.dur,
+    )
+    assert rows
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_churned + r.n_censored for r in rows) == n_users
+    assert rows[0].n_at_risk == n_users
+    prev = None
+    remaining = n_users
+    for r in rows:
+        assert r.n_at_risk == remaining
+        assert 0.0 <= r.hazard <= 1.0
+        assert r.hazard == r.n_churned / r.n_at_risk
+        remaining -= r.n_churned + r.n_censored
+        if prev is not None:
+            assert r.n_at_risk < prev
+        prev = r.n_at_risk
+    assert remaining == 0
+
+
+def test_functional_dependency_verdicts(spark, sf_dir):
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    rows = {r.fd: r for r in all_queries()["dq_functional_dependency"].fn(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    # true keys hold
+    assert rows["orders: o_orderkey -> o_custkey"].n_violating == 0
+    assert rows["documents: doc_id -> lang"].n_violating == 0
+    # deliberately-violated candidates must register violations
+    assert rows["events: user_id -> event_type"].n_violating > 0
+    for r in rows.values():
+        assert 0.0 <= r.violation_share <= 1.0
+        assert r.violation_share == r.n_violating / r.n_keys
+        assert r.max_rhs_distinct >= 1
+        assert (r.n_violating == 0) == (r.max_rhs_distinct == 1)
+
+
+def test_langid_confusion_consistency(spark, sf_dir):
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    qs = all_queries()
+    rows = qs["text_langid_confusion"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    per_label = {}
+    for r in rows:
+        per_label.setdefault(r.labeled_lang, []).append(r)
+        assert r.is_correct == int(r.labeled_lang == r.pred_lang)
+    for label, cells in per_label.items():
+        n_labeled = cells[0].n_labeled
+        assert all(c.n_labeled == n_labeled for c in cells)
+        assert sum(c.n for c in cells) == n_labeled
+        assert abs(sum(c.share_of_labeled for c in cells) - 1.0) < 1e-9
+    # the matrix must agree cell-for-cell with the per-doc text_lang_id view
+    preds = qs["text_lang_id"].fn(spark, sf_dir).collect()
+    from collections import Counter
+
+    expect = Counter((p.labeled_lang, p.pred_lang) for p in preds)
+    assert {(r.labeled_lang, r.pred_lang): r.n for r in rows} == dict(expect)
+
+
+def test_mix_shift_decomposition_identity(spark, sf_dir):
+    """The three effects must reconstruct the revenue delta exactly (up to
+    float addition of three terms), and per-segment counts must partition
+    the segment's orders."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = all_queries()["orders_mix_shift_decomposition"].fn(spark, sf_dir).collect()
+    assert rows
+    totals = {
+        r.o_orderpriority: r.n
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n1 + r.n2 == totals[r.segment]
+        assert r.n1 > 0 and r.n2 > 0
+        recon = r.volume_effect + r.rate_effect + r.mix_cross_effect
+        assert abs(recon - r.delta) <= 1e-6 * max(1.0, abs(r.delta)), r.segment
+        assert abs(r.delta - (r.rev2 - r.rev1)) < 1e-9
+
+
+def test_global_shuffle_is_permutation_and_deterministic(spark, sf_dir):
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    fn = all_queries()["corpus_global_shuffle"].fn
+    rows = fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert {r.doc_id for r in rows} == {
+        r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.shard <= 15
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # same seed => identical epoch order, independent of execution layout
+    again = {(r.doc_id): (r.shard, r.pos) for r in fn(spark, sf_dir).collect()}
+    assert again == {r.doc_id: (r.shard, r.pos) for r in rows}
