@@ -146,6 +146,8 @@ HEADLINE = [
     "orders_mix_shift_decomposition",
     "corpus_global_shuffle",
     "embed_linear_probe",
+    "ts_backtest_rolling_origin",
+    "corpus_quality_probe",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

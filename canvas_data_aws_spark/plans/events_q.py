@@ -2175,3 +2175,116 @@ def events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_churned") * F.lit(1.0) / F.col("n_at_risk")).alias("hazard"),
         )
     )
+
+
+@register(
+    "ts_backtest_rolling_origin",
+    """
+    WITH folds AS (
+      SELECT * FROM (VALUES (CAST(1 AS INT), TIMESTAMP '2024-01-18'),
+                            (CAST(2 AS INT), TIMESTAMP '2024-01-21'),
+                            (CAST(3 AS INT), TIMESTAMP '2024-01-24'))
+             AS t(fold, cutoff)
+    ),
+    keyed AS (
+      SELECT event_type,
+             CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+             ts, value,
+             CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS vi
+      FROM events
+    ),
+    train AS (
+      SELECT f.fold, k.event_type, k.dow, k.hod,
+             SUM(CAST(k.value AS DECIMAL(18,6))) AS sv,
+             CAST(COUNT(*) AS BIGINT) AS np
+      FROM keyed k CROSS JOIN folds f
+      WHERE k.ts < f.cutoff
+      GROUP BY f.fold, k.event_type, k.dow, k.hod
+    ),
+    profile AS (
+      SELECT fold, event_type, dow, hod,
+             CAST(FLOOR(CAST(sv AS DOUBLE) / np * 1000000.0) AS BIGINT) AS fcq
+      FROM train
+    ),
+    eval_ AS (
+      SELECT f.fold, k.event_type, k.dow, k.hod, k.vi
+      FROM keyed k CROSS JOIN folds f
+      WHERE k.ts >= f.cutoff AND k.ts < f.cutoff + INTERVAL 3 DAY
+    )
+    SELECT e.fold, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(ABS(e.vi - p.fcq)) AS DOUBLE) / (1000000.0 * COUNT(*)) AS mae,
+           CAST(SUM(e.vi - p.fcq) AS DOUBLE) / (1000000.0 * COUNT(*)) AS bias
+    FROM eval_ e JOIN profile p
+      ON p.fold = e.fold AND p.event_type = e.event_type
+     AND p.dow = e.dow AND p.hod = e.hod
+    GROUP BY e.fold, e.event_type
+    """,
+    doc="Rolling-origin forecast backtest (the time-series analog of "
+    "cross-validation): three expanding-window folds, each fitting the "
+    "(event_type x dow x hour) seasonal profile on data before its cutoff "
+    "and scoring the next 3 days out-of-sample. Unlike the single-holdout "
+    "ts_forecast_seasonal_naive, every error value here is ENGINE-EXACT: "
+    "the profile mean is a quotient of a DECIMAL sum (bit-identical "
+    "double), floor-quantized to an integer micro-forecast, so per-row "
+    "errors and their sums are BIGINT arithmetic and the final MAE/bias "
+    "are single quotients of exact integers — no float-sum order "
+    "dependence anywhere, at any partition count. Plan: the 3-row fold "
+    "table broadcast-crossJoins the scan (3x row amplification is the "
+    "honest rolling-origin cost, applied row-locally before the "
+    "(fold x type x 168)-bounded profile aggregate); eval rows join the "
+    "profile on its full key and reduce map-side.",
+    tags=("events", "timeseries"),
+)
+def ts_backtest_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    folds = spark.createDataFrame(
+        [(1, "2024-01-18"), (2, "2024-01-21"), (3, "2024-01-24")],
+        "fold int, cut string",
+    ).select("fold", F.col("cut").cast("timestamp").alias("cutoff"))
+    keyed = e.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+        "ts",
+        "value",
+        F.round(F.col("value") * 1000000.0, 0).cast("bigint").alias("vi"),
+    )
+    j = keyed.crossJoin(F.broadcast(folds))
+    train = (
+        j.filter(F.col("ts") < F.col("cutoff"))
+        .groupBy("fold", "event_type", "dow", "hod")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+            F.count(F.lit(1)).cast("bigint").alias("np"),
+        )
+    )
+    profile = train.select(
+        "fold",
+        "event_type",
+        "dow",
+        "hod",
+        F.floor(F.col("sv").cast("double") / F.col("np") * 1000000.0)
+        .cast("bigint")
+        .alias("fcq"),
+    )
+    ev = j.filter(
+        (F.col("ts") >= F.col("cutoff"))
+        & (F.col("ts") < F.col("cutoff") + F.expr("INTERVAL 3 DAY"))
+    ).select("fold", "event_type", "dow", "hod", "vi")
+    return (
+        ev.join(profile, ["fold", "event_type", "dow", "hod"])
+        .groupBy("fold", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            (
+                F.sum(F.abs(F.col("vi") - F.col("fcq"))).cast("double")
+                / (F.lit(1000000.0) * F.count(F.lit(1)))
+            ).alias("mae"),
+            (
+                F.sum(F.col("vi") - F.col("fcq")).cast("double")
+                / (F.lit(1000000.0) * F.count(F.lit(1)))
+            ).alias("bias"),
+        )
+    )

@@ -2095,3 +2095,54 @@ def embed_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pred", 4).alias("pred"),
         F.round(F.col("pred") - F.col("y"), 4).alias("residual"),
     )
+
+
+@register(
+    "corpus_quality_probe",
+    None,  # the ridge solve is not SQL-expressible — rows-only; numpy
+    # parity + label-separation pinned by tests/test_llm_ops.py
+    doc="Model-based quality filtering (the DCLM / FineWeb-edu pipeline "
+    "stage): train a linear scorer on WEAK LABELS — a Gopher rule "
+    "verdict — over row-local text features (length, token count, "
+    "punctuation/stopword ratios, mean word length), then score every "
+    "document, replacing the hard boolean gate with a rankable quality "
+    "score (threshold at will, inspect the margin). Fit is the one-pass "
+    "distributed ridge of embed_linear_probe (moment partials, "
+    "(d+1)^2-bounded reduce, driver numpy solve); labeling and feature "
+    "extraction are row-local scans; scoring is an Arrow GEMV. The "
+    "label join is one doc_id-keyed shuffle. "
+    "operators/embeddings.py::ridge_fit; operators/text.py::"
+    "quality_features; labels from plans/quality_q.py::text_gopher_rules.",
+    tags=("llm", "curation", "quality", "iterative"),
+)
+def corpus_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.embeddings import ridge_fit, ridge_predict
+    from canvas_data_aws_spark.plans.quality_q import text_gopher_rules
+
+    # Label choice: the harness is label-agnostic (swap in an LLM-judged
+    # or composite label in production). On the synthetic fixture corpus
+    # only the word-count rule discriminates (every doc passes the other
+    # six rules and fails required-words), so ok_word_count is the weak
+    # label with signal.
+    labels = text_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("ok_word_count").cast("double").alias("y")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = quality_features(docs).select(
+        "doc_id",
+        F.array(
+            (F.col("q_n_chars") / 1000.0).cast("double"),
+            (F.col("q_n_tokens") / 100.0).cast("double"),
+            F.col("q_punct_ratio").cast("double"),
+            F.col("q_stop_ratio").cast("double"),
+            (F.col("q_mean_word_len") / 10.0).cast("double"),
+        ).alias("fv"),
+    )
+    data = feats.join(labels, "doc_id")
+    model = ridge_fit(data, target_col="y", vec_col="fv", lam=1e-3)
+    out = ridge_predict(data, model, vec_col="fv", out_col="score")
+    return out.select(
+        "doc_id",
+        F.col("y").cast("bigint").alias("label"),
+        F.round("score", 4).alias("score"),
+    )

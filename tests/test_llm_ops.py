@@ -805,3 +805,70 @@ def test_linear_probe_matches_numpy_and_r2(spark, sf_dir):
     assert sse <= sst * (1 + 1e-9), "train R^2 must be >= 0 for ridge"
     for r in rows:
         assert abs(r.residual - round(r.pred - r.label, 4)) <= 1e-9
+
+
+def test_quality_probe_numpy_parity_and_separation(spark, sf_dir):
+    """The distributed ridge fit over text features must match a local
+    numpy solve, and the learned score must separate the weak-label
+    classes (mean score of passing docs above failing docs)."""
+    import numpy as np
+
+    from canvas_data_aws_spark.operators.embeddings import ridge_fit
+    from canvas_data_aws_spark.operators.text import quality_features
+    from canvas_data_aws_spark.plans.quality_q import text_gopher_rules
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = all_queries()["corpus_quality_probe"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    pos = [r.score for r in rows if r.label == 1]
+    neg = [r.score for r in rows if r.label == 0]
+    assert pos and neg, "fixture weak label must have both classes"
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = {
+        r.doc_id: [
+            r.q_n_chars / 1000.0,
+            r.q_n_tokens / 100.0,
+            r.q_punct_ratio,
+            r.q_stop_ratio,
+            r.q_mean_word_len / 10.0,
+        ]
+        for r in quality_features(docs).collect()
+    }
+    labels = {
+        r.doc_id: float(r.ok_word_count)
+        for r in text_gopher_rules(spark, sf_dir).collect()
+    }
+    ids = sorted(feats)
+    x = np.array([feats[i] for i in ids])
+    y = np.array([labels[i] for i in ids])
+    xa = np.hstack([x, np.ones((len(x), 1))])
+    reg = np.eye(xa.shape[1]) * (len(x) * 1e-3)
+    reg[-1, -1] = 0.0
+    w = np.linalg.solve(xa.T @ xa + reg, xa.T @ y)
+    import pyspark.sql.functions as F
+
+    data = (
+        quality_features(docs)
+        .select(
+            "doc_id",
+            F.array(
+                (F.col("q_n_chars") / 1000.0).cast("double"),
+                (F.col("q_n_tokens") / 100.0).cast("double"),
+                F.col("q_punct_ratio").cast("double"),
+                F.col("q_stop_ratio").cast("double"),
+                (F.col("q_mean_word_len") / 10.0).cast("double"),
+            ).alias("fv"),
+        )
+        .join(
+            text_gopher_rules(spark, sf_dir).select(
+                "doc_id", F.col("ok_word_count").cast("double").alias("y")
+            ),
+            "doc_id",
+        )
+    )
+    model = ridge_fit(data, target_col="y", vec_col="fv", lam=1e-3)
+    np.testing.assert_allclose(model.weights, w[:-1], rtol=1e-6, atol=1e-8)

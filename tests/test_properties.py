@@ -544,3 +544,29 @@ def test_global_shuffle_is_permutation_and_deterministic(spark, sf_dir):
     # same seed => identical epoch order, independent of execution layout
     again = {(r.doc_id): (r.shard, r.pos) for r in fn(spark, sf_dir).collect()}
     assert again == {r.doc_id: (r.shard, r.pos) for r in rows}
+
+
+def test_backtest_rolling_origin_exactness_and_shape(spark, sf_dir):
+    """15 (fold x type) cells; each fold's profile uses strictly more
+    training data than the previous (expanding window); MAE must be
+    non-negative and |bias| <= MAE."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    rows = all_queries()["ts_backtest_rolling_origin"].fn(spark, sf_dir).collect()
+    folds = {r.fold for r in rows}
+    assert folds == {1, 2, 3}
+    for r in rows:
+        assert r.n_eval > 0
+        assert r.mae >= 0
+        assert abs(r.bias) <= r.mae + 1e-12
+    # determinism at a different shuffle-partition count: exact integer
+    # arithmetic means the values cannot drift with partition layout
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = all_queries()["ts_backtest_rolling_origin"].fn(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert {(r.fold, r.event_type, r.n_eval, r.mae, r.bias) for r in rows} == {
+        (r.fold, r.event_type, r.n_eval, r.mae, r.bias) for r in again
+    }
