@@ -148,6 +148,10 @@ HEADLINE = [
     "embed_linear_probe",
     "ts_backtest_rolling_origin",
     "corpus_quality_probe",
+    "events_ab_srm_check",
+    "events_ab_power_mde",
+    "corpus_padding_waste",
+    "orders_backlog_aging",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

@@ -434,3 +434,74 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iterations=8,
         assume_unique=True,
     ).select("id", "component")
+
+
+@register(
+    "corpus_padding_waste",
+    r"""
+    WITH toks AS (
+      SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    lens AS (SELECT * FROM (VALUES (CAST(256 AS BIGINT)), (512), (1024),
+                                   (2048)) AS t(seq_len)),
+    padded AS (
+      SELECT l.seq_len, t.n_tokens,
+             ((t.n_tokens + l.seq_len - 1) // l.seq_len) * l.seq_len
+               AS padded_tokens
+      FROM toks t CROSS JOIN lens l
+    )
+    SELECT seq_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(padded_tokens) AS BIGINT) AS total_padded,
+           CAST(SUM(padded_tokens) - SUM(n_tokens) AS BIGINT) AS waste_tokens,
+           (SUM(padded_tokens) - SUM(n_tokens)) * 1.0 / SUM(padded_tokens)
+             AS waste_share
+    FROM padded GROUP BY seq_len
+    """,
+    doc="Padding-waste audit for training-batch assembly: if each document "
+    "were padded to its own sequence boundary (the no-packing baseline), "
+    "how many pad tokens does each candidate seq_len burn? Ceil-division "
+    "is pure integer arithmetic ((n + L - 1) // L), every aggregate is an "
+    "exact integer sum, and waste_share is one quotient of exact counts — "
+    "this is the number corpus_pack_batches' first-fit packing exists to "
+    "beat, and the seq-len selector a pipeline consults before committing "
+    "a batch shape. Plan: row-local token count; the 4-value seq_len "
+    "spine is EXPLODED from a literal array (no join node at all — 4x "
+    "amplification inside the scan stage), then a 4-group aggregate with "
+    "map-side combine.",
+    tags=("curation", "llm"),
+)
+def corpus_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens")
+        )
+    )
+    padded = toks.select(
+        F.explode(
+            F.array(*[F.lit(x).cast("long") for x in (256, 512, 1024, 2048)])
+        ).alias("seq_len"),
+        "n_tokens",
+    ).select(
+        "seq_len",
+        "n_tokens",
+        (
+            F.expr("(n_tokens + seq_len - 1) div seq_len") * F.col("seq_len")
+        ).alias("padded_tokens"),
+    )
+    return padded.groupBy("seq_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("padded_tokens").cast("bigint").alias("total_padded"),
+        (F.sum("padded_tokens") - F.sum("n_tokens")).cast("bigint").alias("waste_tokens"),
+        (
+            (F.sum("padded_tokens") - F.sum("n_tokens"))
+            * F.lit(1.0)
+            / F.sum("padded_tokens")
+        ).alias("waste_share"),
+    )

@@ -2288,3 +2288,138 @@ def ts_backtest_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bias"),
         )
     )
+
+
+@register(
+    "events_ab_srm_check",
+    """
+    WITH per_user AS (
+      SELECT user_id, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+           CAST(SUM(1 - is_a) AS BIGINT) AS n_b,
+           (SUM(is_a) - SUM(1 - is_a)) * (SUM(is_a) - SUM(1 - is_a)) * 1.0
+             / COUNT(*) AS chi_sq,
+           CASE WHEN (SUM(is_a) - SUM(1 - is_a))
+                     * (SUM(is_a) - SUM(1 - is_a)) * 100
+                    > 384 * COUNT(*)
+                THEN 1 ELSE 0 END AS srm_suspect
+    FROM per_user
+    """,
+    doc="Sample-ratio-mismatch guardrail for the A/B readout (the check "
+    "that must gate events_ab_lift/cuped: a biased assignment invalidates "
+    "everything downstream): chi-square against the expected 50/50 split "
+    "simplifies to (n_a - n_b)^2 / n for two cells, an exact quotient of "
+    "integer counts; the alert threshold (chi > 3.84, alpha = 0.05) is "
+    "evaluated as an INTEGER cross-multiplication so the boolean can "
+    "never sit on a float boundary. Plan: one user-grain dedup aggregate "
+    "then a scalar fold — map-side combining, 2-counter state.",
+    tags=("events",),
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.first(F.lit(1)).alias("_one"))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit(1)).otherwise(F.lit(0)).alias("is_a")
+        )
+    )
+    diff = F.sum("is_a") - F.sum(F.lit(1) - F.col("is_a"))
+    return per_user.agg(
+        F.sum("is_a").cast("bigint").alias("n_a"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("n_b"),
+        (diff * diff * F.lit(1.0) / F.count(F.lit(1))).alias("chi_sq"),
+        F.when(diff * diff * 100 > 384 * F.count(F.lit(1)), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("srm_suspect"),
+    )
+
+
+@register(
+    "events_ab_power_mde",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS spend
+      FROM events GROUP BY user_id
+    ),
+    scaled AS (
+      SELECT is_a,
+             CAST(spend AS DOUBLE) AS x,
+             CAST(ROUND(CAST(spend AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS xi
+      FROM per_user
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(is_a) AS BIGINT) AS n_a,
+             CAST(SUM(1 - is_a) AS BIGINT) AS n_b,
+             -- x is an exact multiple of 1e-6 (it left a DECIMAL(18,6)
+             -- sum), so the cast back recovers the exact first moment
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0)))
+                  AS DOUBLE) / 1000000000000.0 AS sxx
+      FROM scaled
+    )
+    SELECT n_a, n_b,
+           sx / n AS mean_metric,
+           SQRT((sxx - sx * sx / n) / (n - 1)) AS sd_metric,
+           2.801585 * SQRT(((sxx - sx * sx / n) / (n - 1))
+                           * (1.0 / n_a + 1.0 / n_b)) AS mde_abs,
+           2.801585 * SQRT(((sxx - sx * sx / n) / (n - 1))
+                           * (1.0 / n_a + 1.0 / n_b)) / (sx / n) AS mde_rel
+    FROM m
+    """,
+    doc="A/B power analysis: the minimum detectable effect at alpha=0.05 / "
+    "power=0.8 for the per-user purchase-spend metric under the current "
+    "50/50 split — (z_{0.975} + z_{0.8}) = 2.801585 ships as a shared "
+    "hard literal (engine erf/quantile implementations differ; a literal "
+    "cannot). Variance comes from exact DECIMAL first/second moments "
+    "(the CUPED scaled-integer pattern), so mean/sd/MDE are identical "
+    "op chains on identical operands in both engines, shipped unrounded "
+    "(SQRT on the same double is bit-exact under IEEE754). Plan: one "
+    "user-keyed aggregate then a 5-counter scalar fold.",
+    tags=("events",),
+)
+def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(18,6)")
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", dec(F.col("value"))).otherwise(
+                    zero
+                )
+            ).alias("spend")
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit(1)).otherwise(F.lit(0)).alias("is_a"),
+            F.col("spend").cast("double").alias("x"),
+        )
+    )
+    xi = F.round(F.col("x") * 1000000.0, 0).cast("bigint").cast("decimal(19,0)")
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("is_a").cast("bigint").alias("n_a"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("n_b"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        (F.sum(xi * xi).cast("double") / F.lit(1000000000000.0)).alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    mde = F.lit(2.801585) * F.sqrt(
+        var * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        (F.col("sx") / F.col("n")).alias("mean_metric"),
+        F.sqrt(var).alias("sd_metric"),
+        mde.alias("mde_abs"),
+        (mde / (F.col("sx") / F.col("n"))).alias("mde_rel"),
+    )

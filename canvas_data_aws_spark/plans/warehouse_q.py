@@ -1113,3 +1113,62 @@ def orders_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
         ((F.col("n2") - F.col("n1")) * (avg2 - avg1)).alias("mix_cross_effect"),
         (F.col("rev2") - F.col("rev1")).alias("delta"),
     )
+
+
+@register(
+    "orders_backlog_aging",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    aged AS (
+      SELECT o.o_orderstatus AS status,
+             CAST(date_diff('day', o.o_orderdate, m.maxd) AS BIGINT) AS age_d,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders o CROSS JOIN mx m
+      WHERE o.o_orderstatus <> 'F'
+    ),
+    b AS (
+      SELECT status,
+             CASE WHEN age_d <= 30 THEN '00-030'
+                  WHEN age_d <= 90 THEN '031-090'
+                  WHEN age_d <= 180 THEN '091-180'
+                  ELSE '181+' END AS bucket,
+             price
+      FROM aged
+    )
+    SELECT status, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS open_value
+    FROM b GROUP BY status, bucket
+    """,
+    doc="Backlog / receivables aging report: non-finalized orders bucketed "
+    "by age against the latest order date (the AR aging statement every "
+    "finance close produces). The anchor date is a broadcast scalar (no "
+    "driver pre-action), ages are integer day diffs bucketed by integer "
+    "compares, and open value is an exact DECIMAL(18,2) sum cast to "
+    "DOUBLE at the edge. Bucket labels are zero-padded so lexicographic "
+    "order equals age order. Plan: one scan with the status filter pushed "
+    "down, broadcast anchor, (status x 4)-group aggregate with map-side "
+    "combine.",
+    tags=("warehouse",),
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    mx = load_table(spark, sf_dir, "orders").agg(F.max("o_orderdate").alias("maxd"))
+    aged = o.crossJoin(F.broadcast(mx)).select(
+        F.col("o_orderstatus").alias("status"),
+        F.datediff("maxd", "o_orderdate").cast("bigint").alias("age_d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    b = aged.select(
+        "status",
+        F.when(F.col("age_d") <= 30, "00-030")
+        .when(F.col("age_d") <= 90, "031-090")
+        .when(F.col("age_d") <= 180, "091-180")
+        .otherwise("181+")
+        .alias("bucket"),
+        "price",
+    )
+    return b.groupBy("status", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("price").cast("double").alias("open_value"),
+    )

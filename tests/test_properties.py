@@ -570,3 +570,78 @@ def test_backtest_rolling_origin_exactness_and_shape(spark, sf_dir):
     assert {(r.fold, r.event_type, r.n_eval, r.mae, r.bias) for r in rows} == {
         (r.fold, r.event_type, r.n_eval, r.mae, r.bias) for r in again
     }
+
+
+def test_srm_check_math(spark, sf_dir):
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    r = all_queries()["events_ab_srm_check"].fn(spark, sf_dir).collect()[0]
+    users = [
+        u.user_id
+        for u in load_table(spark, sf_dir, "events").select("user_id").distinct().collect()
+    ]
+    n_a = sum(1 for u in users if u % 2 == 0)
+    assert (r.n_a, r.n_b) == (n_a, len(users) - n_a)
+    assert r.chi_sq == (r.n_a - r.n_b) ** 2 / len(users)
+    assert r.srm_suspect == int((r.n_a - r.n_b) ** 2 * 100 > 384 * len(users))
+
+
+def test_power_mde_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    r = all_queries()["events_ab_power_mde"].fn(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").collect()
+    spend = {}
+    for e in ev:
+        spend.setdefault(e.user_id, 0.0)
+        if e.event_type == "purchase":
+            spend[e.user_id] += round(e.value, 6)
+    x = np.array([round(v, 6) for v in spend.values()])
+    assert r.n_a + r.n_b == len(x)
+    assert abs(r.mean_metric - x.mean()) < 1e-6
+    sd = x.std(ddof=1)
+    assert abs(r.sd_metric - sd) < 1e-5 * max(1.0, sd)
+    expect_mde = 2.801585 * sd * np.sqrt(1.0 / r.n_a + 1.0 / r.n_b)
+    assert abs(r.mde_abs - expect_mde) < 1e-5 * expect_mde
+    assert abs(r.mde_rel - r.mde_abs / r.mean_metric) < 1e-12
+    assert r.mde_abs > 0
+
+
+def test_padding_waste_monotone_on_doubling_chain(spark, sf_dir):
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    rows = {
+        r.seq_len: r
+        for r in all_queries()["corpus_padding_waste"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {256, 512, 1024, 2048}
+    prev_padded = 0
+    for L in (256, 512, 1024, 2048):
+        r = rows[L]
+        assert r.total_padded >= r.total_tokens
+        assert r.waste_tokens == r.total_padded - r.total_tokens
+        assert 0.0 <= r.waste_share < 1.0
+        assert r.total_padded % L == 0
+        # rounding up to multiples of 2L dominates rounding up to L
+        assert r.total_padded >= prev_padded
+        prev_padded = r.total_padded
+        assert r.total_tokens == rows[256].total_tokens
+
+
+def test_backlog_aging_partitions_open_orders(spark, sf_dir):
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = all_queries()["orders_backlog_aging"].fn(spark, sf_dir).collect()
+    open_n = (
+        load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F").count()
+    )
+    assert sum(r.n_orders for r in rows) == open_n
+    assert {r.status for r in rows} <= {"O", "P"}
+    assert {r.bucket for r in rows} <= {"00-030", "031-090", "091-180", "181+"}
+    for r in rows:
+        assert r.open_value > 0
