@@ -152,6 +152,7 @@ HEADLINE = [
     "events_ab_power_mde",
     "corpus_padding_waste",
     "orders_backlog_aging",
+    "graph_k_core",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

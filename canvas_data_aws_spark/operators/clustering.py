@@ -240,3 +240,43 @@ def label_propagation(
     e.unpersist()
     nodes.unpersist()
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Iterative k-core peeling: repeatedly drop vertices with degree < k
+    (and their edges) until the surviving subgraph — the k-core — is
+    stable. ``edges`` must already be SYMMETRIZED (both directions
+    present) and duplicate-free; degree is then the per-``src_col`` row
+    count.
+
+    The peel rule is idempotent once converged (re-filtering a stable core
+    changes nothing), so running a fixed ``rounds`` budget past the
+    fixpoint is exact — the same contract connected_components uses to
+    value-match its unrolled-CTE oracle. Each round costs one degree
+    aggregate plus two co-partitioned semi-joins (src side, then dst
+    side); ``localCheckpoint`` truncates the growing lineage so round R's
+    plan does not replay rounds 0..R-1. Returns (vertex, core_degree) for
+    the surviving vertices."""
+    e = edges.select(src_col, dst_col)
+    for _ in range(rounds):
+        alive = (
+            e.groupBy(src_col)
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select(src_col)
+        )
+        e = (
+            e.join(alive, src_col)
+            .join(alive.withColumnRenamed(src_col, dst_col), dst_col)
+            .select(src_col, dst_col)
+            .localCheckpoint(eager=True)
+        )
+    return e.groupBy(src_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )

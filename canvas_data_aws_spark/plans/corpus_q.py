@@ -505,3 +505,56 @@ def corpus_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("padded_tokens")
         ).alias("waste_share"),
     )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    sql = """
+    WITH eda AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    e0 AS (SELECT src, dst FROM eda UNION ALL SELECT dst, src FROM eda)"""
+    for r in range(rounds):
+        sql += f""",
+    v{r} AS (SELECT src AS vv FROM e{r} GROUP BY src HAVING COUNT(*) >= {k}),
+    e{r + 1} AS (SELECT e.src, e.dst FROM e{r} e
+                 JOIN v{r} a ON a.vv = e.src JOIN v{r} b ON b.vv = e.dst)"""
+    sql += f"""
+    SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{rounds} GROUP BY src"""
+    return sql
+
+
+@register(
+    "graph_k_core",
+    _kcore_oracle(10, 4),
+    doc="k-core decomposition (k=10) of the customer <-> supplier purchase "
+    "graph by iterative peeling (operators/clustering.py::k_core): drop "
+    "every vertex whose degree falls below k, remove its edges, repeat — "
+    "the dense-subgraph extraction behind community cores, spam-ring "
+    "mining, and graph sparsification. The peel rule is idempotent past "
+    "the fixpoint, so a fixed 4-round budget (fixture converges in 2) "
+    "value-matches the oracle's 4 unrolled CTE rounds exactly — the same "
+    "contract graph_connected_components uses. Per round: one degree "
+    "aggregate + two co-partitioned semi-joins, lineage truncated by "
+    "localCheckpoint; at 100 TB each round is edge-sized shuffles with "
+    "no global state (survivor degrees shrink monotonically).",
+    tags=("graph", "iterative"),
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.clustering import k_core
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    eda = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = eda.unionAll(
+        eda.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return k_core(sym, k=10, rounds=4).withColumnRenamed("src", "id")

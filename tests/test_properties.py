@@ -645,3 +645,27 @@ def test_backlog_aging_partitions_open_orders(spark, sf_dir):
     assert {r.bucket for r in rows} <= {"00-030", "031-090", "091-180", "181+"}
     for r in rows:
         assert r.open_value > 0
+
+
+def test_k_core_min_degree_and_fixpoint(spark, sf_dir):
+    """Every surviving vertex must have core degree >= k, and one more
+    peel round must be a no-op (the fixture converges inside the fixed
+    budget, making the fixed-rounds == oracle contract honest)."""
+    from canvas_data_aws_spark.operators.clustering import k_core
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = all_queries()["graph_k_core"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.core_degree >= 10 for r in rows)
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    eda = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), (F.col("l_suppkey") + 1_000_000).alias("dst"))
+        .distinct()
+    )
+    sym = eda.unionAll(eda.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    more = {(r.src, r.core_degree) for r in k_core(sym, k=10, rounds=5).collect()}
+    assert more == {(r.id, r.core_degree) for r in rows}
