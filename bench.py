@@ -153,6 +153,8 @@ HEADLINE = [
     "corpus_padding_waste",
     "orders_backlog_aging",
     "graph_k_core",
+    "text_hashing_vectorizer",
+    "lineitem_fulfillment_lag",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

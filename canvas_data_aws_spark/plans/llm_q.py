@@ -2146,3 +2146,69 @@ def corpus_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("bigint").alias("label"),
         F.round("score", 4).alias("score"),
     )
+
+
+@register(
+    "text_hashing_vectorizer",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    h AS (
+      SELECT doc_id, md5(word) AS hex FROM w
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(((strpos('0123456789abcdef', substring(hex, 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substring(hex, 2, 1)) - 1) % 64
+                  AS BIGINT) AS bucket,
+             CASE WHEN strpos('0123456789abcdef', substring(hex, 3, 1)) - 1 < 8
+                  THEN 1 ELSE -1 END AS sign
+      FROM h
+    )
+    SELECT doc_id, bucket,
+           CAST(SUM(sign) AS BIGINT) AS weight,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM feat GROUP BY doc_id, bucket
+    """,
+    doc="Feature-hashing vectorizer (the hashing-trick / signed hash "
+    "kernel behind fastText-class baselines and cheap dedup/classifier "
+    "features): every token hashes to one of 64 buckets via md5 nibbles "
+    "with a +-1 sign from a third nibble — unbiased in expectation, no "
+    "vocabulary to build, no driver state, output dimension fixed at any "
+    "corpus size. Emitted long-form as (doc_id, bucket, weight) — the "
+    "sparse-matrix shape downstream trainers consume — with exact "
+    "integer weights; md5 is the portable hash (identical hex both "
+    "engines). Plan: row-local normalize + explode, then ONE "
+    "(doc, bucket)-keyed aggregate with map-side combine; feeds "
+    "ridge_fit-style consumers without ever materializing a dense "
+    "matrix.",
+    tags=("llm", "text"),
+)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+                )
+            ).alias("word"),
+        )
+    )
+    hexes = w.select("doc_id", F.md5("word").alias("hex"))
+    nib = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring("hex", i, 1)) - 1  # noqa: E731
+    feat = hexes.select(
+        "doc_id",
+        ((nib(1) * 16 + nib(2)) % 64).cast("bigint").alias("bucket"),
+        F.when(nib(3) < 8, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+    )
+    return feat.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").cast("bigint").alias("weight"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )

@@ -1172,3 +1172,58 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("price").cast("double").alias("open_value"),
     )
+
+
+@register(
+    "lineitem_fulfillment_lag",
+    """
+    WITH lag AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS lag_d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY lag_d) AS p25,
+           percentile_disc(0.50) WITHIN GROUP (ORDER BY lag_d) AS p50,
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY lag_d) AS p75,
+           percentile_disc(0.95) WITHIN GROUP (ORDER BY lag_d) AS p95,
+           MIN(lag_d) AS min_lag,
+           MAX(lag_d) AS max_lag
+    FROM lag GROUP BY priority
+    """,
+    doc="Order-to-ship fulfillment lag SLA report per order priority — the "
+    "ops dashboard that catches priority inversion (URGENT shipping "
+    "slower than LOW): exact discrete percentiles of the day lag. "
+    "percentile_disc returns a multiset ELEMENT (no interpolation), so "
+    "every value is engine-exact integer days. Plan: one orders-lineitem "
+    "equi-join (orderkey-partitioned), then a |priorities|-group "
+    "aggregate; the percentile state is per-group sorted days, bounded "
+    "by the day-span domain after map-side combine.",
+    tags=("warehouse",),
+)
+def lineitem_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lag_d"),
+    )
+    # Spark's percentile_disc returns DOUBLE even over integer input; the
+    # element-pick value is a whole number, so the BIGINT cast is exact
+    # and matches DuckDB's integer-typed result.
+    aggs = [
+        F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY lag_d)")
+        .cast("bigint")
+        .alias(a)
+        for p, a in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+    ]
+    return lag.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        *aggs,
+        F.min("lag_d").alias("min_lag"),
+        F.max("lag_d").alias("max_lag"),
+    )

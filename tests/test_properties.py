@@ -669,3 +669,55 @@ def test_k_core_min_degree_and_fixpoint(spark, sf_dir):
     sym = eda.unionAll(eda.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     more = {(r.src, r.core_degree) for r in k_core(sym, k=10, rounds=5).collect()}
     assert more == {(r.id, r.core_degree) for r in rows}
+
+
+def test_hashing_vectorizer_semantics(spark, sf_dir):
+    """Buckets/signs must match a local md5 reconstruction (pinning the
+    exact hashing-trick semantics), weights must satisfy the sign-sum
+    parity bound, and identical normalized docs must vectorize
+    identically."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = all_queries()["text_hashing_vectorizer"].fn(spark, sf_dir).collect()
+    by_doc = defaultdict(dict)
+    for r in rows:
+        assert 0 <= r.bucket < 64
+        assert abs(r.weight) <= r.n_terms
+        assert (r.weight - r.n_terms) % 2 == 0
+        by_doc[r.doc_id][r.bucket] = (r.weight, r.n_terms)
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r.text and r.text.strip()
+    }
+    hexd = "0123456789abcdef"
+    for doc_id, text in list(docs.items())[:25]:
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        expect = defaultdict(lambda: [0, 0])
+        for word in norm.split(" "):
+            h = hashlib.md5(word.encode()).hexdigest()
+            b = (hexd.index(h[0]) * 16 + hexd.index(h[1])) % 64
+            s = 1 if hexd.index(h[2]) < 8 else -1
+            expect[b][0] += s
+            expect[b][1] += 1
+        assert by_doc[doc_id] == {b: tuple(v) for b, v in expect.items()}, doc_id
+
+
+def test_fulfillment_lag_order_and_counts(spark, sf_dir):
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = all_queries()["lineitem_fulfillment_lag"].fn(spark, sf_dir).collect()
+    assert rows
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    total = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    assert sum(r.n_lines for r in rows) == total
+    for r in rows:
+        assert r.min_lag <= r.p25 <= r.p50 <= r.p75 <= r.p95 <= r.max_lag
