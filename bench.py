@@ -155,6 +155,8 @@ HEADLINE = [
     "graph_k_core",
     "text_hashing_vectorizer",
     "lineitem_fulfillment_lag",
+    "supplier_concentration_hhi",
+    "corpus_vocab_coverage_curve",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

@@ -1534,3 +1534,81 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+def _vocab_coverage_oracle() -> str:
+    parts = []
+    for k in (1000, 5000, 10000, 50000):
+        parts.append(
+            f"""
+    SELECT CAST({k} AS BIGINT) AS vocab_size,
+           CAST(SUM(cnt) AS BIGINT) AS covered_tokens,
+           (SELECT CAST(SUM(cnt) AS BIGINT) FROM vocab) AS total_tokens,
+           SUM(cnt) * 1.0 / (SELECT SUM(cnt) FROM vocab) AS coverage
+    FROM (SELECT cnt FROM vocab ORDER BY cnt DESC, word LIMIT {k}) t
+    """
+        )
+    return (
+        r"""
+    WITH vocab AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(regexp_split_to_array(
+          trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        FROM documents WHERE LENGTH(trim(text)) > 0
+      ) GROUP BY word
+    )
+    """
+        + " UNION ALL ".join(parts)
+    )
+
+
+@register(
+    "corpus_vocab_coverage_curve",
+    _vocab_coverage_oracle(),
+    doc="Vocabulary coverage curve — the tokenizer-sizing question: what "
+    "share of the corpus token mass do the top-1k/5k/10k/50k word types "
+    "cover? (The knee of this curve is where a vocab stops paying for "
+    "itself; the uncovered tail is what falls to subword/byte "
+    "fallback.) Counts are exact integers and each coverage value is one "
+    "quotient of exact counts. Deterministic top-k: (count DESC, word "
+    "ASC) with the tie-break making every prefix unique. Plan: one "
+    "explode + word-keyed count (the shuffle carries (word, partial "
+    "count), never documents), then per-k TakeOrdered-bounded sums — no "
+    "global window anywhere; the vocab table is type-bounded, not "
+    "corpus-bounded.",
+    tags=("curation", "llm"),
+)
+def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("total_tokens"))
+    outs = []
+    for k in (1000, 5000, 10000, 50000):
+        topk = vocab.orderBy(F.col("cnt").desc(), "word").limit(k)
+        outs.append(
+            topk.agg(F.sum("cnt").cast("bigint").alias("covered_tokens"))
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(k).cast("bigint").alias("vocab_size"),
+                "covered_tokens",
+                "total_tokens",
+                (
+                    F.col("covered_tokens") * F.lit(1.0) / F.col("total_tokens")
+                ).alias("coverage"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -1227,3 +1227,71 @@ def lineitem_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lag_d").alias("min_lag"),
         F.max("lag_d").alias("max_lag"),
     )
+
+
+@register(
+    "supplier_concentration_hhi",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    scaled AS (
+      SELECT nationkey,
+             CAST(r AS DOUBLE) AS rd,
+             CAST(ROUND(CAST(r AS DOUBLE) * 100.0, 0) AS BIGINT) AS ri
+      FROM rev
+    ),
+    agg AS (
+      SELECT nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(CAST(ri AS DECIMAL(19,0)) * CAST(ri AS DECIMAL(19,0)))
+                  AS DOUBLE) AS ssq,
+             CAST(SUM(CAST(rd AS DECIMAL(18,2))) AS DOUBLE) AS tot
+      FROM scaled GROUP BY nationkey
+    )
+    SELECT n.n_name AS nation, a.n_suppliers,
+           a.tot AS total_revenue,
+           a.ssq / (a.tot * a.tot * 10000.0) AS hhi
+    FROM agg a JOIN nation n ON n.n_nationkey = a.nationkey
+    """,
+    doc="Supplier-concentration Herfindahl-Hirschman index per nation — "
+    "the supply-chain-risk metric (HHI = sum of squared revenue shares; "
+    "1/n_suppliers at perfect balance, 1.0 at monopoly). Revenue sums "
+    "are exact DECIMAL(18,2); each supplier total round-trips to exact "
+    "integer cents whose squares sum in DECIMAL(38,0) (the CUPED "
+    "moment-product pattern), so HHI = ssq / (tot*100)^2 is one quotient "
+    "of exact values, shipped unrounded. Plan: one suppkey-partitioned "
+    "aggregate (supplier dim broadcast into the join), a nation-grain "
+    "second aggregate, and a broadcast nation name join — nothing larger "
+    "than the supplier count ever aggregates.",
+    tags=("warehouse",),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r"))
+    )
+    scaled = rev.select(
+        "nationkey",
+        F.col("r").cast("double").alias("rd"),
+        F.round(F.col("r").cast("double") * 100.0, 0).cast("bigint").alias("ri"),
+    )
+    ri = F.col("ri").cast("decimal(19,0)")
+    agg = scaled.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum(ri * ri).cast("double").alias("ssq"),
+        F.sum(F.col("rd").cast("decimal(18,2)")).cast("double").alias("tot"),
+    )
+    return agg.join(F.broadcast(nat), agg.nationkey == nat.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        "n_suppliers",
+        F.col("tot").alias("total_revenue"),
+        (F.col("ssq") / (F.col("tot") * F.col("tot") * F.lit(10000.0))).alias("hhi"),
+    )

@@ -721,3 +721,55 @@ def test_fulfillment_lag_order_and_counts(spark, sf_dir):
     assert sum(r.n_lines for r in rows) == total
     for r in rows:
         assert r.min_lag <= r.p25 <= r.p50 <= r.p75 <= r.p95 <= r.max_lag
+
+
+def test_hhi_bounds_and_balance(spark, sf_dir):
+    """HHI must lie in [1/n_suppliers, 1], and recomputing from collected
+    per-supplier revenues must agree."""
+    from collections import defaultdict
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = all_queries()["supplier_concentration_hhi"].fn(spark, sf_dir).collect()
+    assert rows
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = {
+        r.s_suppkey: r.s_nationkey
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    }
+    nat = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    rev = defaultdict(lambda: defaultdict(int))
+    for r in li.collect():
+        rev[nat[sup[r.l_suppkey]]][r.l_suppkey] += round(r.l_extendedprice * 100)
+    for r in rows:
+        cents = list(rev[r.nation].values())
+        assert r.n_suppliers == len(cents)
+        tot = sum(cents)
+        expect = sum(c * c for c in cents) / (tot * tot)
+        assert abs(r.hhi - expect) < 1e-12
+        # identical float-op chain both engines; a lone supplier can land
+        # 1 ulp above 1.0 (ssq and (tot*100)^2 round differently)
+        assert 1.0 / r.n_suppliers - 1e-12 <= r.hhi <= 1.0 + 1e-12
+
+
+def test_vocab_coverage_curve_monotone(spark, sf_dir):
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    rows = sorted(
+        all_queries()["corpus_vocab_coverage_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    assert [r.vocab_size for r in rows] == [1000, 5000, 10000, 50000]
+    totals = {r.total_tokens for r in rows}
+    assert len(totals) == 1
+    prev = 0
+    for r in rows:
+        assert r.covered_tokens >= prev
+        prev = r.covered_tokens
+        assert r.covered_tokens <= r.total_tokens
+        assert abs(r.coverage - r.covered_tokens / r.total_tokens) < 1e-15
+    assert rows[-1].coverage <= 1.0
