@@ -157,6 +157,8 @@ HEADLINE = [
     "lineitem_fulfillment_lag",
     "supplier_concentration_hhi",
     "corpus_vocab_coverage_curve",
+    "scan_csv_quoted",
+    "corpus_dedup_bias_audit",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

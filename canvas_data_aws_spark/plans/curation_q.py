@@ -1612,3 +1612,64 @@ def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+@register(
+    "corpus_dedup_bias_audit",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
+      FROM documents
+    ),
+    keep AS (SELECT digest, MIN(doc_id) AS keeper FROM d GROUP BY digest),
+    tagged AS (
+      SELECT CASE WHEN k.keeper = d.doc_id THEN 'kept' ELSE 'dropped' END
+               AS cohort,
+             d.source, d.n_chars
+      FROM d JOIN keep k ON k.digest = d.digest
+    )
+    SELECT cohort, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS med_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM tagged GROUP BY cohort, source
+    """,
+    doc="Dedup bias audit — the curation-QA check that exact dedup is not "
+    "silently skewing the corpus: per (kept|dropped cohort x source) "
+    "counts and length stats, so a source whose documents are "
+    "disproportionately dropped (or whose survivors skew short) is "
+    "visible BEFORE training, not after. Keeper rule is min doc_id per "
+    "normalized-text md5 digest (the dedup_canonical_exact contract); "
+    "med_chars is percentile_disc (element pick, engine-exact). Plan: "
+    "one digest-keyed aggregate + one digest-keyed join back (only "
+    "16-byte digests and doc ids shuffle, never text), then a "
+    "(2 x sources)-group aggregate.",
+    tags=("curation", "llm", "quality"),
+)
+def corpus_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("digest"),
+    )
+    keep = d.groupBy("digest").agg(F.min("doc_id").alias("keeper"))
+    tagged = d.join(keep, "digest").select(
+        F.when(F.col("keeper") == F.col("doc_id"), F.lit("kept"))
+        .otherwise(F.lit("dropped"))
+        .alias("cohort"),
+        "source",
+        "n_chars",
+    )
+    return tagged.groupBy("cohort", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("bigint")
+        .alias("med_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -493,3 +493,68 @@ def scan_jsonl_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_null_user"),
     )
+
+
+@register(
+    "scan_csv_quoted",
+    """
+    SELECT * FROM (VALUES
+      (1, 'plain value', CAST(10.5 AS DOUBLE)),
+      (2, 'has, commas, inside', CAST(20.25 AS DOUBLE)),
+      (3, 'says "hi" twice', CAST(30.75 AS DOUBLE)),
+      (4, 'line one
+line two', CAST(40.0 AS DOUBLE)),
+      (5, CAST(NULL AS VARCHAR), CAST(50.5 AS DOUBLE))
+    ) AS t(id, note, amount)
+    """,
+    doc="Quoted-CSV fidelity — the raw-zone cases that silently corrupt a "
+    "naive split(','): embedded delimiters, RFC-4180 doubled quotes, an "
+    "embedded NEWLINE inside a quoted field (requiring multiLine "
+    "parsing), and a true null distinct from empty string. The fixture "
+    "file is written with all four hazards and read back with "
+    "quote/escape/multiLine options; the oracle is the literal expected "
+    "relation. multiLine is the one knob with a 100 TB cost: it makes "
+    "gzip'd CSV effectively unsplittable per file, which is exactly why "
+    "ingest/compaction.py promotes raw CSV/TSV to parquet before "
+    "anything heavy runs — this entry documents the BOUNDARY, the "
+    "curated zone never re-pays it.",
+    tags=("relational",),
+)
+def scan_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_dir = os.path.join(tempfile.gettempdir(), f"cda_quotedcsv_{_sf_tag(sf_dir)}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    with open(os.path.join(out_dir, "q-0.csv"), "w") as f:
+        f.write(
+            '1,plain value,10.5\n'
+            '2,"has, commas, inside",20.25\n'
+            '3,"says ""hi"" twice",30.75\n'
+            '4,"line one\nline two",40.0\n'
+            '5,,50.5\n'
+        )
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("note", StringType()),
+            StructField("amount", DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .options(
+            header="false",
+            quote='"',
+            escape='"',  # RFC 4180: quotes escape by doubling
+            multiLine="true",
+            emptyValue=None,  # empty unquoted field -> null
+        )
+        .csv(out_dir)
+    )

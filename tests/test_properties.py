@@ -773,3 +773,48 @@ def test_vocab_coverage_curve_monotone(spark, sf_dir):
         assert r.covered_tokens <= r.total_tokens
         assert abs(r.coverage - r.covered_tokens / r.total_tokens) < 1e-15
     assert rows[-1].coverage <= 1.0
+
+
+def test_scan_csv_quoted_hazards(spark, sf_dir):
+    """All four CSV hazards must survive the round trip: embedded commas,
+    RFC-4180 doubled quotes, embedded newline (multiLine), empty->null."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    rows = {r.id: r for r in all_queries()["scan_csv_quoted"].fn(spark, sf_dir).collect()}
+    assert len(rows) == 5
+    assert rows[2].note == "has, commas, inside"
+    assert rows[3].note == 'says "hi" twice'
+    assert rows[4].note == "line one\nline two"
+    assert rows[5].note is None
+    assert rows[1].amount == 10.5
+
+
+def test_dedup_bias_audit_consistency(spark, sf_dir):
+    """Cohort counts must reconcile with the canonical-dedup keeper rule:
+    kept == number of distinct digests, kept + dropped == corpus size,
+    and per-source totals match the raw source mix."""
+    from collections import Counter
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = all_queries()["corpus_dedup_bias_audit"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text").collect()
+    import hashlib
+    import re
+
+    digests = Counter()
+    by_source = Counter()
+    for d in docs:
+        norm = re.sub(r"\s+", " ", d.text.lower()).strip()
+        digests[hashlib.md5(norm.encode()).hexdigest()] += 1
+        by_source[d.source] += 1
+    n_kept = sum(r.n_docs for r in rows if r.cohort == "kept")
+    n_dropped = sum(r.n_docs for r in rows if r.cohort == "dropped")
+    assert n_kept == len(digests)
+    assert n_kept + n_dropped == len(docs)
+    got_by_source = Counter()
+    for r in rows:
+        got_by_source[r.source] += r.n_docs
+        assert r.min_chars <= r.med_chars <= r.max_chars
+    assert got_by_source == by_source
