@@ -159,6 +159,8 @@ HEADLINE = [
     "corpus_vocab_coverage_curve",
     "scan_csv_quoted",
     "corpus_dedup_bias_audit",
+    "events_attribution_markov",
+    "events_bot_score",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

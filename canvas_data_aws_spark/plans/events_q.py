@@ -2423,3 +2423,203 @@ def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         mde.alias("mde_abs"),
         (mde / (F.col("sx") / F.col("n"))).alias("mde_rel"),
     )
+
+
+@register(
+    "events_attribution_markov",
+    None,  # the absorbing-chain solve is not SQL-expressible — rows-only;
+    # an independent full-pipeline python reimplementation (power-series
+    # absorption instead of the linear solve) is pinned by
+    # tests/test_properties.py
+    doc="Markov removal-effect attribution (Anderl et al. 2014 — the "
+    "data-driven upgrade over first/last-touch in events_attribution): "
+    "user journeys truncate at first purchase (CONV) or end (NULL), "
+    "transition counts build the chain START -> channels -> absorbers, "
+    "and each channel's credit is its REMOVAL EFFECT — how much total "
+    "conversion probability disappears when every edge into the channel "
+    "redirects to NULL — normalized into attribution shares. Execution "
+    "splits by size: transitions are ONE user-partitioned LEAD window + "
+    "a (from,to)-grain aggregate (<= (|channels|+2)^2 cells, map-side "
+    "combined); the absorbing-chain linear solves run driver-side numpy "
+    "on that tiny matrix (the kmeans-centroid / ridge-fit contract: "
+    "driver state bounded by state-space size, never data size).",
+    tags=("events", "iterative"),
+)
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "state",
+        F.row_number().over(w).alias("rn"),
+        F.lead("state").over(w).alias("next_state"),
+        F.min(F.when(F.col("state") == "CONV", F.row_number().over(w)))
+        .over(Window.partitionBy("user_id"))
+        .alias("conv_rn"),
+    )
+    # keep the journey up to (and including) the first conversion
+    alive = marked.filter(
+        F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn"))
+    )
+    steps = alive.select(
+        F.when(F.col("rn") == 1, F.lit("START")).otherwise(F.col("state")).alias(
+            "dummy_from"
+        ),
+        "state",
+        "rn",
+        "next_state",
+        "conv_rn",
+    )
+    trans = (
+        steps.select(
+            F.col("state").alias("from_state"),
+            F.coalesce(
+                F.when(
+                    F.col("conv_rn").isNotNull() & (F.col("rn") == F.col("conv_rn")),
+                    F.lit(None),
+                ).otherwise(F.col("next_state")),
+                F.lit("NULL"),
+            ).alias("to_state"),
+        )
+        .filter(F.col("from_state") != "CONV")
+        .unionByName(
+            steps.filter(F.col("rn") == 1).select(
+                F.lit("START").alias("from_state"), F.col("state").alias("to_state")
+            )
+        )
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts = {(r.from_state, r.to_state): r.n for r in trans.collect()}  # <= 49 cells
+    channels = sorted(
+        ({s for s, _ in counts} | {t for _, t in counts}) - {"START", "CONV", "NULL"}
+    )
+    transient = ["START"] + channels
+
+    def conv_prob(removed: str | None) -> float:
+        keep = [s for s in transient if s != removed]
+        idx = {s: i for i, s in enumerate(keep)}
+        q = np.zeros((len(keep), len(keep)))
+        b = np.zeros(len(keep))
+        for s in keep:
+            tot = sum(n for (f, _), n in counts.items() if f == s)
+            if tot == 0:
+                continue
+            for (f, t), n in counts.items():
+                if f != s:
+                    continue
+                p = n / tot
+                if t == "CONV":
+                    b[idx[s]] += p
+                elif t in idx:  # removed channel's inbound mass falls to NULL
+                    q[idx[s], idx[t]] += p
+        sol = np.linalg.solve(np.eye(len(keep)) - q, b)
+        return float(sol[idx["START"]])
+
+    base = conv_prob(None)
+    effects = {
+        c: max(0.0, 1.0 - (conv_prob(c) / base if base > 0 else 0.0))
+        for c in channels
+    }
+    tot_eff = sum(effects.values()) or 1.0
+    rows = [
+        (c, round(effects[c], 6), round(effects[c] / tot_eff, 6), round(base, 6))
+        for c in channels
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, removal_effect double, attribution_share double, base_conv_prob double"
+    )
+
+
+@register(
+    "events_bot_score",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS gap_us
+      FROM events
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(gap_us) AS BIGINT) AS k,
+             CAST(SUM(gap_us) AS BIGINT) AS sum_g,
+             CAST(SUM(CAST(gap_us AS DECIMAL(19,0)) * CAST(gap_us AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sum_g2
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY user_id HAVING COUNT(gap_us) >= 2
+    )
+    SELECT user_id,
+           k + 1 AS n_events,
+           sum_g // 1000000 AS span_s,
+           (k + 1) * 3600000000.0 / sum_g AS events_per_hour,
+           sum_g / (1000000.0 * k) AS mean_gap_s,
+           SQRT((sum_g2 - CAST(sum_g AS DOUBLE) * CAST(sum_g AS DOUBLE) / k)
+                / (k - 1)) / (CAST(sum_g AS DOUBLE) / k) AS gap_cv,
+           CASE WHEN SQRT((sum_g2 - CAST(sum_g AS DOUBLE) * CAST(sum_g AS DOUBLE) / k)
+                          / (k - 1)) / (CAST(sum_g AS DOUBLE) / k) < 0.2
+                THEN 1 ELSE 0 END AS flag_regular,
+           CASE WHEN (k + 1) * CAST(3600000000 AS BIGINT) > 50 * sum_g
+                THEN 1 ELSE 0 END AS flag_high_rate
+    FROM m
+    """,
+    doc="Behavioral bot screen per user: event rate and inter-arrival "
+    "regularity — scripted traffic fires fast AND metronome-steady, so "
+    "the two flags are events/hour > 50 (evaluated as an integer "
+    "cross-multiplication on exact microsecond sums — no float boundary) "
+    "and coefficient-of-variation of gaps < 0.2. Gap moments are exact: "
+    "integer micro gaps, squared in DECIMAL(19,0)x(19,0) (the CUPED "
+    "pattern), so the CV is an identical float-op chain on identical "
+    "operands in both engines. Plan: ONE user-partitioned LAG window "
+    "feeding a per-user moment aggregate — single exchange on user_id, "
+    "3-counter state per user.",
+    tags=("events", "quality"),
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = ev.select(
+        "user_id", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    dec = F.col("gap_us").cast("decimal(19,0)")
+    m = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_us").cast("bigint").alias("k"),
+            F.sum("gap_us").cast("bigint").alias("sum_g"),
+            F.sum(dec * dec).cast("double").alias("sum_g2"),
+        )
+        .filter(F.col("k") >= 2)
+    )
+    sum_gd = F.col("sum_g").cast("double")
+    mean = sum_gd / F.col("k")
+    cv = F.sqrt((F.col("sum_g2") - sum_gd * sum_gd / F.col("k")) / (F.col("k") - 1)) / mean
+    return m.select(
+        "user_id",
+        (F.col("k") + 1).alias("n_events"),
+        F.expr("sum_g div 1000000").alias("span_s"),
+        ((F.col("k") + 1) * F.lit(3600000000.0) / F.col("sum_g")).alias(
+            "events_per_hour"
+        ),
+        (F.col("sum_g") / (F.lit(1000000.0) * F.col("k"))).alias("mean_gap_s"),
+        cv.alias("gap_cv"),
+        F.when(cv < 0.2, F.lit(1)).otherwise(F.lit(0)).alias("flag_regular"),
+        F.when(
+            (F.col("k") + 1) * F.lit(3600000000).cast("bigint") > 50 * F.col("sum_g"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("flag_high_rate"),
+    )

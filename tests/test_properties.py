@@ -818,3 +818,106 @@ def test_dedup_bias_audit_consistency(spark, sf_dir):
         got_by_source[r.source] += r.n_docs
         assert r.min_chars <= r.med_chars <= r.max_chars
     assert got_by_source == by_source
+
+
+def test_markov_attribution_vs_independent_reimplementation(spark, sf_dir):
+    """Rebuild the whole chain from raw events in pure python and compute
+    absorption by POWER ITERATION (not the linear solve the operator
+    uses); removal effects must agree to the rounding the operator
+    ships. Shares must sum to 1 when any effect is positive."""
+    from collections import Counter, defaultdict
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = {
+        r.channel: r
+        for r in all_queries()["events_attribution_markov"].fn(spark, sf_dir).collect()
+    }
+    ev = sorted(
+        load_table(spark, sf_dir, "events").collect(),
+        key=lambda e: (e.user_id, e.ts, e.event_id),
+    )
+    journeys = defaultdict(list)
+    for e in ev:
+        state = "CONV" if e.event_type == "purchase" else e.event_type
+        j = journeys[e.user_id]
+        if "CONV" not in j:
+            j.append(state)
+    counts = Counter()
+    for j in journeys.values():
+        path = ["START"] + j + ([] if j[-1] == "CONV" else ["NULL"])
+        for a, b in zip(path, path[1:]):
+            counts[(a, b)] += 1
+    channels = sorted(
+        ({a for a, _ in counts} | {b for _, b in counts}) - {"START", "CONV", "NULL"}
+    )
+    assert set(rows) == set(channels)
+
+    def conv_prob_power(removed):
+        keep = ["START"] + [c for c in channels if c != removed]
+        probs = {}
+        for s in keep:
+            tot = sum(n for (a, _), n in counts.items() if a == s)
+            probs[s] = {b: n / tot for (a, b), n in counts.items() if a == s} if tot else {}
+        # power iteration over state distribution
+        dist = {"START": 1.0}
+        absorbed = 0.0
+        for _ in range(200):
+            nxt = defaultdict(float)
+            for s, m in dist.items():
+                for t, p in probs.get(s, {}).items():
+                    if t == "CONV":
+                        absorbed += m * p
+                    elif t in keep:
+                        nxt[t] += m * p
+            dist = nxt
+            if sum(dist.values()) < 1e-15:
+                break
+        return absorbed
+
+    base = conv_prob_power(None)
+    assert abs(rows[channels[0]].base_conv_prob - round(base, 6)) <= 1e-6
+    effects = {}
+    for c in channels:
+        effects[c] = max(0.0, 1.0 - (conv_prob_power(c) / base if base > 0 else 0.0))
+        assert abs(rows[c].removal_effect - effects[c]) <= 2e-6, c
+    tot = sum(effects.values())
+    if tot > 0:
+        assert abs(sum(r.attribution_share for r in rows.values()) - 1.0) <= 1e-5
+
+
+def test_bot_score_matches_pandas_moments(spark, sf_dir):
+    import statistics
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = {r.user_id: r for r in all_queries()["events_bot_score"].fn(spark, sf_dir).collect()}
+    assert rows
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .collect(),
+        key=lambda e: (e.user_id, e.us, e.event_id),
+    )
+    from collections import defaultdict
+
+    gaps = defaultdict(list)
+    prev = {}
+    for e in ev:
+        if e.user_id in prev:
+            gaps[e.user_id].append(e.us - prev[e.user_id])
+        prev[e.user_id] = e.us
+    for uid, gs in gaps.items():
+        if len(gs) < 2:
+            assert uid not in rows
+            continue
+        r = rows[uid]
+        assert r.n_events == len(gs) + 1
+        assert r.span_s == sum(gs) // 1_000_000
+        mean = sum(gs) / len(gs)
+        sd = statistics.stdev(gs)
+        assert abs(r.gap_cv - sd / mean) < 1e-9
+        assert r.flag_regular == int(r.gap_cv < 0.2)
+        assert r.flag_high_rate == int((len(gs) + 1) * 3_600_000_000 > 50 * sum(gs))
