@@ -161,6 +161,8 @@ HEADLINE = [
     "corpus_dedup_bias_audit",
     "events_attribution_markov",
     "events_bot_score",
+    "part_price_index",
+    "events_burst_detection",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

@@ -2623,3 +2623,75 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("flag_high_rate"),
     )
+
+
+@register(
+    "events_burst_detection",
+    """
+    WITH buckets AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+    ),
+    scored AS (
+      SELECT event_type, hour, n,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hour
+                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS trailing_n,
+             CAST(COUNT(n) OVER (PARTITION BY event_type ORDER BY hour
+                                 RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS trailing_hours
+      FROM buckets
+    )
+    SELECT event_type, hour, n, trailing_n, trailing_hours,
+           n * 1.0 * trailing_hours / trailing_n AS burst_ratio
+    FROM scored
+    WHERE trailing_hours >= 12
+      AND 2 * n * trailing_hours > 3 * trailing_n
+    """,
+    doc="Burst detection over per-hour event rates: an hour is a burst "
+    "when its count exceeds 1.5x the trailing-day average (computed over "
+    "occupied hours via a RANGE frame, so gaps don't dilute the "
+    "baseline; at least 12 trailing hours required before alerting). "
+    "The alert predicate is an INTEGER cross-multiplication "
+    "(2*n*trailing_hours > 3*trailing_n) — no float boundary anywhere; "
+    "the reported ratio is one quotient of exact counts. Plan: the "
+    "hour-grain rollup is the only data-sized aggregate; the RANGE "
+    "window runs on the hour-grain table partitioned by event_type — "
+    "span-bounded (hours in the corpus window), not row-bounded, the "
+    "same grain contract as ts_resample/events_cumulative_distinct.",
+    tags=("events", "timeseries"),
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("unix_micros(ts) div 3600000000").alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rangeBetween(-24, -1)
+    )
+    scored = b.select(
+        "event_type",
+        "hour",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("trailing_n"),
+        F.count("n").over(w).cast("bigint").alias("trailing_hours"),
+    )
+    return scored.filter(
+        (F.col("trailing_hours") >= 12)
+        & (2 * F.col("n") * F.col("trailing_hours") > 3 * F.col("trailing_n"))
+    ).select(
+        "event_type",
+        "hour",
+        "n",
+        "trailing_n",
+        "trailing_hours",
+        (
+            F.col("n") * F.lit(1.0) * F.col("trailing_hours") / F.col("trailing_n")
+        ).alias("burst_ratio"),
+    )

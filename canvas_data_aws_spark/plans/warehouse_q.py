@@ -1295,3 +1295,138 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot").alias("total_revenue"),
         (F.col("ssq") / (F.col("tot") * F.col("tot") * F.lit(10000.0))).alias("hhi"),
     )
+
+
+@register(
+    "part_price_index",
+    """
+    WITH cutoff AS (
+      SELECT (MIN(epoch_us(o_orderdate)) + MAX(epoch_us(o_orderdate))) // 2
+               AS cut
+      FROM orders
+    ),
+    fact AS (
+      SELECT l.l_partkey AS partkey,
+             CASE WHEN epoch_us(o.o_orderdate) < c.cut THEN 0 ELSE 1 END
+               AS period,
+             CAST(l.l_quantity AS DECIMAL(18,2)) AS q,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) AS spend
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      CROSS JOIN cutoff c
+    ),
+    per_part AS (
+      SELECT partkey,
+             CAST(SUM(CASE WHEN period = 0 THEN q
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS q0,
+             CAST(SUM(CASE WHEN period = 1 THEN q
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS q1,
+             CAST(SUM(CASE WHEN period = 0 THEN spend
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS s0,
+             CAST(SUM(CASE WHEN period = 1 THEN spend
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS s1
+      FROM fact GROUP BY partkey
+      HAVING SUM(CASE WHEN period = 0 THEN q ELSE CAST(0 AS DECIMAL(18,2)) END) > 0
+         AND SUM(CASE WHEN period = 1 THEN q ELSE CAST(0 AS DECIMAL(18,2)) END) > 0
+    ),
+    quant AS (
+      SELECT q0, q1, s0, s1,
+             CAST(ROUND(1000000.0 * s1 / q1, 0) AS BIGINT) AS uv1,
+             CAST(ROUND(1000000.0 * s0 / q0, 0) AS BIGINT) AS uv0,
+             CAST(ROUND(100.0 * q0, 0) AS BIGINT) AS q0c,
+             CAST(ROUND(100.0 * q1, 0) AS BIGINT) AS q1c
+      FROM per_part
+    ),
+    idx AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(CAST(uv1 AS DECIMAL(19,0)) * CAST(q0c AS DECIMAL(19,0)))
+                  AS DOUBLE) / 100000000.0 AS lasp_num,
+             CAST(SUM(CAST(s0 AS DECIMAL(18,2))) AS DOUBLE) AS lasp_den,
+             CAST(SUM(CAST(s1 AS DECIMAL(18,2))) AS DOUBLE) AS paasche_num,
+             CAST(SUM(CAST(uv0 AS DECIMAL(19,0)) * CAST(q1c AS DECIMAL(19,0)))
+                  AS DOUBLE) / 100000000.0 AS paasche_den
+      FROM quant
+    )
+    SELECT n_parts,
+           lasp_num / lasp_den AS laspeyres,
+           paasche_num / paasche_den AS paasche,
+           SQRT((lasp_num / lasp_den) * (paasche_num / paasche_den)) AS fisher
+    FROM idx
+    """,
+    doc="Laspeyres / Paasche / Fisher price indices between the first and "
+    "second half of the order history — the canonical inflation-measure "
+    "construction, using unit values (spend/qty per part-period) as "
+    "prices. Every per-part sum is exact DECIMAL(18,2); unit values "
+    "quantize to exact 1e-6 integers (identical ROUND on identical "
+    "doubles both engines) and quantities to exact cents, so the index "
+    "numerators/denominators are DECIMAL(38,0)-exact integer-product "
+    "sums — a SUM of raw double products would drift with partition "
+    "merge order; the quantized contract is part of the metric "
+    "definition. "
+    "Plan: one orderkey join + one partkey aggregate, then a scalar "
+    "fold.",
+    tags=("warehouse",),
+)
+def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    odate = F.col("o_orderdate").cast("timestamp")
+    cut = o.agg(
+        F.min(F.unix_micros(odate)).alias("lo"),
+        F.max(F.unix_micros(odate)).alias("hi"),
+    ).select(F.expr("(lo + hi) div 2").alias("cut"))
+    dec = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(18,2)")
+    fact = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.when(F.unix_micros(F.col("o_orderdate").cast("timestamp")) < F.col("cut"), 0)
+            .otherwise(1)
+            .alias("period"),
+            dec(F.col("l_quantity")).alias("q"),
+            dec(F.col("l_extendedprice")).alias("spend"),
+        )
+    )
+    half = lambda p, c: F.sum(F.when(F.col("period") == p, F.col(c)).otherwise(zero))  # noqa: E731
+    per_part = (
+        fact.groupBy("partkey")
+        .agg(
+            half(0, "q").cast("double").alias("q0"),
+            half(1, "q").cast("double").alias("q1"),
+            half(0, "spend").cast("double").alias("s0"),
+            half(1, "spend").cast("double").alias("s1"),
+        )
+        .filter((F.col("q0") > 0) & (F.col("q1") > 0))
+    )
+    d19 = lambda c: c.cast("bigint").cast("decimal(19,0)")  # noqa: E731
+    quant = per_part.select(
+        "s0",
+        "s1",
+        d19(F.round(F.lit(1000000.0) * F.col("s1") / F.col("q1"), 0)).alias("uv1"),
+        d19(F.round(F.lit(1000000.0) * F.col("s0") / F.col("q0"), 0)).alias("uv0"),
+        d19(F.round(F.lit(100.0) * F.col("q0"), 0)).alias("q0c"),
+        d19(F.round(F.lit(100.0) * F.col("q1"), 0)).alias("q1c"),
+    )
+    idx = quant.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        (F.sum(F.col("uv1") * F.col("q0c")).cast("double") / F.lit(100000000.0)).alias(
+            "lasp_num"
+        ),
+        F.sum(dec(F.col("s0"))).cast("double").alias("lasp_den"),
+        F.sum(dec(F.col("s1"))).cast("double").alias("paasche_num"),
+        (F.sum(F.col("uv0") * F.col("q1c")).cast("double") / F.lit(100000000.0)).alias(
+            "paasche_den"
+        ),
+    )
+    lasp = F.col("lasp_num") / F.col("lasp_den")
+    paasche = F.col("paasche_num") / F.col("paasche_den")
+    return idx.select(
+        "n_parts",
+        lasp.alias("laspeyres"),
+        paasche.alias("paasche"),
+        F.sqrt(lasp * paasche).alias("fisher"),
+    )

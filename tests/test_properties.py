@@ -921,3 +921,31 @@ def test_bot_score_matches_pandas_moments(spark, sf_dir):
         assert abs(r.gap_cv - sd / mean) < 1e-9
         assert r.flag_regular == int(r.gap_cv < 0.2)
         assert r.flag_high_rate == int((len(gs) + 1) * 3_600_000_000 > 50 * sum(gs))
+
+
+def test_price_index_bounds_and_identity(spark, sf_dir):
+    """Paasche <= Fisher <= Laspeyres ordering does NOT hold in general,
+    but Fisher must be the geometric mean of the other two, all three
+    positive, and the part filter must keep only parts traded in both
+    periods."""
+    import math
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    r = all_queries()["part_price_index"].fn(spark, sf_dir).collect()[0]
+    assert r.n_parts > 0
+    assert r.laspeyres > 0 and r.paasche > 0
+    assert abs(r.fisher - math.sqrt(r.laspeyres * r.paasche)) < 1e-12
+
+
+def test_burst_detection_thresholds(spark, sf_dir):
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    rows = all_queries()["events_burst_detection"].fn(spark, sf_dir).collect()
+    # sf0.001 fires at least once; every alert must satisfy the contract
+    assert rows
+    for r in rows:
+        assert r.trailing_hours >= 12
+        assert 2 * r.n * r.trailing_hours > 3 * r.trailing_n
+        assert r.burst_ratio > 1.5 - 1e-12
+        assert abs(r.burst_ratio - r.n * r.trailing_hours / r.trailing_n) < 1e-12
