@@ -163,6 +163,7 @@ HEADLINE = [
     "events_bot_score",
     "part_price_index",
     "events_burst_detection",
+    "text_readability",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

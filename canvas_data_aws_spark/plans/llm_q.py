@@ -2212,3 +2212,64 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sign").cast("bigint").alias("weight"),
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
     )
+
+
+@register(
+    "text_readability",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_words,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                   - 84.6 * (n_syllables * 1.0 / n_words) AS flesch_ease,
+           0.39 * (n_words * 1.0 / n_sentences)
+             + 11.8 * (n_syllables * 1.0 / n_words) - 15.59 AS fk_grade
+    FROM c
+    """,
+    doc="Readability scoring (Flesch reading ease + Flesch-Kincaid grade) "
+    "— the curation signal separating encyclopedic prose from listicles "
+    "and OCR soup: syllables approximated by vowel-group runs (the "
+    "standard regex surrogate, identical '[aeiouy]+' semantics in both "
+    "engines), sentences by terminal-punctuation runs (floored at 1 so "
+    "fragments don't divide by zero). Counts are exact integers; both "
+    "scores are identical float-op chains on exact counts, shipped "
+    "unrounded. Entirely row-local — one scan, zero exchanges at any "
+    "corpus size; compose with corpus_quality_probe as an extra feature "
+    "column.",
+    tags=("llm", "text", "quality"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_words"),
+            F.greatest(
+                F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+            )
+            .cast("bigint")
+            .alias("n_sentences"),
+            F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+            .cast("bigint")
+            .alias("n_syllables"),
+        )
+    )
+    wps = F.col("n_words") * F.lit(1.0) / F.col("n_sentences")
+    spw = F.col("n_syllables") * F.lit(1.0) / F.col("n_words")
+    return c.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias("flesch_ease"),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias("fk_grade"),
+    )

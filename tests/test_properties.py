@@ -949,3 +949,28 @@ def test_burst_detection_thresholds(spark, sf_dir):
         assert 2 * r.n * r.trailing_hours > 3 * r.trailing_n
         assert r.burst_ratio > 1.5 - 1e-12
         assert abs(r.burst_ratio - r.n * r.trailing_hours / r.trailing_n) < 1e-12
+
+
+def test_readability_matches_local_recompute(spark, sf_dir):
+    import re
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = {r.doc_id: r for r in all_queries()["text_readability"].fn(spark, sf_dir).collect()}
+    docs = [
+        r
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r.text and r.text.strip()
+    ]
+    assert len(rows) == len(docs)
+    for d in docs[:50]:
+        r = rows[d.doc_id]
+        n_words = len(re.split(r"\s+", d.text.strip()))
+        n_sent = max(len(re.findall(r"[.!?]+", d.text)), 1)
+        n_syl = len(re.findall(r"[aeiouy]+", d.text.lower()))
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (n_words, n_sent, n_syl)
+        ease = 206.835 - 1.015 * (n_words / n_sent) - 84.6 * (n_syl / n_words)
+        assert abs(r.flesch_ease - ease) < 1e-9
+        grade = 0.39 * (n_words / n_sent) + 11.8 * (n_syl / n_words) - 15.59
+        assert abs(r.fk_grade - grade) < 1e-9
