@@ -164,6 +164,8 @@ HEADLINE = [
     "part_price_index",
     "events_burst_detection",
     "text_readability",
+    "events_causal_did",
+    "dedup_cluster_size_histogram",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

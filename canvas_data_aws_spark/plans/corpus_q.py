@@ -558,3 +558,52 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         eda.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return k_core(sym, k=10, rounds=4).withColumnRenamed("src", "id")
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    _EDGE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , bidir AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    walk(v, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT b.dst, w.lab FROM walk w JOIN bidir b ON b.src = w.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(lab) AS component FROM walk GROUP BY v),
+    sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    doc="Cluster-size histogram over the near-dup component graph — the "
+    "one-line answer to 'how duplicated is this corpus?': singletons are "
+    "unique docs, the heavy tail is boilerplate families, and "
+    "sum(n_docs) - sum(n_clusters) is exactly what dedup_collapse_best "
+    "will delete. Same iterative min-label-propagation componentization "
+    "as dedup_cluster (value-checked against the recursive-CTE oracle "
+    "end-to-end), followed by two tiny grain-reducing aggregates. At "
+    "100 TB the histogram state is bounded by the largest cluster size, "
+    "not the corpus.",
+    tags=("iterative", "llm"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, k=3, threshold=0.2).select("id_a", "id_b")
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id"
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )

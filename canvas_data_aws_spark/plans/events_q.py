@@ -2695,3 +2695,117 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * F.lit(1.0) * F.col("trailing_hours") / F.col("trailing_n")
         ).alias("burst_ratio"),
     )
+
+
+@register(
+    "events_causal_did",
+    """
+    WITH cutoff AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS cut FROM events
+    ),
+    cell AS (
+      SELECT e.user_id,
+             CASE WHEN e.user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN epoch_us(e.ts) >= c.cut THEN 1 ELSE 0 END AS post,
+             SUM(CASE WHEN e.event_type = 'purchase'
+                      THEN CAST(e.value AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS spend
+      FROM events e CROSS JOIN cutoff c
+      GROUP BY e.user_id, CASE WHEN e.user_id % 2 = 0 THEN 1 ELSE 0 END,
+               CASE WHEN epoch_us(e.ts) >= c.cut THEN 1 ELSE 0 END
+    ),
+    m AS (
+      SELECT treated, post,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(spend) AS DOUBLE) AS s
+      FROM cell GROUP BY treated, post
+    ),
+    p AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN s / n_users END) AS t_post,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN s / n_users END) AS t_pre,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN s / n_users END) AS c_post,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN s / n_users END) AS c_pre,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN n_users END) AS n_t_post,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN n_users END) AS n_t_pre,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN n_users END) AS n_c_post,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN n_users END) AS n_c_pre
+      FROM m
+    )
+    SELECT CAST(n_t_pre AS BIGINT) AS n_t_pre,
+           CAST(n_t_post AS BIGINT) AS n_t_post,
+           CAST(n_c_pre AS BIGINT) AS n_c_pre,
+           CAST(n_c_post AS BIGINT) AS n_c_post,
+           t_pre, t_post, c_pre, c_post,
+           (t_post - t_pre) - (c_post - c_pre) AS did_estimate
+    FROM p
+    """,
+    doc="Difference-in-differences readout — the causal estimate when "
+    "assignment isn't randomized per-period: treated-vs-control change "
+    "in per-user purchase spend across the period midpoint, with the "
+    "control group's trend differenced out. Cell sums are exact "
+    "DECIMAL(18,6) (the CUPED/A-B family convention), cell means and "
+    "the DiD estimate are identical float-op chains on exact values, "
+    "shipped unrounded. Per-user cells are counted per period they "
+    "appear in (an inactive user contributes no cell — documented "
+    "panel-composition caveat). Plan: broadcast scalar cutoff, one "
+    "(user, period) aggregate, a 4-cell rollup, and a scalar pivot.",
+    tags=("events",),
+)
+def events_causal_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(18,6)")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    cut = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).select(F.expr("(lo + hi) div 2").alias("cut"))
+    cell = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy(
+            "user_id",
+            F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("treated"),
+            F.when(F.unix_micros("ts") >= F.col("cut"), 1).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", dec(F.col("value"))).otherwise(
+                    zero
+                )
+            ).alias("spend")
+        )
+    )
+    m = cell.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("spend").cast("double").alias("s"),
+    )
+    pick = lambda t, p, col: F.max(  # noqa: E731
+        F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+    )
+    p = m.select(
+        "treated", "post", "n_users", (F.col("s") / F.col("n_users")).alias("mean")
+    ).agg(
+        pick(1, 1, "mean").alias("t_post"),
+        pick(1, 0, "mean").alias("t_pre"),
+        pick(0, 1, "mean").alias("c_post"),
+        pick(0, 0, "mean").alias("c_pre"),
+        pick(1, 1, "n_users").cast("bigint").alias("n_t_post"),
+        pick(1, 0, "n_users").cast("bigint").alias("n_t_pre"),
+        pick(0, 1, "n_users").cast("bigint").alias("n_c_post"),
+        pick(0, 0, "n_users").cast("bigint").alias("n_c_pre"),
+    )
+    return p.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        (
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did_estimate"),
+    )

@@ -974,3 +974,35 @@ def test_readability_matches_local_recompute(spark, sf_dir):
         assert abs(r.flesch_ease - ease) < 1e-9
         grade = 0.39 * (n_words / n_sent) + 11.8 * (n_syl / n_words) - 15.59
         assert abs(r.fk_grade - grade) < 1e-9
+
+
+def test_did_reconstruction(spark, sf_dir):
+    """DiD must equal the cell-mean arithmetic, and cell user counts must
+    cover every (user, period) with activity."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    r = all_queries()["events_causal_did"].fn(spark, sf_dir).collect()[0]
+    assert r.did_estimate == (r.t_post - r.t_pre) - (r.c_post - r.c_pre)
+    for n in (r.n_t_pre, r.n_t_post, r.n_c_pre, r.n_c_post):
+        assert n > 0
+
+
+def test_cluster_size_histogram_mass_conservation(spark, sf_dir):
+    """sum(n_docs) must equal the corpus size and cluster counts must
+    reconcile with dedup_cluster's components."""
+    from collections import Counter
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    qs = all_queries()
+    hist = qs["dedup_cluster_size_histogram"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in hist) == n_docs
+    comps = Counter(
+        r.component for r in qs["dedup_cluster"].fn(spark, sf_dir).collect()
+    )
+    expect = Counter(comps.values())
+    assert {r.cluster_size: r.n_clusters for r in hist} == dict(expect)
+    for r in hist:
+        assert r.n_docs == r.cluster_size * r.n_clusters
