@@ -166,6 +166,7 @@ HEADLINE = [
     "text_readability",
     "events_causal_did",
     "dedup_cluster_size_histogram",
+    "ts_holt_winters_additive",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

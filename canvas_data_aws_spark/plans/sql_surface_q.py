@@ -375,3 +375,165 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.trend").alias("trend"),
         (F.col("r.level") + F.col("r.trend")).alias("forecast_next"),
     )
+
+
+@register(
+    "ts_holt_winters_additive",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ),
+    d0 AS (SELECT MIN(day) AS first_day FROM daily),
+    series AS (
+      SELECT DATEDIFF('day', d0.first_day, daily.day) AS t, daily.day, daily.y
+      FROM daily CROSS JOIN d0
+      WHERE DATEDIFF('day', d0.first_day, daily.day) < 45
+    ),
+    init AS (
+      SELECT 6 AS t,
+             CAST((SELECT SUM(CAST(y AS DECIMAL(18,6))) FROM series WHERE t <= 6)
+                  AS DOUBLE) / 7.0 AS level,
+             (CAST((SELECT SUM(CAST(y AS DECIMAL(18,6))) FROM series
+                     WHERE t BETWEEN 7 AND 13) AS DOUBLE) / 7.0
+              - CAST((SELECT SUM(CAST(y AS DECIMAL(18,6))) FROM series
+                       WHERE t <= 6) AS DOUBLE) / 7.0) / 7.0 AS trend,
+             (SELECT LIST(y - CAST((SELECT SUM(CAST(y2.y AS DECIMAL(18,6)))
+                                     FROM series y2 WHERE y2.t <= 6)
+                                   AS DOUBLE) / 7.0
+                          ORDER BY t)
+                FROM series WHERE t <= 6) AS seas
+    ),
+    hw(t, day, y, level, trend, seas) AS (
+      SELECT i.t, CAST(NULL AS DATE), CAST(NULL AS DOUBLE),
+             i.level, i.trend, i.seas
+      FROM init i
+      UNION ALL
+      SELECT s.t, s.day, s.y,
+             0.3 * (s.y - h.seas[1]) + 0.7 * (h.level + h.trend),
+             0.1 * ((0.3 * (s.y - h.seas[1]) + 0.7 * (h.level + h.trend))
+                    - h.level)
+               + 0.9 * h.trend,
+             list_append(h.seas[2:7],
+               0.2 * (s.y - (0.3 * (s.y - h.seas[1])
+                             + 0.7 * (h.level + h.trend)))
+                 + 0.8 * h.seas[1])
+      FROM hw h JOIN series s ON s.t = h.t + 1
+    )
+    SELECT t, day, y, level, trend,
+           level + trend + seas[1] AS forecast_next
+    FROM hw WHERE t >= 7
+    """,
+    doc="Holt-Winters additive triple smoothing (weekly season, m=7; "
+    "alpha=0.3, beta=0.1, gamma=0.2) over the daily revenue series — the "
+    "ts_holt_linear pattern extended with a seasonal state VECTOR: the "
+    "rolling 7-element seasonal list rides the recursion (DuckDB "
+    "recursive CTE carrying a LIST column) and the Spark side folds the "
+    "identical recurrence row-locally with F.aggregate over an "
+    "(out, level, trend, seas[7]) accumulator struct — ONE job, no "
+    "driver loop. Initialization is the classical first-season scheme "
+    "(level = first-week mean, trend = week-over-week mean change / 7, "
+    "s_i = y_i - level), with every init mean computed from exact "
+    "DECIMAL sums so no unordered double-sum crosses the compare; the "
+    "recurrence expressions re-expand identically on both sides (the "
+    "fold == recursion bit-parity contract ts_holt_linear established). "
+    "forecast_next = level + trend + s_{t+1-m} (the freshly-rotated "
+    "seas[1]). At 100 TB only the daily rollup scales with data; the "
+    "fold state is one row of <= 45 structs + a 7-float vector.",
+    tags=("sql", "timeseries"),
+)
+def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+    first = daily.agg(F.min("day").alias("first_day"))
+    series = (
+        daily.crossJoin(F.broadcast(first))
+        .select(F.datediff("day", "first_day").alias("t"), "day", "y")
+        .filter(F.col("t") < 45)
+    )
+    packed = series.agg(
+        F.array_sort(F.collect_list(F.struct("t", "day", "y"))).alias("arr")
+    )
+    packed = packed.select(
+        F.filter("arr", lambda x, i: x["t"] == i).alias("arr")
+    ).filter(F.size("arr") >= 14)
+
+    # Exact init means: per-day y is an exact 1e-6 multiple (it left a
+    # DECIMAL(18,6) sum), so folding DECIMAL adds is order-free exact —
+    # matching the oracle's DECIMAL subquery sums bit-for-bit.
+    def dec_sum(sl):
+        # decimal addition widens the type, which F.aggregate rejects
+        # (merge type must equal the init type) — re-cast each partial
+        # back to (18,6); exact, the weekly sums are nowhere near 1e12
+        return F.aggregate(
+            sl,
+            F.lit(0).cast("decimal(18,6)"),
+            lambda acc, x: (acc + x["y"].cast("decimal(18,6)")).cast(
+                "decimal(18,6)"
+            ),
+        ).cast("double")
+
+    week1 = dec_sum(F.slice("arr", 1, 7)) / 7.0
+    week2 = dec_sum(F.slice("arr", 8, 7)) / 7.0
+    level0 = week1
+    trend0 = (week2 - week1) / 7.0
+    seas0 = F.transform(F.slice("arr", 1, 7), lambda x: x["y"] - week1)
+    out_t = (
+        "array<struct<t:int,day:date,y:double,level:double,trend:double,"
+        "forecast_next:double>>"
+    )
+    init = F.struct(
+        F.expr(f"CAST(array() AS {out_t})").alias("out"),
+        level0.alias("level"),
+        trend0.alias("trend"),
+        seas0.alias("seas"),
+    )
+
+    def step(acc, s_el):
+        s_old = F.element_at(acc["seas"], 1)
+        lvl, trd = acc["level"], acc["trend"]
+        new_level = 0.3 * (s_el["y"] - s_old) + 0.7 * (lvl + trd)
+        new_trend = (
+            0.1 * ((0.3 * (s_el["y"] - s_old) + 0.7 * (lvl + trd)) - lvl)
+            + 0.9 * trd
+        )
+        s_new = (
+            0.2 * (s_el["y"] - (0.3 * (s_el["y"] - s_old) + 0.7 * (lvl + trd)))
+            + 0.8 * s_old
+        )
+        new_seas = F.concat(F.slice(acc["seas"], 2, 6), F.array(s_new))
+        row = F.struct(
+            s_el["t"].alias("t"),
+            s_el["day"].alias("day"),
+            s_el["y"].alias("y"),
+            new_level.alias("level"),
+            new_trend.alias("trend"),
+            (new_level + new_trend + F.element_at(new_seas, 1)).alias(
+                "forecast_next"
+            ),
+        )
+        return F.struct(
+            F.concat(acc["out"], F.array(row)).alias("out"),
+            new_level.alias("level"),
+            new_trend.alias("trend"),
+            new_seas.alias("seas"),
+        )
+
+    folded = packed.select(
+        F.aggregate(
+            F.slice("arr", 8, F.greatest(F.size("arr") - 7, F.lit(0))),
+            init,
+            step,
+        )["out"].alias("out")
+    )
+    return folded.select(F.explode("out").alias("r")).select(
+        F.col("r.t").alias("t"),
+        F.col("r.day").alias("day"),
+        F.col("r.y").alias("y"),
+        F.col("r.level").alias("level"),
+        F.col("r.trend").alias("trend"),
+        F.col("r.forecast_next").alias("forecast_next"),
+    )

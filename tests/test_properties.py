@@ -1006,3 +1006,42 @@ def test_cluster_size_histogram_mass_conservation(spark, sf_dir):
     assert {r.cluster_size: r.n_clusters for r in hist} == dict(expect)
     for r in hist:
         assert r.n_docs == r.cluster_size * r.n_clusters
+
+
+def test_holt_winters_matches_reference_loop(spark, sf_dir):
+    """The folded Holt-Winters recurrence must match a plain python loop
+    over the same daily series (init included) to float tolerance, and
+    the seasonal state must rotate with period 7."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = sorted(
+        all_queries()["ts_holt_winters_additive"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.t,
+    )
+    assert rows and rows[0].t == 7
+
+    daily = sorted(
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+        .collect(),
+        key=lambda r: r.day,
+    )
+    y = [r.y for r in daily][:45]
+    level = sum(y[:7]) / 7.0
+    trend = (sum(y[7:14]) / 7.0 - sum(y[:7]) / 7.0) / 7.0
+    seas = [v - level for v in y[:7]]
+    for r in rows:
+        yt = y[r.t]
+        s_old = seas[0]
+        new_level = 0.3 * (yt - s_old) + 0.7 * (level + trend)
+        new_trend = 0.1 * (new_level - level) + 0.9 * trend
+        s_new = 0.2 * (yt - new_level) + 0.8 * s_old
+        seas = seas[1:] + [s_new]
+        level, trend = new_level, new_trend
+        assert abs(r.level - level) < 1e-6 * max(1.0, abs(level)), r.t
+        assert abs(r.trend - trend) < 1e-6 * max(1.0, abs(trend)), r.t
+        assert abs(r.forecast_next - (level + trend + seas[0])) < 1e-6 * max(
+            1.0, abs(level)
+        )
