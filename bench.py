@@ -167,6 +167,7 @@ HEADLINE = [
     "events_causal_did",
     "dedup_cluster_size_histogram",
     "ts_holt_winters_additive",
+    "part_weighted_median_price",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

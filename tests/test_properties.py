@@ -1045,3 +1045,36 @@ def test_holt_winters_matches_reference_loop(spark, sf_dir):
         assert abs(r.forecast_next - (level + trend + seas[0])) < 1e-6 * max(
             1.0, abs(level)
         )
+
+
+def test_weighted_median_is_true_weighted_median(spark, sf_dir):
+    """Brute-force check: wmedian must be the smallest price whose
+    cumulative quantity weight reaches half the brand total."""
+    from collections import defaultdict
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = {r.brand: r for r in all_queries()["part_weighted_median_price"].fn(spark, sf_dir).collect()}
+    assert rows
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_quantity").collect()
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    wmap = defaultdict(lambda: defaultdict(int))
+    for r in li:
+        wmap[brand[r.l_partkey]][round(r.l_extendedprice * 100)] += round(r.l_quantity * 100)
+    for b, weights in wmap.items():
+        tw = sum(weights.values())
+        cw = 0
+        med = None
+        for price in sorted(weights):
+            cw += weights[price]
+            if 2 * cw >= tw:
+                med = price
+                break
+        r = rows[b]
+        assert r.wmedian_cents == med, b
+        assert r.total_weight_c == tw
+        assert r.n_price_points == len(weights)
