@@ -168,6 +168,8 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "ts_holt_winters_additive",
     "part_weighted_median_price",
+    "sim_search_filtered",
+    "dq_order_total_reconciliation",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

@@ -2273,3 +2273,70 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias("flesch_ease"),
         (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias("fk_grade"),
     )
+
+
+@register(
+    "sim_search_filtered",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 5),
+    cand AS (
+      SELECT e.vec_id, e.embedding, d.lang
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en'
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id, c.lang,
+             ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(q.qvec AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM cand c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, lang, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, lang, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="Attribute-filtered vector search — the retrieval shape RAG "
+    "pipelines actually run ('nearest English documents', not 'nearest "
+    "documents'): the metadata predicate joins and filters candidates "
+    "BEFORE ranking (pre-filtering — exact, never the post-filter trap "
+    "where a top-k drawn first can come back short or biased after the "
+    "predicate). Plan: the documents metadata join pushes the lang "
+    "filter to that scan, the surviving candidate set broadcast-joins "
+    "the 5-query probe batch, and the per-query top-10 window fuses to "
+    "rank-limited form; at 100 TB the selective predicate shrinks the "
+    "GEMM workload proportionally — the opposite of post-filtering, "
+    "which pays full-corpus ranking THEN discards. The IVF/LSH tiers "
+    "compose the same way (filter inside the probed cells).",
+    tags=("llm", "similarity"),
+)
+def sim_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cand = (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .filter(F.col("lang") == "en")
+        .select("vec_id", "embedding", "lang")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_bruteforce(cand.select("vec_id", "embedding"), queries, k=10)
+    langs = cand.select(F.col("vec_id").alias("cand_id"), "lang")
+    return (
+        out.join(F.broadcast(langs), out.vec_id == langs.cand_id)
+        .select(
+            "query_id",
+            "vec_id",
+            "lang",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -614,3 +614,89 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+@register(
+    "dq_order_total_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                            * 100, 0) AS BIGINT)) AS derived_c
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    recon AS (
+      SELECT o.o_orderkey,
+             CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS stated_c,
+             CAST(li.derived_c AS BIGINT) AS derived_c
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    ),
+    bucketed AS (
+      SELECT CASE
+               WHEN stated_c = derived_c THEN 'exact'
+               WHEN 100 * ABS(stated_c - derived_c)
+                    <= 1 * GREATEST(stated_c, 1) THEN 'within_1pct'
+               WHEN 100 * ABS(stated_c - derived_c)
+                    <= 10 * GREATEST(stated_c, 1) THEN 'within_10pct'
+               ELSE 'divergent' END AS verdict,
+             stated_c, derived_c
+      FROM recon
+    )
+    SELECT verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(stated_c) AS BIGINT) AS stated_total_c,
+           CAST(SUM(derived_c) AS BIGINT) AS derived_total_c
+    FROM bucketed GROUP BY verdict
+    """,
+    doc="Cross-table financial reconciliation — the close-of-books check "
+    "that a header total equals what its line items derive "
+    "(sum of extendedprice*(1-disc)*(1+tax)): per-order verdicts "
+    "bucketed exact / within-1% / within-10% / divergent, with stated "
+    "and derived totals per bucket. Everything is integer cents: the "
+    "per-line charge rounds to cents identically in both engines "
+    "(identical double expression, ROUND half-away), sums are exact "
+    "BIGINTs, and the tolerance buckets are integer "
+    "cross-multiplications. On this synthetic fixture the header is NOT "
+    "derived from the lines, so the report shows divergence — which is "
+    "precisely the report's job. Plan: one orderkey-grain aggregate, "
+    "one orderkey join, a 4-group verdict rollup.",
+    tags=("quality", "warehouse"),
+)
+def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100,
+                    0,
+                ).cast("bigint")
+            ).alias("derived_c")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("stated_c"),
+    )
+    recon = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "stated_c", F.col("derived_c").cast("bigint").alias("derived_c")
+    )
+    diff = F.abs(F.col("stated_c") - F.col("derived_c"))
+    base = F.greatest(F.col("stated_c"), F.lit(1))
+    verdict = (
+        F.when(F.col("stated_c") == F.col("derived_c"), "exact")
+        .when(100 * diff <= 1 * base, "within_1pct")
+        .when(100 * diff <= 10 * base, "within_10pct")
+        .otherwise("divergent")
+    )
+    return recon.select(verdict.alias("verdict"), "stated_c", "derived_c").groupBy(
+        "verdict"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("stated_c").cast("bigint").alias("stated_total_c"),
+        F.sum("derived_c").cast("bigint").alias("derived_total_c"),
+    )

@@ -1078,3 +1078,47 @@ def test_weighted_median_is_true_weighted_median(spark, sf_dir):
         assert r.wmedian_cents == med, b
         assert r.total_weight_c == tw
         assert r.n_price_points == len(weights)
+
+
+def test_filtered_search_respects_predicate_and_matches_brute(spark, sf_dir):
+    """Every hit must satisfy the metadata predicate, and the result must
+    equal a local brute-force over the filtered candidate set."""
+    import math
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = all_queries()["sim_search_filtered"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.lang == "en" for r in rows)
+    emb = {r.vec_id: r.embedding for r in load_table(spark, sf_dir, "embeddings").collect()}
+    langs = {r.doc_id: r.lang for r in load_table(spark, sf_dir, "documents").collect()}
+    cand = {i: v for i, v in emb.items() if langs.get(i) == "en"}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    from collections import defaultdict
+
+    got = defaultdict(dict)
+    for r in rows:
+        got[r.query_id][r.rank] = r.vec_id
+    for qid in got:
+        scored = sorted(
+            ((round(cos(cand[i], emb[qid]), 6), -i) for i in cand), reverse=True
+        )
+        expect = [-(neg) for _, neg in scored[:10]]
+        assert [got[qid][k] for k in sorted(got[qid])] == expect, qid
+
+
+def test_order_reconciliation_counts(spark, sf_dir):
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = all_queries()["dq_order_total_reconciliation"].fn(spark, sf_dir).collect()
+    n_orders_with_lines = (
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
+    )
+    assert sum(r.n_orders for r in rows) == n_orders_with_lines
+    assert {r.verdict for r in rows} <= {"exact", "within_1pct", "within_10pct", "divergent"}
