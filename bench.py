@@ -170,6 +170,7 @@ HEADLINE = [
     "part_weighted_median_price",
     "sim_search_filtered",
     "dq_order_total_reconciliation",
+    "table_parquet_footer_audit",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

@@ -700,3 +700,66 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("stated_c").cast("bigint").alias("stated_total_c"),
         F.sum("derived_c").cast("bigint").alias("derived_total_c"),
     )
+
+
+@register(
+    "table_parquet_footer_audit",
+    """
+    SELECT regexp_extract(file_name, '[^/]+$') AS file_name,
+           CAST(row_group_id AS BIGINT) AS row_group_id,
+           CAST(ANY_VALUE(row_group_num_rows) AS BIGINT) AS num_rows,
+           CAST(ANY_VALUE(row_group_bytes) AS BIGINT) AS total_byte_size,
+           CAST(ANY_VALUE(row_group_num_columns) AS BIGINT) AS num_columns
+    FROM parquet_metadata('/tmp/cda_footer_audit_orders/*.parquet')
+    GROUP BY file_name, row_group_id
+    """,
+    doc="Parquet footer ground-truth audit: per-row-group row counts, "
+    "byte sizes and column counts read straight from the file footer — "
+    "the physical facts behind every scan-planning decision "
+    "(maxPartitionBytes splits, row-group pruning, stats-based skipping)."
+    " The engine side reads the footer via pyarrow (driver-side, bounded "
+    "by file count — no data scan at all); the oracle is DuckDB's "
+    "parquet_metadata() over the SAME file, so the compare pins both "
+    "engines to the identical physical footer. Because oracle SQL is "
+    "static, the query first copies its sf_dir's orders file to a fixed "
+    "path (tmp + atomic rename; fn always runs before its oracle in the "
+    "gate, so alternating scale factors stay consistent).",
+    tags=("quality", "maintenance"),
+)
+def table_parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    dst = "/tmp/cda_footer_audit_orders"
+    tmp = tempfile.mkdtemp(dir="/tmp", prefix="cda_footer_tmp_")
+    if os.path.isdir(src):
+        members = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        for m in members:
+            shutil.copy(m, os.path.join(tmp, os.path.basename(m)))
+    else:
+        shutil.copy(src, os.path.join(tmp, "orders.parquet"))
+    shutil.rmtree(dst, ignore_errors=True)
+    os.rename(tmp, dst)
+    rows = []
+    for path in sorted(_glob.glob(os.path.join(dst, "*.parquet"))):
+        md = pq.ParquetFile(path).metadata
+        rows.extend(
+            (
+                os.path.basename(path),
+                i,
+                md.row_group(i).num_rows,
+                md.row_group(i).total_byte_size,
+                md.row_group(i).num_columns,
+            )
+            for i in range(md.num_row_groups)
+        )
+    return spark.createDataFrame(
+        rows,
+        "file_name string, row_group_id long, num_rows long, "
+        "total_byte_size long, num_columns long",
+    )

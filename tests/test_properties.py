@@ -1122,3 +1122,18 @@ def test_order_reconciliation_counts(spark, sf_dir):
     )
     assert sum(r.n_orders for r in rows) == n_orders_with_lines
     assert {r.verdict for r in rows} <= {"exact", "within_1pct", "within_10pct", "divergent"}
+
+
+def test_footer_audit_row_mass(spark, sf_dir):
+    """Row-group rows must sum to the table's COUNT(*), proving the
+    footer numbers describe the data actually scanned."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = all_queries()["table_parquet_footer_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.num_rows for r in rows) == load_table(spark, sf_dir, "orders").count()
+    assert len({r.row_group_id for r in rows}) == len(rows)
+    for r in rows:
+        assert r.num_columns == 6
+        assert r.total_byte_size > 0
