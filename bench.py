@@ -171,6 +171,7 @@ HEADLINE = [
     "sim_search_filtered",
     "dq_order_total_reconciliation",
     "table_parquet_footer_audit",
+    "events_markov_prediction_eval",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

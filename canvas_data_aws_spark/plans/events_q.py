@@ -2809,3 +2809,88 @@ def events_causal_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
         ).alias("did_estimate"),
     )
+
+
+@register(
+    "events_markov_prediction_eval",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    pred AS (
+      SELECT from_type, to_type AS predicted, n
+      FROM (
+        SELECT from_type, to_type, n,
+               ROW_NUMBER() OVER (PARTITION BY from_type
+                                  ORDER BY n DESC, to_type ASC) AS rk
+        FROM trans
+      ) WHERE rk = 1
+    )
+    SELECT t.from_type,
+           p.predicted,
+           CAST(SUM(t.n) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN t.to_type = p.predicted THEN t.n ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           SUM(CASE WHEN t.to_type = p.predicted THEN t.n ELSE 0 END) * 1.0
+             / SUM(t.n) AS top1_accuracy
+    FROM trans t JOIN pred p ON p.from_type = t.from_type
+    GROUP BY t.from_type, p.predicted
+    """,
+    doc="Next-event prediction eval — turns events_path_markov's "
+    "transition matrix into a MEASURED top-1 predictor (the "
+    "text_langid_confusion pattern applied to behavior): per from-state, "
+    "the argmax next-event (count-desc, name-asc tie-break — "
+    "deterministic) and its empirical accuracy over all transitions. "
+    "Counts are exact; accuracy is one quotient of exact counts. The "
+    "argmax window runs on the TRANSITION-GRAIN table (<= |types|^2 "
+    "rows), never on events — the aggregate-first shape that keeps the "
+    "per-from-state window trivially bounded at any corpus size. "
+    "One user-partitioned LEAD is the only data-sized operation.",
+    tags=("events",),
+)
+def events_markov_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rk = Window.partitionBy("from_type").orderBy(F.col("n").desc(), F.col("to_type"))
+    pred = (
+        trans.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("from_type", F.col("to_type").alias("predicted"))
+    )
+    return (
+        trans.join(F.broadcast(pred), "from_type")
+        .groupBy("from_type", "predicted")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_transitions"),
+            F.sum(F.when(F.col("to_type") == F.col("predicted"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            "from_type",
+            "predicted",
+            "n_transitions",
+            "n_correct",
+            (F.col("n_correct") * F.lit(1.0) / F.col("n_transitions")).alias(
+                "top1_accuracy"
+            ),
+        )
+    )

@@ -1137,3 +1137,32 @@ def test_footer_audit_row_mass(spark, sf_dir):
     for r in rows:
         assert r.num_columns == 6
         assert r.total_byte_size > 0
+
+
+def test_markov_prediction_eval_consistency(spark, sf_dir):
+    """Predicted must be the modal next event per from-state (with the
+    count-desc/name-asc tie-break), and accuracy == share of the modal
+    transition count."""
+    from collections import Counter, defaultdict
+
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    rows = {r.from_type: r for r in all_queries()["events_markov_prediction_eval"].fn(spark, sf_dir).collect()}
+    ev = sorted(
+        load_table(spark, sf_dir, "events").collect(),
+        key=lambda e: (e.user_id, e.ts, e.event_id),
+    )
+    trans = defaultdict(Counter)
+    prev = {}
+    for e in ev:
+        if e.user_id in prev:
+            trans[prev[e.user_id]][e.event_type] += 1
+        prev[e.user_id] = e.event_type
+    for ft, ctr in trans.items():
+        best = min(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        r = rows[ft]
+        assert r.predicted == best, ft
+        assert r.n_transitions == sum(ctr.values())
+        assert r.n_correct == ctr[best]
+        assert r.top1_accuracy == ctr[best] / sum(ctr.values())
