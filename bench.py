@@ -172,6 +172,7 @@ HEADLINE = [
     "dq_order_total_reconciliation",
     "table_parquet_footer_audit",
     "events_markov_prediction_eval",
+    "dedup_minhash_calibration",
 ]
 
 # The external harness that records bench output keeps only the LAST ~2000

@@ -2340,3 +2340,68 @@ def sim_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@register(
+    "dedup_minhash_calibration",
+    None,  # hash-seed dependent estimates — rows-only; the estimator-
+    # quality floor (MAE, bucket monotonicity) is pinned by
+    # tests/test_properties.py
+    doc="MinHash estimator calibration — the report that tells you whether "
+    "to trust the banding tier before you delete data with it: for every "
+    "LSH candidate pair, the signature-agreement Jaccard ESTIMATE sits "
+    "next to the EXACT 3-gram Jaccard (computed only on the candidate "
+    "pairs — candidate-bounded, never all-pairs), bucketed by estimate "
+    "decile with per-bucket mean estimate, mean exact, and mean absolute "
+    "error. Reading it: MAE is the noise floor of 64-hash signatures "
+    "(~1/sqrt(64) per pair), and a bucket whose mean-exact drifts from "
+    "its mean-estimate exposes banding bias at that similarity level. "
+    "Plan: the banded candidate join from dedup_minhash, then one "
+    "id-keyed join to shingle arrays and a row-local array_intersect — "
+    "exact scoring cost scales with CANDIDATES, not the corpus.",
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        normalize_text,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.05)
+    sh = docs.select(
+        "doc_id", word_shingles(normalize_text(F.col("text")), k=3).alias("sh")
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "jaccard_est",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                * F.lit(1.0)
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                )
+            ).alias("jaccard_exact"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "bucket", F.least(F.floor(F.col("jaccard_est") * 10), F.lit(9)).cast("bigint")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg("jaccard_est"), 4).alias("mean_est"),
+            F.round(F.avg("jaccard_exact"), 4).alias("mean_exact"),
+            F.round(F.avg(F.abs(F.col("jaccard_est") - F.col("jaccard_exact"))), 4).alias(
+                "mae"
+            ),
+        )
+    )

@@ -1166,3 +1166,27 @@ def test_markov_prediction_eval_consistency(spark, sf_dir):
         assert r.n_transitions == sum(ctr.values())
         assert r.n_correct == ctr[best]
         assert r.top1_accuracy == ctr[best] / sum(ctr.values())
+
+
+def test_minhash_calibration_quality(spark, sf_dir):
+    """The 64-hash estimator must track exact Jaccard: per-bucket MAE
+    under 0.2 (the binomial noise floor at n=64 is ~0.06 sigma), and the
+    bucket's mean exact similarity must be within 0.25 of its mean
+    estimate — a gross-bias tripwire."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    rows = all_queries()["dedup_minhash_calibration"].fn(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_pairs for r in rows) > 0
+    populated = [r for r in rows if r.n_pairs >= 10]
+    assert populated, "at least one statistically-populated bucket expected"
+    for r in rows:
+        assert 0 <= r.bucket <= 9
+        assert 0.0 <= r.mean_est <= 1.0
+        assert 0.0 <= r.mean_exact <= 1.0 + 1e-9
+    # calibration claims only where the sample supports them — singleton
+    # buckets carrying one false-positive candidate are exactly what the
+    # report exists to surface, not a test failure
+    for r in populated:
+        assert r.mae <= 0.1, (r.bucket, r.mae)
+        assert abs(r.mean_est - r.mean_exact) <= 0.1, r.bucket
