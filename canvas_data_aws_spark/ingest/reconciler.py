@@ -154,7 +154,16 @@ class SyncEngine:
     #: useful (maintenance windows, rate-limited origins): cap the files
     #: applied per run; reconciliation is idempotent, so repeated runs
     #: converge — each run re-plans and the already-fetched prefix verdicts
-    #: 'skip'. None = unbounded (single-run converge).
+    #: 'skip'. None = unbounded (single-run converge). Starvation guard:
+    #: a naive key-ordered prefix would re-dispatch the SAME low-keyed
+    #: files every run, so >= max_files_per_run permanently-failing
+    #: low-keyed files would starve all later-keyed work forever. Bounded
+    #: runs therefore persist the keys that failed (``FAILED_KEYS_FILE``
+    #: under the lake root, capped at ``FAILED_KEYS_CAP``) and sort them
+    #: AFTER fresh work in the next run's prefix — failing files still
+    #: retry (eventually, when fresh work drains), but can never pin the
+    #: prefix. The ledger drops a key the run it succeeds and is deleted
+    #: when a run converges cleanly.
     max_files_per_run: int | None = None
     log: list[str] = field(default_factory=list)
 
@@ -192,12 +201,23 @@ class SyncEngine:
             F.sum((F.col("verdict") == "delete").cast("long")).alias("delete"),
         )
         work = observed.filter(F.col("verdict").isin("fetch", "delete"))
+        known_failed: list[str] = []
         if self.max_files_per_run is not None:
             # bounded converge: a deterministic key-ordered prefix of the
             # work list (TakeOrdered — the cap is driver-bounded); the
             # remainder is simply not dispatched and the next run's plan
-            # picks it up (fetched files verdict 'skip' then)
-            work = work.orderBy("key").limit(int(self.max_files_per_run))
+            # picks it up (fetched files verdict 'skip' then). Keys that
+            # failed in earlier bounded runs sort LAST so they cannot pin
+            # the prefix and starve later-keyed work (see
+            # max_files_per_run docstring).
+            known_failed = self._load_failed_keys()
+            if known_failed:
+                work = work.orderBy(
+                    F.col("key").isin(known_failed).asc(), F.col("key").asc()
+                )
+            else:
+                work = work.orderBy("key")
+            work = work.limit(int(self.max_files_per_run))
 
         if self.dry_run:
             work_rows = work.collect()
@@ -227,6 +247,11 @@ class SyncEngine:
             # a capped sample (``log_sample_cap``).
             n_tasks = max(1, self.max_fetch_tasks)
             per_batch_cap = max(1, self.log_sample_cap // n_tasks)
+            if self.max_files_per_run is not None:
+                # bounded mode needs COMPLETE per-key outcomes to maintain
+                # the failed-keys ledger; total dispatched work is already
+                # <= max_files_per_run, so the rollup stays driver-bounded
+                per_batch_cap = max(per_batch_cap, int(self.max_files_per_run))
             rolled = (
                 work.repartition(n_tasks)
                 .mapInPandas(
@@ -283,6 +308,13 @@ class SyncEngine:
             ),
             dry_run=self.dry_run,
         )
+        if not self.dry_run and self.max_files_per_run is not None:
+            if summary.files_remaining == 0 and summary.files_failed == 0:
+                self._store_failed_keys(set())  # converged cleanly: drop ledger
+            else:
+                failed_now = {k for k, a in samples if a.startswith("failed")}
+                ok_now = {k for k, a in samples if not a.startswith("failed")}
+                self._store_failed_keys((set(known_failed) | failed_now) - ok_now)
         if summary.files_remaining > 0:
             self.log.append(
                 f"continuation: {summary.files_remaining} work items remain "
@@ -294,6 +326,45 @@ class SyncEngine:
         if self.on_summary is not None:
             self.on_summary(summary)
         return summary
+
+    # -- bounded-converge failed-keys ledger ---------------------------------
+
+    #: Keys whose fetch/delete failed in a previous BOUNDED run, persisted
+    #: under the lake root so fresh SyncEngine instances (cron re-runs)
+    #: inherit the deprioritization. Same atomic tmp+rename discipline as
+    #: the dump watermark.
+    FAILED_KEYS_FILE = "_sync_failed_keys.json"
+    #: Hard cap on the ledger: the deprioritization rides an IN expression
+    #: in the sort key, so it must stay literal-sized. More failures than
+    #: this means the origin is broken, not the scheduler; excess keys just
+    #: fall back to natural key order.
+    FAILED_KEYS_CAP = 10_000
+
+    def _load_failed_keys(self) -> list[str]:
+        import json
+        import os
+
+        path = os.path.join(self.root, self.FAILED_KEYS_FILE)
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            keys = json.load(f).get("failed_keys", [])
+        return [str(k) for k in keys][: self.FAILED_KEYS_CAP]
+
+    def _store_failed_keys(self, keys: set[str]) -> None:
+        import json
+        import os
+
+        path = os.path.join(self.root, self.FAILED_KEYS_FILE)
+        if not keys:
+            if os.path.exists(path):
+                os.remove(path)
+            return
+        os.makedirs(self.root, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"failed_keys": sorted(keys)[: self.FAILED_KEYS_CAP]}, f)
+        os.replace(tmp, path)
 
     # -- dump-incremental mode ---------------------------------------------
 

@@ -17,6 +17,8 @@ output contract (vertex, component) stays identical.
 
 from __future__ import annotations
 
+import logging
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -248,6 +250,7 @@ def k_core(
     src_col: str = "src",
     dst_col: str = "dst",
     rounds: int = 4,
+    strict: bool = False,
 ) -> DataFrame:
     """Iterative k-core peeling: repeatedly drop vertices with degree < k
     (and their edges) until the surviving subgraph — the k-core — is
@@ -261,9 +264,18 @@ def k_core(
     value-match its unrolled-CTE oracle. Each round costs one degree
     aggregate plus two co-partitioned semi-joins (src side, then dst
     side); ``localCheckpoint`` truncates the growing lineage so round R's
-    plan does not replay rounds 0..R-1. Returns (vertex, core_degree) for
-    the surviving vertices."""
+    plan does not replay rounds 0..R-1, and the surviving edge COUNT it
+    yields doubles as a free convergence probe: when a round removes no
+    edge the peel is at its fixpoint and the loop exits early. If the
+    ``rounds`` budget is exhausted while edges are still being removed,
+    the result is only a SUPERSET of the k-core (vertices whose degree
+    would fall below ``k`` in later rounds survive with inflated
+    core_degree) — that case logs a warning, or raises when
+    ``strict=True``. Returns (vertex, core_degree) for the surviving
+    vertices."""
     e = edges.select(src_col, dst_col)
+    prev_edges: int | None = None
+    converged = False
     for _ in range(rounds):
         alive = (
             e.groupBy(src_col)
@@ -277,6 +289,31 @@ def k_core(
             .select(src_col, dst_col)
             .localCheckpoint(eager=True)
         )
+        n_edges = e.count()  # cheap: scans the fresh checkpoint blocks
+        if n_edges == prev_edges:
+            converged = True
+            break
+        prev_edges = n_edges
+    if not converged:
+        # The loop never observed a no-op round. One more bounded probe
+        # (first sub-k vertex, limit 1) decides whether the budget landed
+        # exactly on the fixpoint or genuinely ran out mid-peel.
+        unstable = (
+            e.groupBy(src_col)
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") < k)
+            .limit(1)
+            .count()
+        )
+        if unstable:
+            msg = (
+                f"k_core: rounds budget ({rounds}) exhausted before the peel "
+                f"reached its fixpoint — result is a superset of the {k}-core "
+                "with inflated core_degree; raise `rounds`"
+            )
+            if strict:
+                raise ValueError(msg)
+            logging.getLogger(__name__).warning(msg)
     return e.groupBy(src_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )

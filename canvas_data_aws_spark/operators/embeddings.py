@@ -190,11 +190,21 @@ def ridge_fit(
         .agg(F.sum("val").alias("val"))
         .collect()  # (d+1)^2 + (d+1) + 1 rows — dimension-bounded
     )
+    if not reduced:
+        raise ValueError("ridge_fit: input has no rows")
     flat = np.zeros(max(r["pos"] for r in reduced) + 1)
     for r in reduced:
         flat[r["pos"]] = r["val"]
     n = flat[0]
     da = int(round((-1 + np.sqrt(1 + 4 * (len(flat) - 1))) / 2))  # d + 1
+    if n < da:
+        # fewer rows than unknowns: the gram matrix is singular on the
+        # unregularized bias direction — surface a clear error instead of a
+        # numpy LinAlgError deep in solve()
+        raise ValueError(
+            f"ridge_fit: need at least d+1={da} rows to identify d weights "
+            f"+ bias, got {int(n)}"
+        )
     gram = flat[1 : 1 + da * da].reshape(da, da)
     xty = flat[1 + da * da :]
     reg = np.eye(da) * (n * lam)

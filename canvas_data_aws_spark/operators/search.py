@@ -112,6 +112,23 @@ def bm25_merge(
             "delete-then-merge or dedup upstream (blind union double-counts "
             "n_docs/avgdl and duplicates query results)"
         )
+    # ... and INTERNAL duplicates within the batch itself: two rows sharing
+    # an id would pass the disjointness probe yet still double-count
+    # n_docs/avgdl and surface duplicate ids from bm25_query. One bounded
+    # aggregate (groupBy id, first count>1, limit 1).
+    internal = (
+        new_docs.groupBy(index.id_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .limit(1)
+        .count()
+    )
+    if internal:
+        raise ValueError(
+            "bm25_merge: new_docs contains duplicate ids within the batch; "
+            "dedup upstream (duplicates double-count n_docs/avgdl and "
+            "duplicate query results)"
+        )
     fresh = bm25_index(
         new_docs, text_col=text_col, id_col=index.id_col, n_buckets=index.n_buckets
     )

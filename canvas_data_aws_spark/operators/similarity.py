@@ -292,6 +292,22 @@ def ivf_upsert(
             "index; delete-then-upsert or dedup upstream (blind union "
             "duplicates query results)"
         )
+    # ... and INTERNAL duplicates within the batch: two rows sharing an id
+    # pass the disjointness probe yet still leave two `assigned` rows (in
+    # different cells if the payload differs), so ivf_query would return
+    # duplicate ids. One bounded aggregate, mirror of bm25_merge's guard.
+    internal = (
+        new_vectors.groupBy(index.corpus_id)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .limit(1)
+        .count()
+    )
+    if internal:
+        raise ValueError(
+            "ivf_upsert: new_vectors contains duplicate ids within the "
+            "batch; dedup upstream (duplicates surface twice from ivf_query)"
+        )
 
     cents_rows = index.centroids.orderBy("cell").collect()  # k rows: bounded
     cents = np.array([np.asarray(r["centroid"], dtype=np.float64) for r in cents_rows])

@@ -1217,7 +1217,8 @@ def corpus_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(n) AS total FROM freq),
     scored AS (
       SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             ROUND(AVG(-ln(f.n / tot.total)), 4) AS score
+             CAST(SUM(CAST(ROUND(-ln(f.n / tot.total) * 1000000000.0) AS BIGINT))
+                  AS DOUBLE) / (1000000000.0 * COUNT(*)) AS score
       FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
       GROUP BY t.doc_id
     ),
@@ -1244,9 +1245,13 @@ def corpus_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast back as a row-local CASE — the same global-NTILE "
     "replacement pattern as orders_pareto_share (no data-sized "
     "single-partition window anywhere); percentile_disc returns multiset "
-    "ELEMENTS, bit-identical across engines on the 4dp-rounded scores. "
-    "Per-bucket stats are counts and element picks (min/max), never "
-    "order-dependent float sums.",
+    "ELEMENTS, bit-identical across engines. The per-doc score is NOT a "
+    "float AVG (partition-merge-order-dependent, and a 4dp ROUND would "
+    "amplify a 1-ulp flip into a whole-doc bucket move): each token's "
+    "-ln(p) is quantized once to a 1e-9-grain integer, summed EXACTLY, "
+    "and shipped as the deterministic quotient sum/(1e9*n) — the CUPED "
+    "scaled-int pattern. Per-bucket stats are counts and element picks "
+    "(min/max), never order-dependent float sums.",
     tags=("llm", "curation"),
 )
 def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1257,13 +1262,24 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
     tot = freq.agg(F.sum("n").alias("total"))
+    # per-token -ln(p) quantized ONCE to a 1e-9-grain integer, summed
+    # exactly (long addition commutes), then one deterministic double
+    # quotient — no partition-merge-order term, unlike a float AVG
+    scaled = F.round(-F.log(F.col("n") / F.col("total")) * F.lit(1e9)).cast("long")
     scored = (
         toks.join(freq, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
-            F.round(F.avg(-F.log(F.col("n") / F.col("total"))), 4).alias("score"),
+            F.sum(scaled).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("__s").cast("double") / (F.lit(1e9) * F.col("n_tokens"))).alias(
+                "score"
+            ),
         )
     )
     cuts = scored.agg(

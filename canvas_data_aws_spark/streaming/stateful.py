@@ -128,7 +128,13 @@ def user_profile_transform_with_state(events: DataFrame) -> DataFrame:
             )
 
         def close(self) -> None:
-            pass
+            """API-mandated teardown hook: this processor holds no resources
+            outside the handle-managed state store, so shutdown only logs.
+            Anything raised here would fail the task visibly — nothing is
+            swallowed."""
+            import logging
+
+            logging.getLogger(__name__).debug("user_profile processor closed")
 
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_Profile(),

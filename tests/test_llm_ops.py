@@ -872,3 +872,43 @@ def test_quality_probe_numpy_parity_and_separation(spark, sf_dir):
     )
     model = ridge_fit(data, target_col="y", vec_col="fv", lam=1e-3)
     np.testing.assert_allclose(model.weights, w[:-1], rtol=1e-6, atol=1e-8)
+
+
+def test_ivf_upsert_rejects_internal_duplicate_ids(spark, sf_dir):
+    """A batch duplicating an id INTERNALLY passes the index-disjointness
+    probe yet still leaves two assigned rows — ivf_upsert must probe the
+    batch itself too (round-7 advice)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    import canvas_data_aws_spark.operators.similarity as sim
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = sim.ivf_index(emb.filter(F.col("vec_id") < 100), n_clusters=4)
+    fresh = emb.filter(F.col("vec_id").between(100, 120))
+    with pytest.raises(ValueError, match="duplicate ids within the batch"):
+        sim.ivf_upsert(idx, fresh.unionAll(fresh.limit(1)))
+
+
+def test_ridge_fit_empty_and_underdetermined_inputs_raise(spark):
+    """ridge_fit on zero rows must raise a clear ValueError (not an opaque
+    max()-of-empty crash), and n <= d rows must raise before numpy hits a
+    singular gram matrix on the unregularized bias (round-7 advice)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from canvas_data_aws_spark.operators.embeddings import ridge_fit
+
+    schema = T.StructType(
+        [
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("y", T.DoubleType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="no rows"):
+        ridge_fit(empty, target_col="y")
+    one = spark.createDataFrame([([1.0, 2.0, 3.0], 1.5)], schema)
+    with pytest.raises(ValueError, match="need at least"):
+        ridge_fit(one, target_col="y")

@@ -1190,3 +1190,34 @@ def test_minhash_calibration_quality(spark, sf_dir):
     for r in populated:
         assert r.mae <= 0.1, (r.bucket, r.mae)
         assert abs(r.mean_est - r.mean_exact) <= 0.1, r.bucket
+
+
+def test_k_core_convergence_exit_and_budget_exhaustion(spark):
+    """The peel loop must exit early at its fixpoint (edge count stable),
+    and an exhausted rounds budget mid-peel must warn (or raise under
+    strict=True) instead of silently returning a superset of the k-core
+    (round-7 advice). A 10-node path graph has NO 2-core and needs ~5
+    peeling rounds to empty — a 1-round budget is provably insufficient."""
+    import pytest
+
+    from canvas_data_aws_spark.operators.clustering import k_core
+
+    path_edges = [(i, i + 1) for i in range(9)]
+    sym = spark.createDataFrame(
+        path_edges + [(b, a) for a, b in path_edges], "src long, dst long"
+    )
+    # generous budget: converges (empty 2-core) well before 20 rounds
+    assert k_core(sym, k=2, rounds=20).count() == 0
+    # insufficient budget: strict raises, default returns the partial peel
+    with pytest.raises(ValueError, match="budget"):
+        k_core(sym, k=2, rounds=1, strict=True)
+    partial = k_core(sym, k=2, rounds=1).count()
+    assert partial > 0  # superset survives — which is exactly why it warns
+    # a cycle IS its own 2-core: first round removes nothing, loop exits
+    # immediately and every vertex survives with core_degree 2
+    cyc_edges = [(i, (i + 1) % 6) for i in range(6)]
+    cyc = spark.createDataFrame(
+        cyc_edges + [(b, a) for a, b in cyc_edges], "src long, dst long"
+    )
+    rows = k_core(cyc, k=2, rounds=10, strict=True).collect()
+    assert sorted((r.src, r.core_degree) for r in rows) == [(i, 2) for i in range(6)]

@@ -320,3 +320,47 @@ def test_bounded_converge_continuation(spark, tmp_path):
     # converged: one more run is a no-op with nothing remaining
     s = SyncEngine(root=root, max_files_per_run=2).apply(spark, rows, fetch)
     assert s.files_remaining == 0 and s.files_failed == 0
+
+
+def test_bounded_converge_failed_keys_do_not_starve(spark, tmp_path):
+    """Starvation guard (round-7 advice): with max_files_per_run=2 and the
+    two LOWEST-keyed files failing permanently, a naive key-ordered prefix
+    would re-dispatch only those two forever. The persisted failed-keys
+    ledger must rotate them to the back so every healthy file lands, then
+    drop them once they heal and the sync converges cleanly."""
+    import os
+
+    from canvas_data_aws_spark.ingest.reconciler import SyncEngine
+
+    src = tmp_path / "remote"
+    src.mkdir()
+    names = [f"f{i}.gz" for i in range(5)]
+    for n in names:
+        (src / n).write_bytes(n.encode())
+    rows = [{"table": "t", "filename": n, "url": f"file://{src}/{n}"} for n in names]
+    root = str(tmp_path / "lake")
+    broken = {"f0.gz", "f1.gz"}
+
+    def flaky(url, dest):
+        name = url.rsplit("/", 1)[-1]
+        if name in broken:
+            raise OSError(f"permanent failure: {name}")
+        with open(url.replace("file://", ""), "rb") as f, open(dest, "wb") as o:
+            o.write(f.read())
+
+    # fresh engine per run, like a cron job — the ledger must persist on disk
+    for _run in range(3):
+        SyncEngine(root=root, max_files_per_run=2).apply(spark, rows, flaky)
+    for n in names:
+        present = os.path.exists(os.path.join(root, f"raw_files/t/{n}"))
+        assert present == (n not in broken), n
+    ledger = os.path.join(root, SyncEngine.FAILED_KEYS_FILE)
+    assert os.path.exists(ledger)
+    # heal the origin: the failing pair is retried (it is all that remains),
+    # the sync converges, and the clean run drops the ledger
+    broken.clear()
+    s = SyncEngine(root=root, max_files_per_run=2).apply(spark, rows, flaky)
+    assert s.files_failed == 0 and s.files_remaining == 0
+    for n in names:
+        assert os.path.exists(os.path.join(root, f"raw_files/t/{n}"))
+    assert not os.path.exists(ledger)

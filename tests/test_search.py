@@ -121,3 +121,20 @@ def test_bm25_merge_rejects_duplicate_ids(spark, sf_dir):
     idx = bm25_index(docs, id_col="doc_id")
     with pytest.raises(ValueError, match="already present"):
         bm25_merge(idx, docs.limit(5))
+
+
+def test_bm25_merge_rejects_internal_duplicate_ids(spark, sf_dir):
+    """A batch whose rows duplicate an id INTERNALLY passes the
+    index-disjointness probe yet still double-counts n_docs/avgdl — the
+    merge must probe the batch itself too (round-7 advice)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from canvas_data_aws_spark.operators.search import bm25_index, bm25_merge
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = bm25_index(docs.filter(F.col("doc_id") < 100), id_col="doc_id")
+    fresh = docs.filter(F.col("doc_id").between(100, 110))
+    with pytest.raises(ValueError, match="duplicate ids within the batch"):
+        bm25_merge(idx, fresh.unionAll(fresh.limit(1)))
