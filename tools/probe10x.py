@@ -101,10 +101,45 @@ def run(qname, sf_dir):
     return best
 
 
+LEDGER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "probe_ledger.json")
+
+
+def record(qname, t1, tn):
+    """Append/update the machine-readable probe ledger keyed (query, factor).
+    A hand-written `reading` field on an existing entry survives re-probes —
+    only the timings refresh. SCALE.md's generated probe tables are rendered
+    from this file by tools/render_probes.py (no hand-transcribed numbers)."""
+    import json
+
+    entries = []
+    if os.path.exists(LEDGER):
+        with open(LEDGER) as f:
+            entries = json.load(f)
+    key = (qname, N)
+    kept = [e for e in entries if (e["query"], e["factor"]) != key]
+    prev = next((e for e in entries if (e["query"], e["factor"]) == key), {})
+    kept.append(
+        {
+            "query": qname,
+            "factor": N,
+            "t1_sec": round(t1, 2),
+            "tn_sec": round(tn, 2),
+            "growth": round(tn / t1, 1),
+            "reading": prev.get("reading", ""),
+        }
+    )
+    kept.sort(key=lambda e: (e["factor"], e["query"]))
+    tmp = LEDGER + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(kept, f, indent=1)
+    os.replace(tmp, LEDGER)
+
+
 if __name__ == "__main__":
     build()
     names = sys.argv[1:]
     for q in names:
         t1 = run(q, SRC)
         t10 = run(q, DST)
+        record(q, t1, t10)
         print(f"PROBE {q}: 1x={t1:.2f}s {N}x={t10:.2f}s growth={t10 / t1:.1f}x", flush=True)
