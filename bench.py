@@ -5,6 +5,16 @@ JSON line: {"metric", "value", "unit", "queries": {...}, "sf"}.
 Timing method: per query, force full execution with a count-collapsing
 action over the result (``df.write.format("noop")`` — executes the whole
 plan including sinks, no driver materialization cost).
+
+Snapshot protocol (round-7/8 verdict item: min-of-2 FRESH PROCESSES):
+the default invocation spawns itself twice as child processes (one JVM
+each — same-JVM reruns inherit GC/JIT/cache state), takes the per-query
+MIN across the two runs as the snapshot, and records BOTH raw runs in
+BENCH_FULL.json under ``runs`` so any round-over-round drift can be
+adjudicated against per-run scatter instead of a single sample. Within a
+child each query is min-of-2 reps, so the snapshot is a min over 4
+samples from 2 JVMs. Set CDA_BENCH_SINGLE=1 to force the old one-process
+behavior (used by the children themselves).
 """
 
 from __future__ import annotations
@@ -260,13 +270,15 @@ def _prebuilt_ann_entries(spark, sf_dir: str) -> dict:
     }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _sf_of(sf_dir: str) -> float:
     try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+        return float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
-        sf = -1.0  # unknown scale tag; timings still valid
+        return -1.0  # unknown scale tag; timings still valid
 
+
+def run_single(sf_dir: str) -> dict[str, float]:
+    """One fresh-process bench pass: min-of-2 reps per query in this JVM."""
     from canvas_data_aws_spark.plans.registry import all_queries
     from canvas_data_aws_spark.session import get_spark
 
@@ -282,12 +294,12 @@ def main() -> None:
     to_time += sorted(_prebuilt_ann_entries(spark, sf_dir).items())
     for name, fn in to_time:
         reps = []
-        for _rep in range(3):  # median-of-3: robust to contention spikes
+        for _rep in range(2):  # min-of-2 in-process; min-of-2 processes above
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(reps)[1], 3)
+        timings[name] = round(min(reps), 3)
         # Drop any cached/checkpointed state the query left behind so later
         # queries aren't taxed (GC pressure, executor storage) by earlier
         # ones — each timing should measure that query alone.
@@ -297,7 +309,43 @@ def main() -> None:
                 jrdd.unpersist(False)
         except Exception:
             pass  # private-API cleanup is best-effort
+    spark.stop()
+    return timings
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+
+    if os.environ.get("CDA_BENCH_SINGLE"):
+        # child / legacy mode: one process, print its own timings JSON
+        timings = run_single(sf_dir)
+        print(json.dumps({"value": round(sum(timings.values()), 3), "queries": timings}))
+        return
+
+    # min-of-2 fresh processes: each child is its own JVM
+    import subprocess
+
+    runs: list[dict] = []
+    for i in range(2):
+        env = dict(os.environ, CDA_BENCH_SINGLE="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(f"bench child run {i} failed rc={proc.returncode}")
+        last = proc.stdout.strip().splitlines()[-1]
+        runs.append(json.loads(last))
+        print(f"run {i}: total={runs[-1]['value']}s", flush=True)
+
+    timings = {
+        name: round(min(r["queries"][name] for r in runs), 3)
+        for name in runs[0]["queries"]
+    }
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total",
@@ -305,8 +353,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "protocol": "min over 2 fresh processes x 2 reps",
+        "runs": runs,
     }
-    # Keep the last few runs in-file: single-sample per-query timings have a
+    # Keep the last few snapshots in-file: per-query timings have a
     # ±0.3-0.7 s noise floor at sf0.1 (measured, BENCH_NOISE.md), so drift
     # questions need run-to-run history, not one overwritten snapshot.
     full_path = os.path.join(REPO, "BENCH_FULL.json")
@@ -324,7 +374,6 @@ def main() -> None:
         json.dump(full, f, indent=1)
     print(json.dumps(full))  # full detail for raw logs (NOT the last line)
     print(json.dumps(compact_result(timings, sf)))  # last line: fits the tail
-    spark.stop()
 
 
 if __name__ == "__main__":

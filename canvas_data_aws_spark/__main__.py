@@ -9,6 +9,7 @@ the named query registry:
     python -m canvas_data_aws_spark list [--tag llm]
     python -m canvas_data_aws_spark query tpch_q3 --sf-dir /data/sf0.1 -n 20
     python -m canvas_data_aws_spark sync --root /lake [--dry-run] [--additive]
+    python -m canvas_data_aws_spark curate --sf-dir /data/sf0.1 --out /shards
     python -m canvas_data_aws_spark bench
 
 ``sync`` resolves credentials secret-file-first/env-fallback (the
@@ -82,6 +83,23 @@ def _cmd_sync(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_curate(args: argparse.Namespace) -> int:
+    from canvas_data_aws_spark.pipelines.curate import curate
+    from canvas_data_aws_spark.session import get_spark
+
+    spark = get_spark(app_name="cda-curate")
+    funnel = curate(
+        spark,
+        args.sf_dir,
+        args.out,
+        capacity=args.capacity,
+        seed=args.seed,
+        jaccard_threshold=args.jaccard_threshold,
+    )
+    print(json.dumps(funnel.as_dict()))
+    return 0
+
+
 def _cmd_bench(_args: argparse.Namespace) -> int:
     import importlib
 
@@ -118,6 +136,18 @@ def main(argv: list[str] | None = None) -> int:
         help="bounded converge: cap dispatched work per run (re-run to finish)",
     )
     ps.set_defaults(fn=_cmd_sync)
+
+    pc = sub.add_parser(
+        "curate",
+        help="run the composed curation pipeline: quality -> exact dedup -> "
+        "near-dup collapse -> decontaminate -> pack -> shard export",
+    )
+    pc.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pc.add_argument("--out", required=True, help="shard output directory")
+    pc.add_argument("--capacity", type=int, default=2048, help="tokens per batch")
+    pc.add_argument("--seed", default="epoch0", help="epoch shuffle seed string")
+    pc.add_argument("--jaccard-threshold", type=float, default=0.5)
+    pc.set_defaults(fn=_cmd_curate)
 
     pb = sub.add_parser("bench", help="run the headline bench (bench.py)")
     pb.set_defaults(fn=_cmd_bench)

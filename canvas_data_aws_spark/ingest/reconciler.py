@@ -212,6 +212,13 @@ class SyncEngine:
             # max_files_per_run docstring).
             known_failed = self._load_failed_keys()
             if known_failed:
+                # Plan-size trade: isin() compiles the ledger into an
+                # IN-literal inside the sort expression — bounded by
+                # FAILED_KEYS_CAP (10k keys, ~1 MB of plan). Beyond that
+                # cap a broadcast flag-join (left join a tiny failed-keys
+                # DF, sort on the null-ness of the flag) would keep the
+                # plan size constant; at the documented cap the literal is
+                # simpler and avoids an extra join node.
                 work = work.orderBy(
                     F.col("key").isin(known_failed).asc(), F.col("key").asc()
                 )
@@ -310,7 +317,25 @@ class SyncEngine:
         )
         if not self.dry_run and self.max_files_per_run is not None:
             if summary.files_remaining == 0 and summary.files_failed == 0:
-                self._store_failed_keys(set())  # converged cleanly: drop ledger
+                # Converged cleanly — but only drop ledger entries whose
+                # keys THIS run's plan actually covered. An additive
+                # dump-mode run's manifest never mentions keys that failed
+                # in a prior snapshot run; deleting those entries would
+                # hand them back their prefix-pinning power on the next
+                # bounded snapshot sync (round-8 advice). The coverage
+                # check re-evaluates the plan filtered to the ledger keys:
+                # <= FAILED_KEYS_CAP rows, and only on this rare path.
+                if known_failed:
+                    covered = {
+                        r["key"]
+                        for r in self.plan(spark, remote_rows, additive=additive)
+                        .filter(F.col("key").isin(known_failed))
+                        .select("key")
+                        .collect()
+                    }
+                    self._store_failed_keys(set(known_failed) - covered)
+                else:
+                    self._store_failed_keys(set())
             else:
                 failed_now = {k for k, a in samples if a.startswith("failed")}
                 ok_now = {k for k, a in samples if not a.startswith("failed")}

@@ -197,13 +197,19 @@ def ridge_fit(
         flat[r["pos"]] = r["val"]
     n = flat[0]
     da = int(round((-1 + np.sqrt(1 + 4 * (len(flat) - 1))) / 2))  # d + 1
-    if n < da:
-        # fewer rows than unknowns: the gram matrix is singular on the
-        # unregularized bias direction — surface a clear error instead of a
-        # numpy LinAlgError deep in solve()
+    if lam <= 0 and n < da:
+        # Unregularized fit with fewer rows than unknowns: the gram matrix
+        # is rank-deficient (rank <= n < d+1) — surface a clear error
+        # instead of a numpy LinAlgError deep in solve(). With lam > 0 the
+        # system (gram + n*lam*I, bias unregularized) is positive definite
+        # for ANY n >= 1 — v'(G+reg)v = ||X'v||^2 + n*lam*||w||^2 vanishes
+        # only at v = 0 because the all-ones bias column forces b = 0 once
+        # w = 0 — so underdetermined ridge fits (d >> n) solve fine and are
+        # a core legitimate use case.
         raise ValueError(
-            f"ridge_fit: need at least d+1={da} rows to identify d weights "
-            f"+ bias, got {int(n)}"
+            f"ridge_fit: lam<=0 needs at least d+1={da} rows to identify "
+            f"d weights + bias, got {int(n)}; pass lam > 0 for an "
+            "underdetermined (regularized) fit"
         )
     gram = flat[1 : 1 + da * da].reshape(da, da)
     xty = flat[1 + da * da :]

@@ -90,6 +90,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # HLL sketches are engine-specific — rows-only check by design
     doc="HyperLogLog++ distinct estimate (rsd=0.01). At 100 TB this replaces "
     "the shuffle-heavy exact distinct with a mergeable fixed-size sketch.",
+    quality_test="tests/test_sketches.py::test_agg_approx_count_distinct_error_bound",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -106,6 +107,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mergeable, bounded-memory — the scale path for quantiles. Output is "
     "scalar p50/p90/p99 columns (one sketch, element_at fan-out) so the "
     "harness can canonicalize rows.",
+    quality_test="tests/test_sketches.py::test_agg_approx_percentile_rank_error",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)

@@ -699,6 +699,7 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DELTA plus a delta-sized band equi-join; the corpus-side signature "
     "store is write-once per doc.",
     tags=("llm", "curation", "dedup"),
+    quality_test="tests/test_curation.py::test_cross_dedup_near_contains_exact",
 )
 def corpus_cross_dedup_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.dedup import minhash_cross_pairs
@@ -998,6 +999,7 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equi-join whose left side is eval-sized — the daily-audit cost "
     "scales with the eval sets, and only band hashes cross the exchange.",
     tags=("llm", "curation"),
+    quality_test="tests/test_curation.py::test_split_near_leakage_planted",
 )
 def corpus_split_leakage_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.dedup import minhash_cross_pairs

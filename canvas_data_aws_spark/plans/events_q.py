@@ -2444,6 +2444,7 @@ def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on that tiny matrix (the kmeans-centroid / ridge-fit contract: "
     "driver state bounded by state-space size, never data size).",
     tags=("events", "iterative"),
+    quality_test="tests/test_properties.py::test_markov_attribution_vs_independent_reimplementation",
 )
 def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np

@@ -98,6 +98,7 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recall at hamming<=3; wider hamming budgets need more bands, whose "
     "narrower keys collapse into few hot buckets (bands=8 -> 256 8-bit "
     "values -> near-quadratic candidates; measured 10.7s vs 0.9s at sf0.1).",
+    quality_test="tests/test_llm_ops.py::test_simhash_finds_high_jaccard_pairs",
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(
@@ -112,6 +113,7 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signatures as one grouped aggregation, banded candidate join shipping "
     "(id, band) only, full-signature Jaccard estimate filter "
     "(operators/dedup.py::minhash_lsh_pairs).",
+    quality_test="tests/test_llm_ops.py::test_minhash_recall_against_exact_jaccard",
 )
 def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
@@ -176,6 +178,7 @@ def sim_search_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # KMeans centroids are iterative/seed-dependent — rows-only
     doc="IVF approximate top-k (scale path): seeded KMeans coarse quantizer, "
     "nprobe=4 of 16 cells probed per query (~4x scan reduction; recall<1).",
+    quality_test="tests/test_llm_ops.py::test_ivf_recall_against_bruteforce",
 )
 def sim_search_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.similarity import ivf_index, ivf_query
@@ -200,6 +203,7 @@ def sim_search_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fits see the same sample (tests/test_llm_ops.py::"
     "test_ivf_upsert_equals_one_shot); the query path is the standard "
     "zero-driver-action ivf_query.",
+    quality_test="tests/test_llm_ops.py::test_ivf_upsert_equals_one_shot",
 )
 def sim_search_ivf_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.similarity import (
@@ -228,6 +232,7 @@ def sim_search_ivf_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "alongside IVF): signed-random-projection signatures, candidate "
     "equi-join on (table_no, sig) shipping ids only, exact cosine rescore "
     "of distinct candidates. operators/similarity.py::lsh_index/lsh_query.",
+    quality_test="tests/test_llm_ops.py::test_lsh_recall_against_bruteforce",
 )
 def sim_search_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.similarity import lsh_index, lsh_query
@@ -410,6 +415,7 @@ def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # 1:N expansion with per-frame blob hashing — rows-only
     doc="Video frame-sampling stub: 1:N mapInPandas expansion (every 10th "
     "frame), per-frame digest — the plumbing a real ffmpeg sampler would use.",
+    quality_test="tests/test_llm_ops.py::test_multimodal_plumbing_shapes",
 )
 def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
@@ -873,6 +879,7 @@ def multimodal_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rescore touches only the per-query shortlist. Zero driver actions on "
     "the query path.",
     tags=("llm", "similarity"),
+    quality_test="tests/test_llm_ops.py::test_ivf_adc_recall_and_zero_job_query",
 )
 def sim_search_ivf_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.similarity import ivf_index, ivf_query_adc
@@ -1046,6 +1053,7 @@ def sim_search_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pattern), then a row-local Arrow GEMM projection. Deterministic "
     "component signs. operators/embeddings.py::pca_fit/pca_project.",
     tags=("llm", "similarity", "iterative"),
+    quality_test="tests/test_llm_ops.py::test_pca_matches_local_numpy",
 )
 def embed_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.embeddings import pca_fit, pca_project
@@ -1073,6 +1081,7 @@ def embed_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "then a row-local Arrow GEMM scaled per-component to unit variance. "
     "operators/embeddings.py::pca_whiten.",
     tags=("llm", "similarity"),
+    quality_test="tests/test_llm_ops.py::test_pca_whiten_unit_variance",
 )
 def embed_whiten_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.embeddings import pca_fit, pca_whiten
@@ -1169,6 +1178,7 @@ def dedup_canonical_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pass is a deterministic stand-in (strict mode raises at the encoder "
     "slot). operators/multimodal.py::embed_media.",
     tags=("llm", "multimodal"),
+    quality_test="tests/test_llm_ops.py::test_embed_media_shape_determinism_and_downstream",
 )
 def multimodal_embed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.multimodal import embed_media
@@ -1288,6 +1298,7 @@ def embed_matryoshka_truncate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "degenerate to char counts, token counts are monotone non-increasing "
     "in merge count, and compression >= 1.",
     tags=("llm", "text"),
+    quality_test="tests/test_llm_ops.py::test_bpe_encode_invariants",
 )
 def corpus_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.text import (
@@ -1328,6 +1339,7 @@ def corpus_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(tests/test_llm_ops.py), this query exposes the same measurement to "
     "users.",
     tags=("llm", "similarity"),
+    quality_test="tests/test_llm_ops.py::test_ivf_recall_report_floor",
 )
 def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.similarity import (
@@ -1511,6 +1523,7 @@ def text_bm25_query_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Zero driver actions on the query path; recall floor pinned in "
     "tests/test_llm_ops.py.",
     tags=("llm", "similarity"),
+    quality_test="tests/test_llm_ops.py::test_pq_recall_and_compression",
 )
 def sim_search_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.similarity import pq_index, pq_query
@@ -1536,6 +1549,7 @@ def sim_search_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reads nprobe directories of m-byte codes, nothing else. Zero driver "
     "actions on the query path.",
     tags=("llm", "similarity"),
+    quality_test="tests/test_llm_ops.py::test_ivf_pq_recall_floor",
 )
 def sim_search_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1855,6 +1869,7 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k-bounded query passes. Monotonicity (recall non-decreasing in "
     "nprobe) is asserted by test.",
     tags=("llm", "similarity"),
+    quality_test="tests/test_llm_ops.py::test_ivf_nprobe_sweep_monotone",
 )
 def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
@@ -2080,6 +2095,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "size). Scoring is a row-local Arrow GEMV with the weights in the UDF "
     "closure. operators/embeddings.py::ridge_fit/ridge_predict.",
     tags=("llm", "similarity", "iterative"),
+    quality_test="tests/test_llm_ops.py::test_linear_probe_matches_numpy_and_r2",
 )
 def embed_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.embeddings import ridge_fit, ridge_predict
@@ -2114,6 +2130,7 @@ def embed_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/embeddings.py::ridge_fit; operators/text.py::"
     "quality_features; labels from plans/quality_q.py::text_gopher_rules.",
     tags=("llm", "curation", "quality", "iterative"),
+    quality_test="tests/test_llm_ops.py::test_quality_probe_numpy_parity_and_separation",
 )
 def corpus_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.embeddings import ridge_fit, ridge_predict
@@ -2360,6 +2377,7 @@ def sim_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "id-keyed join to shingle arrays and a row-local array_intersect — "
     "exact scoring cost scales with CANDIDATES, not the corpus.",
     tags=("llm", "dedup"),
+    quality_test="tests/test_properties.py::test_minhash_calibration_quality",
 )
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.dedup import (

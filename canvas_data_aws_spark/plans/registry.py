@@ -42,6 +42,12 @@ class Query:
     # by the local oracle gate instead (tests/test_queries_oracle.py, which
     # registers the supplemental views).
     local_only: bool = False
+    # quality_test: REQUIRED for every oracle=None entry — the named test
+    # ("tests/file.py::test_name") that pins the op's quality floor
+    # (recall/error-bound/equivalence), since the driver's check for these
+    # is rows-only. Enforced by tests/test_rows_only_ledger.py: a rows-only
+    # entry without a resolvable reference fails the suite.
+    quality_test: str | None = None
 
 
 def register(
@@ -50,6 +56,7 @@ def register(
     doc: str = "",
     tags: tuple[str, ...] = (),
     local_only: bool = False,
+    quality_test: str | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a named query with its DuckDB oracle SQL."""
 
@@ -63,6 +70,7 @@ def register(
             doc=doc or (fn.__doc__ or ""),
             tags=tags,
             local_only=local_only,
+            quality_test=quality_test,
         )
         return fn
 

@@ -88,6 +88,7 @@ def bloom_probe(probe: DataFrame, key_col: str, id_col: str, bits: DataFrame) ->
     "DataFrame ops (k xxhash64 lanes -> bit set -> broadcast probe): the "
     "semi-join pruning sketch — ship the KB-sized filter instead of "
     "shuffling the fact table.",
+    quality_test="tests/test_sketches.py::test_bloom_no_false_negatives",
 )
 def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -113,6 +114,7 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table, any rollup window (week, month, trailing-28d) is a merge over "
     "it. Estimate error is ~1.6% at the default lgConfigK=12.",
     tags=("sketch",),
+    quality_test="tests/test_sketches.py::test_hll_weekly_union_within_error_bound",
 )
 def sketch_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
@@ -144,6 +146,7 @@ def sketch_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bloom formula) — run the exact tier on the flagged subset to "
     "confirm, paying the shingle join only on candidates.",
     tags=("llm", "curation", "sketch"),
+    quality_test="tests/test_sketches.py::test_bloom_decontaminate_supersets_exact",
 )
 def corpus_decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.dedup import spread, word_shingles

@@ -57,3 +57,67 @@ def test_cli_sync_dry_run_local_fixture(spark, tmp_path, capsys, monkeypatch):
     summary = json.loads(out[-1])
     assert summary["dry_run"] is True and summary["total_files"] == 1
     assert not lake.exists() or not any(lake.rglob("a.gz"))
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, capsys, sf_dir):
+    """The composed `curate` verb (round-7/8 verdict item): one CLI call
+    chains quality -> exact dedup -> near-dup collapse -> decontaminate ->
+    pack -> shard export, writes shard-partitioned parquet, and prints an
+    accountable funnel row whose stages are monotonically non-increasing."""
+    import os
+
+    import canvas_data_aws_spark.__main__ as cli
+
+    out_dir = str(tmp_path / "shards")
+    rc = cli.main(["curate", "--sf-dir", sf_dir, "--out", out_dir])
+    assert rc == 0
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # funnel is monotone: each stage can only drop documents
+    assert (
+        funnel["n_raw"]
+        >= funnel["n_quality"]
+        >= funnel["n_exact"]
+        >= funnel["n_near"]
+        >= funnel["n_train"]
+        >= funnel["n_clean"]
+        > 0
+    )
+    # the funnel must bite overall, and the eval carve (doc_id % 20 == 0)
+    # always removes ~5% of survivors. (The planted exact duplicates in the
+    # fixture fail the quality rules first, so n_exact may equal n_quality —
+    # dedup-stage semantics are pinned by tests/test_llm_ops.py instead.)
+    assert funnel["n_quality"] < funnel["n_raw"]
+    assert funnel["n_train"] < funnel["n_near"]
+
+    # shards on disk: partitioned layout, counts agree with the funnel
+    assert any(d.startswith("shard=") for d in os.listdir(out_dir))
+    written = spark.read.parquet(out_dir)
+    assert written.count() == funnel["n_clean"]
+    assert set(written.columns) == {
+        "doc_id", "text", "n_tokens", "batch_id", "pos", "shard",
+    }
+    assert written.select("shard").distinct().count() == funnel["n_shards"]
+
+    # determinism: same seed => identical (doc_id, shard, pos) assignment
+    out2 = str(tmp_path / "shards2")
+    assert cli.main(["curate", "--sf-dir", sf_dir, "--out", out2]) == 0
+    capsys.readouterr()
+    a = {tuple(r) for r in written.select("doc_id", "shard", "pos").collect()}
+    b = {
+        tuple(r)
+        for r in spark.read.parquet(out2).select("doc_id", "shard", "pos").collect()
+    }
+    assert a == b
+
+    # packing contract: within (shard, batch), token sums respect capacity
+    # in the prefix-sum sense — a batch only overflows by its LAST doc
+    from pyspark.sql import functions as F2
+
+    over = (
+        written.groupBy("shard", "batch_id")
+        .agg(F2.sum("n_tokens").alias("t"), F2.max("n_tokens").alias("mx"))
+        .filter(F2.col("t") - F2.col("mx") >= 2048)
+        .count()
+    )
+    assert over == 0

@@ -893,8 +893,13 @@ def test_ivf_upsert_rejects_internal_duplicate_ids(spark, sf_dir):
 
 def test_ridge_fit_empty_and_underdetermined_inputs_raise(spark):
     """ridge_fit on zero rows must raise a clear ValueError (not an opaque
-    max()-of-empty crash), and n <= d rows must raise before numpy hits a
-    singular gram matrix on the unregularized bias (round-7 advice)."""
+    max()-of-empty crash). n <= d rows with lam <= 0 must raise before
+    numpy hits a genuinely singular gram matrix — but with lam > 0 the
+    regularized normal equations are positive definite for any n >= 1
+    (bias pinned by the all-ones column), so an underdetermined ridge fit
+    is a legitimate case that must SOLVE, not raise (round-8 advice)."""
+    import math
+
     import pytest
     from pyspark.sql import types as T
 
@@ -910,5 +915,27 @@ def test_ridge_fit_empty_and_underdetermined_inputs_raise(spark):
     with pytest.raises(ValueError, match="no rows"):
         ridge_fit(empty, target_col="y")
     one = spark.createDataFrame([([1.0, 2.0, 3.0], 1.5)], schema)
-    with pytest.raises(ValueError, match="need at least"):
-        ridge_fit(one, target_col="y")
+    with pytest.raises(ValueError, match="needs at least"):
+        ridge_fit(one, target_col="y", lam=0.0)
+    # underdetermined (n=1 < d+1=4) but regularized: must produce a finite
+    # model, and its in-sample prediction pulls toward the observed target
+    model = ridge_fit(one, target_col="y", lam=0.1)
+    assert all(math.isfinite(w) for w in model.weights)
+    assert math.isfinite(model.bias)
+    pred = sum(w * x for w, x in zip(model.weights, [1.0, 2.0, 3.0])) + model.bias
+    assert abs(pred - 1.5) < 0.5  # shrunk toward, not away from, the target
+
+
+def test_ivf_recall_report_floor(spark, sf_dir):
+    """sim_ivf_recall_report (rows-only entry): the report itself is the
+    quality measurement — pin its floor. Every probe query gets a row, each
+    recall is a valid fraction, and the mean recall@10 at nprobe=4/16
+    clears the same 0.5 floor class the nprobe-sweep test pins."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    rows = all_queries()["sim_ivf_recall_report"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5  # one per probe query (vec_id < 5)
+    recalls = [r["recall_at_10"] for r in rows]
+    assert all(0.0 <= rc <= 1.0 for rc in recalls)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.5, f"mean recall@10 {mean:.2f} below the 0.5 floor"

@@ -1,0 +1,98 @@
+"""Guards for the generated SCALE.md probe tables (round-8 verdict item 2:
+the 10x/100x tables were corrupted by hand-transcribed rows — these tests
+make that class of failure a suite failure instead of a judge finding)."""
+
+import json
+import os
+import re
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+LEDGER = os.path.join(REPO, "tools", "probe_ledger.json")
+SCALE = os.path.join(REPO, "SCALE.md")
+
+
+def _scale_text():
+    with open(SCALE) as f:
+        return f.read()
+
+
+def _ledger():
+    with open(LEDGER) as f:
+        return json.load(f)
+
+
+def test_generated_blocks_match_ledger():
+    """SCALE.md's generated probe blocks must be byte-identical to a fresh
+    render of the ledger — a stale or hand-edited block fails the suite."""
+    import render_probes
+
+    text = _scale_text()
+    assert render_probes.render(text, _ledger()) == text, (
+        "SCALE.md probe blocks are stale or hand-edited: "
+        "run `python tools/render_probes.py`"
+    )
+
+
+@pytest.mark.parametrize("factor", [10, 100])
+def test_generated_block_rows_are_well_formed(factor):
+    """Every row inside a generated block has exactly the 5 declared columns
+    and a numeric growth — the mixed-column-count corruption the round-8
+    verdict found cannot recur inside the markers."""
+    text = _scale_text()
+    m = re.search(
+        rf"<!-- BEGIN GENERATED: {factor}x-probes.*?-->\n(.*?)\n"
+        rf"<!-- END GENERATED: {factor}x-probes -->",
+        text,
+        re.S,
+    )
+    assert m, f"missing generated {factor}x block"
+    rows = [ln for ln in m.group(1).splitlines() if ln.startswith("|")]
+    assert rows[0].startswith("| query |")
+    for ln in rows[2:]:  # data rows (header + separator skipped)
+        if "_(no entries" in ln:
+            continue
+        # readings may contain escaped pipes (render_probes escapes them),
+        # so split only on unescaped structural pipes: exactly 5 cells
+        cells = [c.strip() for c in re.split(r"(?<!\\)\|", ln.strip().strip("|"))]
+        assert len(cells) == 5, f"malformed probe row: {ln}"
+        assert re.fullmatch(r"\d+(\.\d+)?x", cells[3]), f"bad growth cell: {ln}"
+
+
+def test_ledger_entries_all_rendered():
+    """Every ledger entry appears in its factor's generated table (no silent
+    drops), and ledger growth always equals tn/t1 (no hand-tuned ratios)."""
+    text = _scale_text()
+    for e in _ledger():
+        assert f"| {e['query']} | {e['t1_sec']:.2f} s" in text, (
+            f"ledger entry not rendered: {e['query']}@{e['factor']}x"
+        )
+        if e["t1_sec"] > 0:
+            assert abs(e["growth"] - round(e["tn_sec"] / e["t1_sec"], 1)) < 0.051, (
+                f"growth disagrees with timings: {e['query']}@{e['factor']}x"
+            )
+
+
+def test_top_cost_plans_have_100x_probes():
+    """The round-8 verdict's top-10 most expensive plans each carry a real
+    100x probe row (the whole point of round 9's probe run): a regression
+    that drops one of these from the ledger fails the suite."""
+    required = {
+        "graph_connected_components",
+        "graph_label_propagation",
+        "graph_k_core",
+        "graph_triangle_count",
+        "dedup_minhash_calibration",
+        "corpus_dup_ngram_spans",
+        "corpus_dup_span_strip",
+        "dedup_cluster_size_histogram",
+        "stream_stream_join",
+        "dedup_minhash",
+    }
+    have = {e["query"] for e in _ledger() if e["factor"] == 100}
+    missing = required - have
+    assert not missing, f"top-cost plans missing 100x probe rows: {sorted(missing)}"

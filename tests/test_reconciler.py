@@ -364,3 +364,63 @@ def test_bounded_converge_failed_keys_do_not_starve(spark, tmp_path):
     for n in names:
         assert os.path.exists(os.path.join(root, f"raw_files/t/{n}"))
     assert not os.path.exists(ledger)
+
+
+def test_failed_keys_ledger_survives_unrelated_clean_run(spark, tmp_path):
+    """Round-8 advice: a clean bounded run may only drop ledger entries its
+    OWN plan covered. An additive dump-mode run whose manifest never
+    mentions the still-failing keys from a prior snapshot run must leave
+    those entries in place — otherwise the failing keys regain their
+    prefix-pinning power on the next bounded snapshot sync."""
+    import json
+    import os
+
+    from canvas_data_aws_spark.ingest.reconciler import SyncEngine
+
+    src = tmp_path / "remote"
+    src.mkdir()
+    snap_names = [f"f{i}.gz" for i in range(4)]
+    dump_names = ["d0.gz", "d1.gz"]
+    for n in snap_names + dump_names:
+        (src / n).write_bytes(n.encode())
+    snap_rows = [
+        {"table": "t", "filename": n, "url": f"file://{src}/{n}"} for n in snap_names
+    ]
+    dump_rows = [
+        {"table": "t", "filename": n, "url": f"file://{src}/{n}"} for n in dump_names
+    ]
+    root = str(tmp_path / "lake")
+    broken = {"f0.gz"}
+
+    def flaky(url, dest):
+        name = url.rsplit("/", 1)[-1]
+        if name in broken:
+            raise OSError(f"permanent failure: {name}")
+        with open(url.replace("file://", ""), "rb") as f, open(dest, "wb") as o:
+            o.write(f.read())
+
+    # snapshot run: f0 fails -> ledger records it
+    for _run in range(2):
+        SyncEngine(root=root, max_files_per_run=2).apply(spark, snap_rows, flaky)
+    ledger = os.path.join(root, SyncEngine.FAILED_KEYS_FILE)
+    assert os.path.exists(ledger)
+    with open(ledger) as f:
+        before = set(json.load(f)["failed_keys"])
+    assert any("f0.gz" in k for k in before)
+
+    # additive dump run over DIFFERENT files: converges cleanly, but its
+    # plan never covered f0 — the ledger entry must survive
+    s = SyncEngine(root=root, max_files_per_run=2).apply(
+        spark, dump_rows, flaky, additive=True
+    )
+    assert s.files_failed == 0 and s.files_remaining == 0
+    assert os.path.exists(ledger), "unrelated clean run deleted the ledger"
+    with open(ledger) as f:
+        after = set(json.load(f)["failed_keys"])
+    assert after == before
+
+    # a clean snapshot run that DOES cover f0 (healed) drops the entry
+    broken.clear()
+    s = SyncEngine(root=root, max_files_per_run=4).apply(spark, snap_rows, flaky)
+    assert s.files_failed == 0 and s.files_remaining == 0
+    assert not os.path.exists(ledger)

@@ -116,3 +116,48 @@ def test_cdc_apply_delete_and_resurrection(spark, sf_dir):
     assert resurrected, "fixture has no % 35 keys"
     assert all(out[k].o_orderstatus == "R" for k in resurrected)
     assert all(out[k].last_seq == k * 2 + 2 for k in resurrected)
+
+
+def test_agg_approx_count_distinct_error_bound(spark, sf_dir):
+    """agg_approx_count_distinct (rows-only entry): the HLL++ estimate with
+    rsd=0.01 must land within 5% of the exact per-group distinct count —
+    the quality floor the driver's rows-only check cannot see."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in all_queries()["agg_approx_count_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, est in approx.items():
+        err = abs(est - exact[flag]) / exact[flag]
+        assert err <= 0.05, f"group {flag}: HLL error {err:.2%} exceeds 5%"
+
+
+def test_agg_approx_percentile_rank_error(spark, sf_dir):
+    """agg_approx_percentile (rows-only entry): each GK-sketch percentile
+    (accuracy=10000) must sit within 1 percentile point of the target rank
+    in the exact per-group distribution."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    rows = all_queries()["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    for r in rows:
+        group = li.filter(F.col("l_linestatus") == r["l_linestatus"])
+        n = group.count()
+        for col, target in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            # realized rank of the reported value in the exact distribution
+            below = group.filter(F.col("l_extendedprice") <= r[col]).count()
+            rank = below / n
+            assert abs(rank - target) <= 0.01, (
+                f"{r['l_linestatus']}/{col}: realized rank {rank:.4f} "
+                f"vs target {target} (GK accuracy=10000 should hold 1e-4; "
+                "1pp bound is generous)"
+            )
