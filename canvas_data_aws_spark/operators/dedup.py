@@ -91,6 +91,59 @@ def _estimated_split_count(spark, files: list[str]) -> int | None:
     return total
 
 
+def collapse_exact_families(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Contract exact-duplicate families to one representative BEFORE a
+    pairwise near-dup tier: returns the min-id doc per normalized-text
+    family with its ``fam_size``, plus every zero-shingle doc as its own
+    size-1 family.
+
+    Exactness argument (this is a component-preserving graph contraction,
+    not an approximation): docs with identical *normalized* text have
+    identical shingle sets (``word_shingles`` normalizes first), so (a)
+    within a family every pair shares all shingles — jaccard 1, a clique
+    at any threshold ≤ 1 — and (b) every family member has IDENTICAL
+    similarity to every outside doc. Contracting the clique to one node
+    therefore leaves connected components, and any component property
+    derived from family sizes, unchanged. The one exception is docs with
+    ZERO shingles (fewer than k words): the inverted-index candidate join
+    never pairs them — in the full graph they are singletons even when
+    textually identical — so they are exempt from collapse.
+
+    Why it matters at scale: a family of m duplicates contributes O(m²)
+    candidate pairs to the inverted-index self-join (boilerplate families
+    are exactly the hot case dedup exists for); after contraction the same
+    family costs one node. This converts the pair graph's worst quadratic
+    term into the cheap digest groupBy that exact dedup already pays.
+    """
+    fams = exact_family_map(df, text_col, id_col, k).groupBy("rep_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("fam_size")
+    )
+    return df.join(
+        fams.withColumnRenamed("rep_id", id_col), id_col
+    )
+
+
+def exact_family_map(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id_col, rep_id) for every doc: rep_id = min id over the doc's exact
+    normalized-text family, or the doc itself when it has zero k-shingles
+    (see :func:`collapse_exact_families` for why zero-shingle docs are
+    exempt). One digest groupBy + one broadcast-sized join back."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    has_shingles = F.size(words) >= k
+    keyed = spread(df).select(
+        F.col(id_col),
+        F.when(has_shingles, F.sha2(normalize_text(F.col(text_col)), 256))
+        .otherwise(F.concat(F.lit("zero-shingle-"), F.col(id_col).cast("string")))
+        .alias("fam_key"),
+    )
+    fams = keyed.groupBy("fam_key").agg(F.min(id_col).alias("rep_id"))
+    return keyed.join(fams, "fam_key").select(id_col, "rep_id")
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: group by sha2(normalized text), keep the smallest id.
 

@@ -939,3 +939,76 @@ def test_ivf_recall_report_floor(spark, sf_dir):
     assert all(0.0 <= rc <= 1.0 for rc in recalls)
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.5, f"mean recall@10 {mean:.2f} below the 0.5 floor"
+
+
+def test_collapse_exact_families_preserves_components(spark):
+    """collapse_exact_families / exact_family_map (the dup-heavy-corpus
+    contraction): on a planted corpus where most docs are exact duplicates,
+    (1) running near-dup clustering on the contracted reps and expanding by
+    family reproduces the full-graph components EXACTLY — including the
+    zero-shingle exemption (identical short docs are singletons in the full
+    graph because the inverted index never pairs them); (2) the contraction
+    removes the O(family^2) candidate-pair term (measured on the pair
+    counts, the claim that makes it the right FIRST move on boilerplate-
+    heavy corpora even though the synthetic benchmark fixture — 8 exact
+    dups in 5000 docs — doesn't reward it; see SCALE.md)."""
+    from canvas_data_aws_spark.operators.clustering import connected_components
+    from canvas_data_aws_spark.operators.dedup import (
+        collapse_exact_families,
+        exact_family_map,
+        ngram_jaccard_pairs,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog today",
+        "a completely different document about spark query planning",
+        "the quick brown fox jumps over the lazy dog yesterday evening",
+    ]
+    rows = []
+    did = 0
+    for fam, text in enumerate(base):
+        for _copy in range(8):  # 8 exact copies per family
+            rows.append((did, text))
+            did += 1
+    rows += [(did, "tiny doc"), (did + 1, "tiny doc")]  # zero-shingle pair
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def components(df, with_fams):
+        if with_fams:
+            fam = exact_family_map(df, k=3)
+            reps = df.join(
+                fam.select(F.col("rep_id").alias("doc_id")).distinct(), "doc_id"
+            )
+            edges = ngram_jaccard_pairs(reps, k=3, threshold=0.2).select(
+                "id_a", "id_b"
+            )
+            comp = connected_components(
+                reps.select(F.col("doc_id").alias("id")), edges, vertex_col="id"
+            ).select(F.col("id").alias("rep_id"), "component")
+            return {
+                (r["doc_id"], r["component"])
+                for r in fam.join(comp, "rep_id").select("doc_id", "component").collect()
+            }
+        edges = ngram_jaccard_pairs(df, k=3, threshold=0.2).select("id_a", "id_b")
+        return {
+            (r["id"], r["component"])
+            for r in connected_components(
+                df.select(F.col("doc_id").alias("id")), edges, vertex_col="id"
+            ).collect()
+        }
+
+    full = components(docs, with_fams=False)
+    contracted = components(docs, with_fams=True)
+    assert contracted == full  # identical memberships AND labels
+    # the zero-shingle twins stay singletons (labels = their own ids)
+    assert (did, did) in full and (did + 1, did + 1) in full
+
+    # quadratic-term removal: 24 docs -> 3 reps (+2 zero-shingle singletons)
+    reps = collapse_exact_families(docs, k=3)
+    assert reps.count() == 5
+    sizes = {r["doc_id"]: r["fam_size"] for r in reps.collect()}
+    assert sorted(sizes.values()) == [1, 1, 8, 8, 8]
+    n_pairs_full = ngram_jaccard_pairs(docs, k=3, threshold=0.2).count()
+    n_pairs_reps = ngram_jaccard_pairs(reps, k=3, threshold=0.2).count()
+    assert n_pairs_full >= 8 * 7 // 2 * 3  # the clique term is real
+    assert n_pairs_reps <= 3  # and the contraction deletes it

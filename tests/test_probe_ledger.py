@@ -72,7 +72,13 @@ def test_ledger_entries_all_rendered():
             f"ledger entry not rendered: {e['query']}@{e['factor']}x"
         )
         if e["t1_sec"] > 0:
-            assert abs(e["growth"] - round(e["tn_sec"] / e["t1_sec"], 1)) < 0.051, (
+            # record() computes growth from UNROUNDED timings, then rounds
+            # timings to 2dp and growth to 1dp — so recomputing from the
+            # stored values can differ by the rounding grains combined:
+            # 0.05 (growth's own grain) + growth * (0.005/t1 + 0.005/tn).
+            g = e["tn_sec"] / e["t1_sec"]
+            tol = 0.051 + g * (0.005 / e["t1_sec"] + 0.005 / e["tn_sec"])
+            assert abs(e["growth"] - g) < tol, (
                 f"growth disagrees with timings: {e['query']}@{e['factor']}x"
             )
 
