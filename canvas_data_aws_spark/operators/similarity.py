@@ -140,20 +140,48 @@ def embedding_near_dup_pairs(
         ]
     )
 
+    # Above this block size the full m x m cosine matrix stops fitting
+    # (m=65k => 34 GB of float64) — the round-9 100x probe caught
+    # corpus_semdedup stalling exactly here. Large blocks switch to a
+    # row-tiled GEMM: same dot products, peak memory ~tile*m*8 bytes
+    # (~500 MB), pairs streamed per tile. Small blocks keep the original
+    # single-GEMM path so contract-scale outputs are byte-identical.
+    _TILE_ABOVE = 8192
+    _TILE_BYTES = 512 << 20
+
     def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         unit = mat / np.where(norms == 0, 1.0, norms)
-        sims = unit @ unit.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        mask = sims[iu, ju] >= threshold
-        ia, ib = ids[iu[mask]], ids[ju[mask]]
+        m = len(ids)
+        if m <= _TILE_ABOVE:
+            sims = unit @ unit.T
+            iu, ju = np.triu_indices(m, k=1)
+            mask = sims[iu, ju] >= threshold
+            ia, ib = ids[iu[mask]], ids[ju[mask]]
+            sim_vals = sims[iu, ju][mask]
+        else:
+            tile = max(1, _TILE_BYTES // (8 * m))
+            parts_a, parts_b, parts_s = [], [], []
+            for s in range(0, m, tile):
+                sims_t = unit[s : s + tile] @ unit.T  # (tile, m)
+                rows, cols = np.nonzero(sims_t >= threshold)
+                gi = rows + s
+                keep = gi < cols  # strict upper triangle in global indices
+                parts_a.append(ids[gi[keep]])
+                parts_b.append(ids[cols[keep]])
+                parts_s.append(sims_t[rows[keep], cols[keep]])
+            ia = np.concatenate(parts_a) if parts_a else np.array([], dtype=ids.dtype)
+            ib = np.concatenate(parts_b) if parts_b else np.array([], dtype=ids.dtype)
+            sim_vals = (
+                np.concatenate(parts_s) if parts_s else np.array([], dtype="float64")
+            )
         swap = ia > ib
         ia2 = np.where(swap, ib, ia)
         ib2 = np.where(swap, ia, ib)
         return pd.DataFrame(
-            {"id_a": ia2, "id_b": ib2, "cos_sim": np.round(sims[iu, ju][mask], 6)}
+            {"id_a": ia2, "id_b": ib2, "cos_sim": np.round(sim_vals, 6)}
         )
 
     grouped = df.groupBy(block_col) if block_col else df.groupBy(F.lit(1).alias("__all"))

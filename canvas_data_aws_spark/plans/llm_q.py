@@ -644,19 +644,22 @@ _KMEANS_ITERS = 3
 
 
 def _kmeans_assign(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, k: int | None = None
 ) -> tuple[DataFrame, list[int], list[list[float]]]:
     """Shared Lloyd's driver: returns (assigned DF with vec_id/__v/cluster,
-    final cluster ids, final centroids). Consumed by embed_kmeans (report)
-    and corpus_semdedup (cluster blocking)."""
+    final cluster ids, final centroids). Consumed by embed_kmeans /
+    embed_outlier_scores (fixed k — their report IS the k=8 contract) and
+    corpus_semdedup (adaptive k: cluster-size-bounded blocking)."""
+    if k is None:
+        k = _KMEANS_K
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("__v")
     )
     # Deterministic init: k lowest-id vectors. A bounded driver collect of
-    # exactly k rows (k is an algorithm constant, not data-sized).
+    # exactly k rows (k is an algorithm parameter, not data-sized).
     centroids = [
         (int(r["vec_id"]), list(r["__v"]))
-        for r in emb.orderBy("vec_id").limit(_KMEANS_K).collect()
+        for r in emb.orderBy("vec_id").limit(k).collect()
     ]
     ids = list(range(len(centroids)))
     cents = [c for _, c in centroids]
@@ -679,8 +682,17 @@ def _kmeans_assign(
         def _nearest(vs: pd.Series) -> pd.Series:
             cents, idl = bc.value
             m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            return pd.Series(idl[np.argmin(d, axis=1)].astype("int32"))
+            # Row-tiled so the (rows, k, dim) broadcast-subtract intermediate
+            # stays ~100 MB at any k (adaptive-k semdedup can push k into the
+            # hundreds; an untiled 10k-row batch would allocate rows*k*dim*8
+            # bytes). Each row's distances are computed independently, so
+            # tiling is bit-identical to the untiled form at every k.
+            out = np.empty(len(m), dtype="int32")
+            step = max(1, (100 << 20) // max(1, cents.shape[0] * cents.shape[1] * 8))
+            for s in range(0, len(m), step):
+                d = ((m[s : s + step, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                out[s : s + step] = idl[np.argmin(d, axis=1)].astype("int32")
+            return pd.Series(out)
 
         return emb.withColumn("cluster", _nearest(F.col("__v")))
 
@@ -927,7 +939,16 @@ def sim_search_ivf_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "iterative"),
 )
 def corpus_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assigned, _, _ = _kmeans_assign(spark, sf_dir)
+    # Adaptive k — the docstring's "k grows with the corpus" made real
+    # (the round-9 100x probe caught the fixed-k version stalling: 8
+    # clusters over 100x vectors => ~62k-vector blocks => a 34 GB cosine
+    # matrix per block). Target ~1000 vectors per cluster; at the oracle
+    # scales (sf0.01: 500 vecs, sf0.1: 2000) this floors to _KMEANS_K=8,
+    # so the static-k oracle SQL compares the IDENTICAL computation. The
+    # count() is parquet-metadata-only (no scan).
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = max(_KMEANS_K, int(n) // 1000)
+    assigned, _, _ = _kmeans_assign(spark, sf_dir, k=k)
     # Three consumers below (both pair sides + the final rollup) and the
     # assignment expression is HOF-heavy (k distance folds per row):
     # materialize it once. Checkpoint scans carry no size stats, so every
