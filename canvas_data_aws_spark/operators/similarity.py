@@ -112,6 +112,17 @@ def cosine_range_search(
     )
 
 
+#: Block size above which the per-block cosine kernel switches from one
+#: full m x m GEMM to a row-tiled GEMM (the round-9 100x probe caught
+#: corpus_semdedup stalling on 34 GB per-block matrices). Tiling computes
+#: the same dot products with peak memory ~EMBED_BLOCK_TILE_BYTES; blocks
+#: at or under the threshold keep the original single-GEMM path so
+#: contract-scale outputs are byte-identical. Module-level so tests can
+#: drive the tiled path on small fixtures.
+EMBED_BLOCK_TILE_ABOVE = 8192
+EMBED_BLOCK_TILE_BYTES = 512 << 20
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -140,14 +151,10 @@ def embedding_near_dup_pairs(
         ]
     )
 
-    # Above this block size the full m x m cosine matrix stops fitting
-    # (m=65k => 34 GB of float64) — the round-9 100x probe caught
-    # corpus_semdedup stalling exactly here. Large blocks switch to a
-    # row-tiled GEMM: same dot products, peak memory ~tile*m*8 bytes
-    # (~500 MB), pairs streamed per tile. Small blocks keep the original
-    # single-GEMM path so contract-scale outputs are byte-identical.
-    _TILE_ABOVE = 8192
-    _TILE_BYTES = 512 << 20
+    # captured at call time so the values travel in the pickled closure —
+    # UDF worker processes re-import the module, so reading the globals
+    # there would ignore driver-side overrides (tests patch these)
+    tile_above, tile_bytes = EMBED_BLOCK_TILE_ABOVE, EMBED_BLOCK_TILE_BYTES
 
     def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
@@ -155,14 +162,14 @@ def embedding_near_dup_pairs(
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         unit = mat / np.where(norms == 0, 1.0, norms)
         m = len(ids)
-        if m <= _TILE_ABOVE:
+        if m <= tile_above:
             sims = unit @ unit.T
             iu, ju = np.triu_indices(m, k=1)
             mask = sims[iu, ju] >= threshold
             ia, ib = ids[iu[mask]], ids[ju[mask]]
             sim_vals = sims[iu, ju][mask]
         else:
-            tile = max(1, _TILE_BYTES // (8 * m))
+            tile = max(1, tile_bytes // (8 * m))
             parts_a, parts_b, parts_s = [], [], []
             for s in range(0, m, tile):
                 sims_t = unit[s : s + tile] @ unit.T  # (tile, m)

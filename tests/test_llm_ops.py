@@ -1012,3 +1012,29 @@ def test_collapse_exact_families_preserves_components(spark):
     n_pairs_reps = ngram_jaccard_pairs(reps, k=3, threshold=0.2).count()
     assert n_pairs_full >= 8 * 7 // 2 * 3  # the clique term is real
     assert n_pairs_reps <= 3  # and the contraction deletes it
+
+
+def test_embedding_block_gemm_tiled_path_matches_untiled(emb, spark, monkeypatch):
+    """The round-9 scale fix's exactness contract: forcing the row-tiled
+    GEMM path (blocks above EMBED_BLOCK_TILE_ABOVE) must produce the exact
+    pair set and similarities the single-GEMM path produces — tiling is a
+    memory shape, not a semantics change."""
+    from canvas_data_aws_spark.operators import similarity as sim
+
+    blocked = emb.select("vec_id", "embedding", "label")
+    untiled = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in sim.embedding_near_dup_pairs(
+            blocked, block_col="label", threshold=0.3
+        ).collect()
+    }
+    assert untiled, "fixture should produce pairs at this threshold"
+    monkeypatch.setattr(sim, "EMBED_BLOCK_TILE_ABOVE", 16)  # every block tiles
+    monkeypatch.setattr(sim, "EMBED_BLOCK_TILE_BYTES", 1 << 14)  # many tiny tiles
+    tiled = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in sim.embedding_near_dup_pairs(
+            blocked, block_col="label", threshold=0.3
+        ).collect()
+    }
+    assert tiled == untiled
