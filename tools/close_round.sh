@@ -13,8 +13,10 @@ python tools/render_probes.py || exit 1
 python tools/render_rows_only.py || exit 1
 
 echo "== full contract gate (325 entries vs DuckDB at sf0.01)"
-CONTRACT_OUT=$(python tools/drive_contract.py 2>&1 | tail -20)
-RESULT_LINE=$(echo "$CONTRACT_OUT" | grep "^RESULT:" | tail -1)
+# stderr is Spark progress-bar noise whose \r can glue onto the RESULT
+# line — discard it and match RESULT anywhere, not just line-start
+CONTRACT_OUT=$(python tools/drive_contract.py 2>/dev/null | tail -20)
+RESULT_LINE=$(echo "$CONTRACT_OUT" | grep -o "RESULT:.*" | tail -1)
 echo "$CONTRACT_OUT" | tail -3
 if [ -z "$RESULT_LINE" ]; then
   echo "close_round: contract run produced no RESULT line; aborting" >&2
