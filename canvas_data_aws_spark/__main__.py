@@ -95,6 +95,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         capacity=args.capacity,
         seed=args.seed,
         jaccard_threshold=args.jaccard_threshold,
+        line_dedup_min_df=args.line_dedup_min_df,
     )
     print(json.dumps(funnel.as_dict()))
     return 0
@@ -147,6 +148,13 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--capacity", type=int, default=2048, help="tokens per batch")
     pc.add_argument("--seed", default="epoch0", help="epoch shuffle seed string")
     pc.add_argument("--jaccard-threshold", type=float, default=0.5)
+    pc.add_argument(
+        "--line-dedup-min-df",
+        type=int,
+        default=None,
+        help="enable C4-style line-level dedup: drop lines repeated in >= "
+        "this many docs (off by default)",
+    )
     pc.set_defaults(fn=_cmd_curate)
 
     pb = sub.add_parser("bench", help="run the headline bench (bench.py)")

@@ -317,15 +317,23 @@ class SyncEngine:
         )
         if not self.dry_run and self.max_files_per_run is not None:
             if summary.files_remaining == 0 and summary.files_failed == 0:
-                # Converged cleanly — but only drop ledger entries whose
-                # keys THIS run's plan actually covered. An additive
-                # dump-mode run's manifest never mentions keys that failed
-                # in a prior snapshot run; deleting those entries would
-                # hand them back their prefix-pinning power on the next
-                # bounded snapshot sync (round-8 advice). The coverage
-                # check re-evaluates the plan filtered to the ledger keys:
-                # <= FAILED_KEYS_CAP rows, and only on this rare path.
-                if known_failed:
+                # Converged cleanly. In MIRROR mode the plan is a full-outer
+                # join enumerating every remote AND local key, so a ledger
+                # key absent from it exists on neither side — no future plan
+                # can ever cover it, and keeping it would waste cap space in
+                # the 10k-bounded ledger forever (round-9 advice). Covered
+                # keys were just applied cleanly. Both cases drop: clear the
+                # whole ledger, no collect needed.
+                if not additive:
+                    self._store_failed_keys(set())
+                # An ADDITIVE dump-mode run's manifest never mentions keys
+                # that failed in a prior snapshot run; deleting those
+                # entries would hand them back their prefix-pinning power
+                # on the next bounded snapshot sync (round-8 advice) — drop
+                # only the keys THIS run's plan actually covered. The
+                # coverage check re-evaluates the plan filtered to the
+                # ledger keys: <= FAILED_KEYS_CAP rows, only on this path.
+                elif known_failed:
                     covered = {
                         r["key"]
                         for r in self.plan(spark, remote_rows, additive=additive)

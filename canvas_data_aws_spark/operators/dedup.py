@@ -131,7 +131,10 @@ def exact_family_map(
     """(id_col, rep_id) for every doc: rep_id = min id over the doc's exact
     normalized-text family, or the doc itself when it has zero k-shingles
     (see :func:`collapse_exact_families` for why zero-shingle docs are
-    exempt). One digest groupBy + one broadcast-sized join back."""
+    exempt). One digest groupBy + one digest-keyed shuffle join back —
+    ``fams`` has one row PER FAMILY, which is corpus-sized on a
+    mostly-unique corpus, so the join back broadcasts only in the
+    dup-heavy case (families ≪ docs) where AQE picks it up."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     has_shingles = F.size(words) >= k
     keyed = spread(df).select(
@@ -157,6 +160,97 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("kept_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("kept_id", "n_copies")
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 2,
+    mode: str = "newline",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """C4/RefinedWeb-style cross-document LINE-level dedup: drop every line
+    whose normalized form occurs in at least ``min_doc_freq`` DISTINCT
+    documents (boilerplate headers, cookie banners, license blurbs), and
+    rebuild each document from its surviving lines in order.
+
+    Returns (id_col, n_lines, n_dropped, text_clean) — one row per input
+    document, fully deterministic (no hashing in the semantics).
+
+    ``mode='newline'`` splits on ``\\n`` (the published rule; lines are
+    normalized for matching but rebuilt verbatim). ``mode='chunk'`` handles
+    corpora without line structure by treating consecutive
+    ``chunk_words``-word windows of the NORMALIZED text as lines — aligned
+    windows, so exact repeated passages still collide; ``pos`` is the
+    1-based word index the chunk starts at.
+
+    Empty normalized lines are exempt from the frequency rule (every
+    blank line would otherwise "repeat" corpus-wide and be dropped).
+
+    Scale shape: the doc-frequency count groups on md5 digests, so the
+    counting exchange ships (digest, doc_id) only — never line text; the
+    duplicated-digest set is usually tiny (boilerplate only) and joins
+    back broadcast under AQE. The one data-sized exchange is the final
+    groupBy(doc) rebuild, which any per-document rewrite pays.
+    """
+    if mode == "newline":
+        parts = F.split(F.col(text_col), r"\n")
+        structs = F.transform(
+            parts,
+            lambda ln, i: F.struct(
+                (i + F.lit(1)).alias("pos"),
+                ln.alias("line"),
+                normalize_text(ln).alias("norm"),
+            ),
+        )
+        sep = "\n"
+    elif mode == "chunk":
+        words = F.split(normalize_text(F.col(text_col)), " ")
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(chunk_words)
+        )
+        structs = F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice(words, i, chunk_words), " ").alias("line"),
+                # chunk lines are built from normalized words already
+                F.array_join(F.slice(words, i, chunk_words), " ").alias("norm"),
+            ),
+        )
+        sep = " "
+    else:
+        raise ValueError(f"mode must be 'newline' or 'chunk', got {mode!r}")
+
+    ex = (
+        spread(df)
+        .select(F.col(id_col), F.explode(structs).alias("s"))
+        .select(id_col, "s.pos", "s.line", F.md5("s.norm").alias("dig"), "s.norm")
+    )
+    dup = (
+        ex.filter(F.col("norm") != "")
+        .groupBy("dig")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("dig")
+        .withColumn("__dup", F.lit(True))
+    )
+    marked = ex.join(dup, "dig", "left").select(
+        id_col, "pos", "line", F.coalesce("__dup", F.lit(False)).alias("dup")
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "line", "dup"))).alias("ls"))
+        .select(
+            F.col(id_col),
+            F.size("ls").cast("bigint").alias("n_lines"),
+            F.size(F.filter("ls", lambda s: s.dup)).cast("bigint").alias("n_dropped"),
+            F.array_join(
+                F.transform(F.filter("ls", lambda s: ~s.dup), lambda s: s.line), sep
+            ).alias("text_clean"),
+        )
     )
 
 

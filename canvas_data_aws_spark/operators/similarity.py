@@ -195,6 +195,50 @@ def embedding_near_dup_pairs(
     return grouped.applyInPandas(_block_pairs, out_schema)
 
 
+def multiprobe_cells(
+    df: DataFrame,
+    ids: list[int],
+    cents: list[list[float]],
+    m: int = 2,
+    vec_col: str = "__v",
+) -> DataFrame:
+    """Explode each vector into its ``m`` nearest k-means cells — the
+    multi-probe assignment that turns cell blocking into a usable near-dup
+    candidate generator: single assignment loses every cross-cell pair
+    (measured recall 0.34 at cos>=0.3 on the fixture), top-2 recovers 0.77
+    at half the all-pairs work, and with adaptive k (cells ~1000 vectors)
+    per-pair work stays m²·1000·n — LINEAR in corpus size.
+
+    Adds a ``cell`` int column, one output row per (vector, probed cell).
+    Arrow-batched argsort against the broadcast (k x dim) centroid matrix,
+    row-tiled so the (rows, k, dim) distance intermediate stays ~100 MB at
+    any adaptive k. Ties break to the lower cell id (np.argsort is stable
+    and ``ids`` ascend), matching the single-assignment convention.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (np.array(cents, dtype=np.float64), np.array(ids))
+    )
+    m_eff = min(m, len(ids))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _topm(vs: pd.Series) -> pd.Series:
+        cent_mat, idl = bc.value
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        if len(mat) == 0:
+            return pd.Series([], dtype=object)
+        tile = max(1, (100 << 20) // max(1, cent_mat.shape[0] * cent_mat.shape[1] * 8))
+        picks = np.empty((len(mat), m_eff), dtype=np.int64)
+        for s in range(0, len(mat), tile):
+            d = ((mat[s : s + tile, None, :] - cent_mat[None, :, :]) ** 2).sum(axis=2)
+            picks[s : s + tile] = np.argsort(d, axis=1, kind="stable")[:, :m_eff]
+        return pd.Series([[int(idl[j]) for j in row] for row in picks])
+
+    return df.withColumn("cell", F.explode(_topm(F.col(vec_col))))
+
+
 #: Quantizer fit-sample bound: the k-means only ever sees this many vectors.
 _IVF_FIT_SAMPLE = 4096
 

@@ -44,7 +44,11 @@ from canvas_data_aws_spark.operators.curation import (
     pack_sequences,
     quality_filter,
 )
-from canvas_data_aws_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
+from canvas_data_aws_spark.operators.dedup import (
+    dedup_exact,
+    line_dedup,
+    minhash_lsh_pairs,
+)
 from canvas_data_aws_spark.sources.parquet import load_table
 
 
@@ -77,6 +81,7 @@ def curate(
     decontaminate_k: int = 8,
     min_hits: int = 1,
     n_shard_chars: int = 1,
+    line_dedup_min_df: int | None = None,
 ) -> CurationFunnel:
     """Run the full curation chain over ``{sf_dir}/documents.parquet`` and
     write training shards to ``out_dir`` (parquet, partitioned by shard).
@@ -94,7 +99,12 @@ def curate(
         for name in ("raw", "quality", "exact", "near", "train", "clean")
     }
 
+    # un-observed stage handles, kept for the degenerate all-filtered path
+    # where Observation.get fails and the funnel falls back to recounting
+    stage_dfs: dict[str, DataFrame] = {}
+
     def counted(df: DataFrame, stage: str) -> DataFrame:
+        stage_dfs[stage] = df
         return df.observe(obs[stage], F.count(F.lit(1)).alias("n"))
 
     d0 = counted(docs.select("doc_id", "text"), "raw")
@@ -106,6 +116,19 @@ def curate(
         .select("doc_id", "text"),
         "quality",
     )
+
+    # 1b. optional C4-style line-level dedup (off by default): strip lines
+    #     repeated across >= line_dedup_min_df documents and rewrite each
+    #     survivor from its remaining lines (chunk mode — the fixture corpus
+    #     has no newline structure); docs the rewrite empties are dropped
+    #     here, which the funnel shows as quality -> exact shrinkage. The
+    #     doc-frequency exchange ships md5 digests, never line text.
+    if line_dedup_min_df is not None:
+        q = (
+            line_dedup(q, min_doc_freq=line_dedup_min_df, mode="chunk")
+            .filter(F.col("text_clean") != "")
+            .select("doc_id", F.col("text_clean").alias("text"))
+        )
 
     # 2. exact dedup on quality survivors: digest shuffle only. The
     #    survivor set feeds three consumers (MinHash signatures, the
@@ -167,6 +190,36 @@ def curate(
     # ONE action executes the whole chain; every observe rides it
     final.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
     e.unpersist()
+
+    def _obs_n(stage: str) -> int:
+        # When the pipeline runs EMPTY, AQE's runtime empty-relation
+        # propagation rewrites the plan under the CollectMetrics nodes and
+        # Observation.get fails instead of reporting — observed on the
+        # all-filtered corpus (round-9 advice). Fall back to a direct
+        # recount of that stage's DataFrame: a rare degenerate path, and
+        # the funnel IS the diagnosis there, so the numbers must be real
+        # rather than zero-filled.
+        try:
+            return int(obs[stage].get["n"])
+        except Exception:
+            return stage_dfs[stage].count()
+
+    if _obs_n("clean") == 0:
+        # every document was filtered out: the partitionBy write left a
+        # schemaless empty directory, so the read-back below would raise
+        # 'unable to infer schema' and swallow the funnel (round-9 advice).
+        # Return the funnel directly — it IS the diagnosis.
+        return CurationFunnel(
+            n_raw=_obs_n("raw"),
+            n_quality=_obs_n("quality"),
+            n_exact=_obs_n("exact"),
+            n_near=_obs_n("near"),
+            n_train=_obs_n("train"),
+            n_clean=0,
+            n_batches=0,
+            n_shards=0,
+            out_dir=out_dir,
+        )
 
     written = spark.read.parquet(out_dir)
     n_batches, n_shards = (

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from canvas_data_aws_spark.operators.dedup import (
     dedup_exact,
+    line_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
@@ -87,6 +88,183 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), k=3, threshold=0.2
     )
+
+
+# Doc-frequency caps for the BOUNDED inverted-index mode: shingles in more
+# than this many docs are dropped from candidate generation. Chosen from
+# the measured recall-vs-prune curve at sf0.1 (DuckDB sweep; the fixture
+# vocabulary is tiny so its doc-freq distribution — max=25/p50=9/p99=18 —
+# is far flatter than a Zipfian web corpus, making these caps the
+# CONSERVATIVE end of the trade):
+#   cap=12: jaccard recall 0.980, candidate-pair mass 0.63x exact
+#   cap=14: containment recall 0.953, candidate mass 0.82x
+#   (cap=10 guts containment to 0.016 — its high scorers are SMALL docs
+#    whose few shingles are exactly the corpus-common ones)
+# Containment gets the higher cap because its score divides by min(|A|,|B|):
+# every pruned intersection shingle costs it 1/min vs jaccard's 1/union.
+_JACCARD_MAX_DOC_FREQ = 12
+_CONTAINMENT_MAX_DOC_FREQ = 14
+
+
+def _bounded_ngram_ctes(cap: int) -> str:
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+    rare AS (
+      SELECT shingle FROM ex GROUP BY shingle
+      HAVING COUNT(*) <= {cap}
+    ),
+    exr AS (SELECT ex.* FROM ex JOIN rare USING (shingle)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b,
+             COUNT(*) AS inter
+      FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_bounded",
+    _bounded_ngram_ctes(_JACCARD_MAX_DOC_FREQ)
+    + """
+    SELECT id_a, id_b,
+           ROUND(inter / (n_a + n_b - inter), 6) AS jaccard
+    FROM pairs
+    WHERE inter / (n_a + n_b - inter) >= 0.2
+    """,
+    doc="The BOUNDED mode of dedup_ngram_jaccard — the documented 100 TB "
+    "contract, now an oracle-checked entry instead of prose: shingles with "
+    f"doc-frequency > {_JACCARD_MAX_DOC_FREQ} are dropped from candidate "
+    "generation, bounding the inverted-index join fan-out to "
+    "O(max_doc_freq²) per shingle while |A|,|B| keep the full universe "
+    "(jaccard becomes a deterministic lower bound — still SQL-expressible, "
+    "so this mode is exact-oracle-green). Measured at sf0.1: recall 0.980 "
+    "vs exact mode, candidate-pair mass 0.63x; recall floor pinned by "
+    "tests/test_dedup_pruning.py::test_registry_bounded_modes_recall. "
+    "operators/dedup.py::ngram_jaccard_pairs(max_doc_freq=...).",
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard_bounded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.2,
+        max_doc_freq=_JACCARD_MAX_DOC_FREQ,
+    )
+
+
+@register(
+    "dedup_containment_bounded",
+    _bounded_ngram_ctes(_CONTAINMENT_MAX_DOC_FREQ)
+    + """
+    SELECT id_a, id_b,
+           ROUND(inter / LEAST(n_a, n_b), 6) AS containment
+    FROM pairs
+    WHERE inter / LEAST(n_a, n_b) >= 0.6
+    """,
+    doc="Bounded mode of dedup_containment: same max_doc_freq candidate "
+    f"pruning at cap {_CONTAINMENT_MAX_DOC_FREQ} — higher than the jaccard "
+    "cap because containment divides by min(|A|,|B|), so each pruned "
+    "intersection shingle costs recall faster (measured at sf0.1: cap 14 "
+    "keeps recall 0.953 at 0.82x candidate mass; cap 10 collapses it to "
+    "0.016). Containment stays a deterministic lower bound over the pruned "
+    "universe; floor pinned by "
+    "tests/test_dedup_pruning.py::test_registry_bounded_modes_recall. "
+    "operators/dedup.py::ngram_jaccard_pairs(score='containment', "
+    "max_doc_freq=...).",
+    tags=("llm", "dedup"),
+)
+def dedup_containment_bounded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.6,
+        score="containment",
+        max_doc_freq=_CONTAINMENT_MAX_DOC_FREQ,
+    )
+
+
+@register(
+    "corpus_line_dedup",
+    f"""
+    WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents),
+    l AS (
+      SELECT doc_id, i AS pos, array_to_string(words[i:i+9], ' ') AS line
+      FROM w, UNNEST(range(1, greatest(len(words), 1) + 1, 10)) AS t(i)
+    ),
+    dup AS (
+      SELECT line FROM l WHERE line <> ''
+      GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    m AS (SELECT l.*, (d.line IS NOT NULL) AS dup FROM l LEFT JOIN dup d USING (line))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE NOT dup), '')
+             AS text_clean
+    FROM m GROUP BY doc_id
+    """,
+    doc="C4/RefinedWeb-style cross-document LINE-level dedup: drop every "
+    "line whose normalized form occurs in >= 2 distinct documents, rebuild "
+    "documents from surviving lines in order — the standard boilerplate-"
+    "strip stage (headers, banners, license blurbs) between exact dedup "
+    "and near-dup in an LLM curation cascade. The fixture corpus has no "
+    "newline structure, so 'lines' are aligned 10-word windows of the "
+    "normalized text (mode='chunk'; the newline mode is the production "
+    "default, unit-tested on synthetic multi-line docs). Fully "
+    "deterministic: doc-freq counting groups on md5 digests (the exchange "
+    "ships digests, never line text); at sf0.01 the rule drops 278 line "
+    "instances across 96 docs. operators/dedup.py::line_dedup.",
+    tags=("llm", "dedup"),
+)
+def corpus_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return line_dedup(
+        load_table(spark, sf_dir, "documents"), min_doc_freq=2, mode="chunk",
+        chunk_words=10,
+    )
+
+
+@register(
+    "dedup_embedding_cosine_blocked",
+    None,  # k-means cell assignment is seed/iteration-dependent — rows-only
+    doc="The SCALE path of dedup_embedding_cosine, previously prose and now "
+    "a registered operator: block_col comes from MULTI-PROBE (top-2) "
+    "adaptive-k k-means cell assignment — the corpus_semdedup quantizer "
+    "(k = max(8, n/1000)) with each vector probing its 2 nearest cells, "
+    "because single assignment loses every cross-cell pair (measured "
+    "recall 0.34 vs 0.77 at the fixture's cos>=0.3 regime; with adaptive "
+    "k the per-pair work stays m²·1000·n — linear in corpus size). Pairs "
+    "are verified with EXACT cosine inside each cell, so precision is 1; "
+    "recall floor pinned by "
+    "tests/test_dedup_pruning.py::test_embedding_blocked_recall_floor. "
+    "Hyperplane LSH was measured and rejected for this threshold regime: "
+    "at cos>=0.3 (angle ~72°) 10-bit signatures collide with "
+    "p≈0.006 per table — LSH pruning only survives recall for "
+    "genuinely-near duplicates (cos>=0.9); the fixture's max pair cosine "
+    "is 0.51. operators/similarity.py::multiprobe_cells.",
+    tags=("llm", "dedup", "similarity"),
+    quality_test="tests/test_dedup_pruning.py::test_embedding_blocked_recall_floor",
+)
+def dedup_embedding_cosine_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.similarity import multiprobe_cells
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = max(_KMEANS_K, int(n) // 1000)
+    assigned, ids, cents = _kmeans_assign(spark, sf_dir, k=k)
+    probed = multiprobe_cells(
+        assigned.select("vec_id", "__v"), ids, cents, m=2
+    ).localCheckpoint(eager=True)
+    # a pair probing two shared cells is found twice with the same exact
+    # cosine — dedupe on the id pair only
+    return embedding_near_dup_pairs(
+        probed, id_col="vec_id", vec_col="__v", block_col="cell", threshold=0.3
+    ).dropDuplicates(["id_a", "id_b"]).select("id_a", "id_b", "cos_sim")
 
 
 @register(

@@ -121,3 +121,55 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys, sf_dir):
         .count()
     )
     assert over == 0
+
+
+def test_curate_all_filtered_returns_zero_funnel(spark, tmp_path, sf_dir):
+    """Round-9 advice: when every document is filtered out (n_clean=0) the
+    partitionBy write leaves a schemaless empty directory — curate must
+    return the zero funnel (which IS the diagnosis) instead of crashing on
+    the shard read-back with 'unable to infer schema'."""
+    from canvas_data_aws_spark.pipelines.curate import curate
+
+    out_dir = str(tmp_path / "shards_empty")
+    # min_stop_ratio=1.0 is unsatisfiable: every doc fails the stopword rule
+    funnel = curate(spark, sf_dir, out_dir, min_stop_ratio=1.0)
+    assert funnel.n_raw > 0
+    assert funnel.n_quality == 0
+    assert funnel.n_clean == 0
+    assert funnel.n_batches == 0 and funnel.n_shards == 0
+
+
+def test_cli_curate_line_dedup_stage(spark, tmp_path, capsys, sf_dir):
+    """Optional C4-style line-dedup stage (round-9 verdict item 6): enabled
+    via --line-dedup-min-df, it strips cross-document repeated lines before
+    exact dedup, so the shards carry strictly less text than a run without
+    it while the funnel stays monotone."""
+    import canvas_data_aws_spark.__main__ as cli
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    assert cli.main(["curate", "--sf-dir", sf_dir, "--out", out_a]) == 0
+    base = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (
+        cli.main(
+            ["curate", "--sf-dir", sf_dir, "--out", out_b, "--line-dedup-min-df", "2"]
+        )
+        == 0
+    )
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert (
+        funnel["n_raw"]
+        >= funnel["n_quality"]
+        >= funnel["n_exact"]
+        >= funnel["n_near"]
+        >= funnel["n_train"]
+        >= funnel["n_clean"]
+        > 0
+    )
+    import pyspark.sql.functions as F
+
+    tok_a = spark.read.parquet(out_a).agg(F.sum("n_tokens")).collect()[0][0]
+    tok_b = spark.read.parquet(out_b).agg(F.sum("n_tokens")).collect()[0][0]
+    assert tok_b < tok_a, (
+        f"line dedup should strip repeated-line tokens: {tok_b} !< {tok_a}"
+    )

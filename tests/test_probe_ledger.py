@@ -38,20 +38,41 @@ def test_generated_blocks_match_ledger():
     )
 
 
-@pytest.mark.parametrize("factor", [10, 100])
+def _block_factors():
+    """Every factor that has a generated block in SCALE.md (10/100 always;
+    300/1000 spot-probe blocks as added)."""
+    return sorted(
+        int(f) for f in re.findall(r"<!-- BEGIN GENERATED: (\d+)x-probes", _scale_text())
+    )
+
+
+def test_every_ledger_factor_has_a_block():
+    factors = set(_block_factors())
+    for e in _ledger():
+        assert e["factor"] in factors, (
+            f"ledger factor {e['factor']}x has no generated SCALE.md block"
+        )
+    assert {10, 100} <= factors
+
+
+@pytest.mark.parametrize("factor", [10, 100, 300])
 def test_generated_block_rows_are_well_formed(factor):
     """Every row inside a generated block has exactly the 5 declared columns
     and a numeric growth — the mixed-column-count corruption the round-8
     verdict found cannot recur inside the markers."""
     text = _scale_text()
     m = re.search(
-        rf"<!-- BEGIN GENERATED: {factor}x-probes.*?-->\n(.*?)\n"
+        rf"<!-- BEGIN GENERATED: {factor}x-probes.*?-->\n(.*?)"
         rf"<!-- END GENERATED: {factor}x-probes -->",
         text,
         re.S,
     )
+    if factor not in _block_factors():
+        pytest.skip(f"no {factor}x block yet")
     assert m, f"missing generated {factor}x block"
     rows = [ln for ln in m.group(1).splitlines() if ln.startswith("|")]
+    if not rows:
+        pytest.skip(f"{factor}x block present but not yet populated")
     assert rows[0].startswith("| query |")
     for ln in rows[2:]:  # data rows (header + separator skipped)
         if "_(no entries" in ln:
@@ -84,21 +105,17 @@ def test_ledger_entries_all_rendered():
 
 
 def test_top_cost_plans_have_100x_probes():
-    """The round-8 verdict's top-10 most expensive plans each carry a real
-    100x probe row (the whole point of round 9's probe run): a regression
-    that drops one of these from the ledger fails the suite."""
-    required = {
-        "graph_connected_components",
-        "graph_label_propagation",
-        "graph_k_core",
-        "graph_triangle_count",
-        "dedup_minhash_calibration",
-        "corpus_dup_ngram_spans",
-        "corpus_dup_span_strip",
-        "dedup_cluster_size_histogram",
-        "stream_stream_join",
-        "dedup_minhash",
-    }
-    have = {e["query"] for e in _ledger() if e["factor"] == 100}
+    """Round-9 verdict item 4: the gate is now the TOP-30 most expensive
+    bench plans, DERIVED from the committed bench snapshot rather than a
+    hand list — a new query that lands in the top 30 without a 100x probe
+    row fails the suite until it gets one (the forcing function that made
+    round 9 catch corpus_semdedup's super-linear regime)."""
+    with open(os.path.join(REPO, "BENCH_FULL.json")) as f:
+        bench = json.load(f)["queries"]
+    required = {q for q, _ in sorted(bench.items(), key=lambda kv: -kv[1])[:30]}
+    have = {e["query"] for e in _ledger() if e["factor"] >= 100}
     missing = required - have
-    assert not missing, f"top-cost plans missing 100x probe rows: {sorted(missing)}"
+    assert not missing, (
+        f"top-30 bench plans missing 100x probe rows: {sorted(missing)} — "
+        "run tools/run_100x_probes.sh for them"
+    )

@@ -424,3 +424,46 @@ def test_failed_keys_ledger_survives_unrelated_clean_run(spark, tmp_path):
     s = SyncEngine(root=root, max_files_per_run=4).apply(spark, snap_rows, flaky)
     assert s.files_failed == 0 and s.files_remaining == 0
     assert not os.path.exists(ledger)
+
+
+def test_failed_keys_ledger_drops_keys_gone_from_both_sides(spark, tmp_path):
+    """Round-9 advice: a key that leaves the remote manifest and never
+    landed locally (its fetch always failed) is enumerated by NO future
+    mirror plan — full-outer reconcile only sees remote or local keys — so
+    a clean SNAPSHOT converge must clear it from the ledger instead of
+    letting it pin cap space in the 10k-bounded ledger forever."""
+    import json
+    import os
+
+    from canvas_data_aws_spark.ingest.reconciler import SyncEngine
+
+    src = tmp_path / "remote"
+    src.mkdir()
+    names = [f"f{i}.gz" for i in range(4)]
+    for n in names:
+        (src / n).write_bytes(n.encode())
+    rows = [{"table": "t", "filename": n, "url": f"file://{src}/{n}"} for n in names]
+    root = str(tmp_path / "lake")
+
+    def flaky(url, dest):
+        name = url.rsplit("/", 1)[-1]
+        if name == "f0.gz":
+            raise OSError("permanent failure: f0.gz")
+        with open(url.replace("file://", ""), "rb") as f, open(dest, "wb") as o:
+            o.write(f.read())
+
+    for _run in range(2):
+        SyncEngine(root=root, max_files_per_run=2).apply(spark, rows, flaky)
+    ledger = os.path.join(root, SyncEngine.FAILED_KEYS_FILE)
+    assert os.path.exists(ledger)
+    with open(ledger) as f:
+        assert any("f0.gz" in k for k in json.load(f)["failed_keys"])
+
+    # f0 leaves the remote manifest; it never landed locally, so the mirror
+    # plan over the remaining files contains no trace of it. The clean
+    # snapshot converge must clear the ledger entirely.
+    s = SyncEngine(root=root, max_files_per_run=4).apply(spark, rows[1:], flaky)
+    assert s.files_failed == 0 and s.files_remaining == 0
+    assert not os.path.exists(ledger), (
+        "ledger still pins a key that exists on neither side"
+    )

@@ -5,6 +5,7 @@
 # and commits ALL of it in one snapshot commit whose message quotes the
 # contract RESULT line. After this script, `git status` is clean.
 set -u
+set -o pipefail  # a failed `bench.py | tail` must abort, not take tail's rc
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO" || exit 1
 
@@ -22,6 +23,15 @@ if [ -z "$RESULT_LINE" ]; then
   echo "close_round: contract run produced no RESULT line; aborting" >&2
   exit 1
 fi
+# the RESULT line must actually report a PASS — a run with mismatches or
+# errors must not be committed as a 'Round close-out' (round-9 advice)
+case "$RESULT_LINE" in
+  *" 0 mismatch,"*" 0 error"*) : ;;
+  *)
+    echo "close_round: contract gate FAILED: $RESULT_LINE" >&2
+    exit 1
+    ;;
+esac
 
 echo "== bench snapshot (min of 2 fresh processes)"
 python bench.py | tail -1 || exit 1

@@ -30,11 +30,41 @@ DST = f"/tmp/cda{N}x"
 spark = get_spark()
 
 
+def _replicate(base, keys, doc_suffix=False):
+    """N disjoint copies via one explode over a replica-id sequence — a
+    single scan with an O(1)-size plan, vs the old N-branch union whose
+    plan analysis alone dominated build time past ~100 branches (the
+    change that makes 300x/1000x replica builds feasible). Semantics are
+    identical: every join key shifts by rid*10M; document words get a
+    per-replica suffix so shingle/fingerprint spaces stay disjoint
+    (no cross-replica dup pairs)."""
+    rep = base.withColumn("_rid", F.explode(F.sequence(F.lit(0), F.lit(N - 1))))
+    for k in keys:
+        rep = rep.withColumn(k, F.col(k) + F.col("_rid").cast("bigint") * 10_000_000)
+    if doc_suffix:
+        rep = rep.withColumn(
+            "text",
+            F.regexp_replace(
+                "text", r"(\S+)", F.concat(F.lit("$1x"), F.col("_rid").cast("string"))
+            ),
+        )
+    return rep.drop("_rid")
+
+
 def build():
     os.makedirs(DST, exist_ok=True)
+    # CDA_PROBE_TABLES limits the build to the tables the probed queries
+    # actually read (e.g. "documents" for the dedup family): a 300x
+    # lineitem nobody scans is pure build cost. Unset = build everything.
+    only = os.environ.get("CDA_PROBE_TABLES")
+    wanted = {t.strip() for t in only.split(",")} if only else None
+
+    def skip(t):
+        return wanted is not None and t not in wanted
+
     # small dims: straight copy
     for t in ["region", "nation", "part"]:
-        if not os.path.exists(f"{DST}/{t}.parquet"):
+        if not skip(t) and not os.path.exists(f"{DST}/{t}.parquet"):
             shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     shifts = {
         "events": ["event_id", "user_id"],
@@ -47,44 +77,24 @@ def build():
     }
     for t, keys in shifts.items():
         out = f"{DST}/{t}.parquet"
-        if os.path.exists(out):
+        if skip(t) or os.path.exists(out):
             continue
         base = spark.read.parquet(f"{SRC}/{t}.parquet")
-        parts = []
-        for i in range(N):
-            rep = base
-            for k in keys:
-                rep = rep.withColumn(k, F.col(k) + F.lit(i * 10_000_000))
-            if t == "documents":
-                # per-word replica suffix: shingle/fingerprint spaces stay
-                # disjoint across replicas (no cross-replica dup pairs)
-                rep = rep.withColumn(
-                    "text", F.regexp_replace("text", r"(\S+)", r"$1" + f"x{i}")
-                )
-            parts.append(rep)
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionAll(p)
-        df.write.mode("overwrite").parquet(out)
+        _replicate(base, keys, doc_suffix=(t == "documents")).write.mode(
+            "overwrite"
+        ).parquet(out)
         print(f"built {t}", flush=True)
     # partsupp: replicate the 1x generated bridge with ps_suppkey shifted
-    # per replica (matching the supplier shift) — 10x rows, keys landing in
+    # per replica (matching the supplier shift) — N x rows, keys landing in
     # each replica's supplier block. Written INTO the replica dir:
     # ensure_partsupp prefers a shipped partsupp.parquet over generation
     # (whose stride needs a dense supplier range the blocks don't have).
     ps_out = f"{DST}/partsupp.parquet"
-    if not os.path.exists(ps_out):
+    if not skip("partsupp") and not os.path.exists(ps_out):
         from canvas_data_aws_spark.sources.tpch_supplement import ensure_partsupp
 
         base = spark.read.parquet(ensure_partsupp(spark, SRC))
-        parts = [
-            base.withColumn("ps_suppkey", F.col("ps_suppkey") + F.lit(i * 10_000_000))
-            for i in range(N)
-        ]
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionAll(p)
-        df.write.mode("overwrite").parquet(ps_out)
+        _replicate(base, ["ps_suppkey"]).write.mode("overwrite").parquet(ps_out)
         print("built partsupp", flush=True)
 
 

@@ -31,7 +31,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEDGER = os.path.join(REPO, "tools", "probe_ledger.json")
 SCALE = os.path.join(REPO, "SCALE.md")
 
-FACTORS = (10, 100)
+# Always render the canonical factors; any extra factor present in the
+# ledger (300x/1000x spot probes) renders too — SCALE.md must carry a
+# marker pair for each factor that has ledger entries.
+BASE_FACTORS = (10, 100)
+
+
+def _factors(entries: list[dict]) -> list[int]:
+    return sorted(set(BASE_FACTORS) | {e["factor"] for e in entries})
 
 
 def _begin(factor: int) -> str:
@@ -63,7 +70,7 @@ def render_table(entries: list[dict], factor: int) -> str:
 
 def render(scale_text: str, entries: list[dict]) -> str:
     out = scale_text
-    for factor in FACTORS:
+    for factor in _factors(entries):
         b, e = _begin(factor), _end(factor)
         if b not in out or e not in out:
             raise SystemExit(f"SCALE.md is missing the marker pair for {factor}x")
