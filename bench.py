@@ -46,9 +46,13 @@ HEADLINE = [
     "fn_array",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_bounded",
+    "dedup_containment_bounded",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_blocked",
+    "corpus_line_dedup",
     "sim_search_cosine",
     "sim_search_ivf",
     "sim_search_lsh",

@@ -309,13 +309,23 @@ def ngram_jaccard_pairs(
     ).withColumn("n_sh", F.size("shingles"))
     exploded = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
     if max_doc_freq is not None:
-        rare = (
-            exploded.groupBy("shingle")
-            .count()
-            .filter(F.col("count") <= max_doc_freq)
-            .select("shingle")
+        from pyspark.sql import Window
+
+        # doc-frequency as a count over a shingle window, NOT groupBy +
+        # join-back: the join-back formulation shuffles the exploded index
+        # twice more (the one-exchange lesson the repeated-passages plan
+        # recorded in SCALE.md; the 100x probe of the join-back form cost
+        # dedup_containment_bounded 2.7x the exact mode's wall), and the
+        # window's hash partitioning on shingle is exactly what the
+        # self-join below needs anyway. Shingles are distinct per doc
+        # (word_shingles distinct=True), so count(*) == doc frequency.
+        exploded = (
+            exploded.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
         )
-        exploded = exploded.join(rare, "shingle")
 
     # the self-join reads the inverted index twice; persist it so shingling
     # and normalization run once (measured ~25% at sf0.1). MEMORY_AND_DISK:

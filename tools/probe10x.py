@@ -102,7 +102,14 @@ def run(qname, sf_dir):
     from canvas_data_aws_spark.plans.registry import all_queries
 
     fn = all_queries()[qname].fn
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    # 1x gets TWO warm-ups: iterative plans (label propagation, k-core) JIT
+    # across several jobs, and a cold-JIT-inflated t1 overstates 1x cost and
+    # understates growth (the r9 graph_label_propagation row recorded
+    # t1=12.67 s vs ~4 s warmed). The Nx side keeps one warm-up — a second
+    # would double a 100x probe's wall for a baseline nobody reads.
+    warmups = 2 if sf_dir == SRC else 1
+    for _ in range(warmups):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     best = 1e9
     for _ in range(2):
         t0 = time.time()
