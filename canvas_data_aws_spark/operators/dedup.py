@@ -131,10 +131,14 @@ def exact_family_map(
     """(id_col, rep_id) for every doc: rep_id = min id over the doc's exact
     normalized-text family, or the doc itself when it has zero k-shingles
     (see :func:`collapse_exact_families` for why zero-shingle docs are
-    exempt). One digest groupBy + one digest-keyed shuffle join back —
-    ``fams`` has one row PER FAMILY, which is corpus-sized on a
-    mostly-unique corpus, so the join back broadcasts only in the
-    dup-heavy case (families ≪ docs) where AQE picks it up."""
+    exempt). One window exchange on the digest — min-over-window, not
+    groupBy + join-back: the aggregate-then-rejoin shape shuffles the
+    digest table twice more, and on a mostly-unique corpus the family
+    table is corpus-sized so the join never broadcasts (the same
+    one-exchange lesson the 100x bounded-mode probe taught
+    ngram_jaccard_pairs' doc-freq filter this round)."""
+    from pyspark.sql import Window
+
     words = F.split(normalize_text(F.col(text_col)), " ")
     has_shingles = F.size(words) >= k
     keyed = spread(df).select(
@@ -143,8 +147,10 @@ def exact_family_map(
         .otherwise(F.concat(F.lit("zero-shingle-"), F.col(id_col).cast("string")))
         .alias("fam_key"),
     )
-    fams = keyed.groupBy("fam_key").agg(F.min(id_col).alias("rep_id"))
-    return keyed.join(fams, "fam_key").select(id_col, "rep_id")
+    return keyed.select(
+        F.col(id_col),
+        F.min(id_col).over(Window.partitionBy("fam_key")).alias("rep_id"),
+    )
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
