@@ -147,6 +147,8 @@ HEADLINE = [
     "table_cdc_apply",
     "events_value_histogram",
     "sketch_count_min",
+    "sketch_quantile_digest",
+    "sketch_quantile_digest_rolling",
     "events_ab_cuped",
     "ts_holt_linear",
     "doc_fingerprint_winnowing",

@@ -96,6 +96,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         seed=args.seed,
         jaccard_threshold=args.jaccard_threshold,
         line_dedup_min_df=args.line_dedup_min_df,
+        checkpoint_dir=args.checkpoint_dir,
     )
     print(json.dumps(funnel.as_dict()))
     return 0
@@ -154,6 +155,13 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="enable C4-style line-level dedup: drop lines repeated in >= "
         "this many docs (off by default)",
+    )
+    pc.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="materialize + fingerprint tier outputs here; a rerun resumes "
+        "from the deepest tier whose inputs and parameters are unchanged "
+        "(crash recovery / re-shard for a new epoch without re-deduping)",
     )
     pc.set_defaults(fn=_cmd_curate)
 

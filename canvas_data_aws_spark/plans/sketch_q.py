@@ -345,3 +345,196 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "true_n")
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+QD_PMILS = [10, 100, 250, 500, 750, 900, 990]
+
+
+@register(
+    "sketch_quantile_digest",
+    """
+    WITH ev AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    built AS (
+      SELECT day, bucket,
+             SUM(CAST(value AS DECIMAL(18,6))) AS c_sum,
+             COUNT(*) AS c_w
+      FROM (
+        SELECT day, value,
+               ntile(32) OVER (PARTITION BY day ORDER BY value, event_id) AS bucket
+        FROM ev
+      )
+      GROUP BY day, bucket
+    ),
+    staged AS (
+      SELECT c_sum, c_w,
+             SUM(c_w) OVER (ORDER BY CAST(c_sum AS DOUBLE)/c_w, day, bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c_w) OVER () AS total
+      FROM built
+    ),
+    mrg AS (
+      SELECT LEAST(((cum - c_w) * 64) // total, 63) AS mbucket,
+             SUM(c_sum) AS m_sum, SUM(c_w) AS m_w
+      FROM staged GROUP BY 1
+    ),
+    digest AS (
+      SELECT mbucket, m_sum, m_w,
+             SUM(m_w) OVER (ORDER BY mbucket ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(m_w) OVER () AS total_w
+      FROM mrg
+    ),
+    qs(p_mil) AS (VALUES (10),(100),(250),(500),(750),(900),(990)),
+    est AS (
+      SELECT p_mil,
+             ROUND(CAST(m_sum AS DOUBLE)/m_w, 6) AS est,
+             CAST(total_w AS BIGINT) AS n_total
+      FROM (
+        SELECT q.p_mil, d.m_sum, d.m_w, d.total_w,
+               ROW_NUMBER() OVER (PARTITION BY q.p_mil ORDER BY d.cum_w) AS rk
+        FROM qs q JOIN digest d
+          ON d.cum_w >= (q.p_mil * d.total_w + 999) // 1000
+      ) WHERE rk = 1
+    ),
+    ranked AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM ev
+    ),
+    truth AS (
+      SELECT q.p_mil, r.value AS truth_at_rank
+      FROM qs q JOIN ranked r ON r.rn = (q.p_mil * r.n + 999) // 1000
+    )
+    SELECT e.p_mil, e.est, t.truth_at_rank, e.n_total
+    FROM est e JOIN truth t USING (p_mil)
+    """,
+    doc="Mergeable stratified quantile digest with an EXACT oracle — the "
+    "quantile member of the sketch family. Daily 32-strata digests "
+    "(decimal-exact centroid state) merge into one 64-centroid global "
+    "digest via integer-arithmetic re-stratification; seven quantiles are "
+    "then answered from the 64-row digest, never re-touching events. At "
+    "100 TB the daily digests persist as a b-rows/day state table and any "
+    "rollup window is a centroid merge — where exact percentile is a "
+    "global sort of all history. Exact rank-select truth rides along per "
+    "row so the rank-error bound is visible and pinned by "
+    "tests/test_sketches.py; the truth branch's global sort is oracle "
+    "instrumentation only — the digest path's only global window runs "
+    "over the b x days centroid table, never raw events.",
+    tags=("sketch",),
+)
+def sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from canvas_data_aws_spark.operators.quantiles import (
+        quantile_digest_build,
+        quantile_digest_merge,
+        quantile_digest_query,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_id", "value"
+    )
+    daily = quantile_digest_build(ev, "value", "event_id", ["day"], b=32)
+    merged = quantile_digest_merge(daily, [], ["day", "bucket"], b=64)
+    est = quantile_digest_query(merged, QD_PMILS, [])
+
+    ranked = ev.filter(F.col("value").isNotNull()).select(
+        "value",
+        F.row_number().over(Window.orderBy("value", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    qs = spark.createDataFrame([(p,) for p in QD_PMILS], "p_mil int")
+    truth = qs.join(
+        ranked, ranked.rn == F.expr("(p_mil * n + 999) div 1000")
+    ).select("p_mil", F.col("value").alias("truth_at_rank"))
+    return est.join(truth, "p_mil").select("p_mil", "est", "truth_at_rank", "n_total")
+
+
+@register(
+    "sketch_quantile_digest_rolling",
+    """
+    WITH ev AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    built AS (
+      SELECT day, bucket,
+             SUM(CAST(value AS DECIMAL(18,6))) AS c_sum,
+             COUNT(*) AS c_w
+      FROM (
+        SELECT day, value,
+               ntile(32) OVER (PARTITION BY day ORDER BY value, event_id) AS bucket
+        FROM ev
+      )
+      GROUP BY day, bucket
+    ),
+    anchors AS (SELECT DISTINCT day AS anchor_day FROM built),
+    windowed AS (
+      SELECT a.anchor_day, b.day, b.bucket, b.c_sum, b.c_w
+      FROM anchors a
+      JOIN built b ON b.day BETWEEN a.anchor_day - INTERVAL 6 DAY AND a.anchor_day
+    ),
+    staged AS (
+      SELECT anchor_day, c_sum, c_w,
+             SUM(c_w) OVER (PARTITION BY anchor_day
+                            ORDER BY CAST(c_sum AS DOUBLE)/c_w, day, bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c_w) OVER (PARTITION BY anchor_day) AS total
+      FROM windowed
+    ),
+    mrg AS (
+      SELECT anchor_day,
+             LEAST(((cum - c_w) * 32) // total, 31) AS mbucket,
+             SUM(c_sum) AS m_sum, SUM(c_w) AS m_w
+      FROM staged GROUP BY 1, 2
+    ),
+    digest AS (
+      SELECT anchor_day, mbucket, m_sum, m_w,
+             SUM(m_w) OVER (PARTITION BY anchor_day ORDER BY mbucket
+                            ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(m_w) OVER (PARTITION BY anchor_day) AS total_w
+      FROM mrg
+    )
+    SELECT anchor_day,
+           ROUND(CAST(m_sum AS DOUBLE)/m_w, 6) AS p50_est,
+           CAST(total_w AS BIGINT) AS n_window
+    FROM (
+      SELECT anchor_day, m_sum, m_w, total_w,
+             ROW_NUMBER() OVER (PARTITION BY anchor_day ORDER BY cum_w) AS rk
+      FROM digest
+      WHERE cum_w >= (500 * total_w + 999) // 1000
+    ) WHERE rk = 1
+    """,
+    doc="Trailing-7-day rolling median answered ENTIRELY from the daily "
+    "digest state table: each anchor day range-joins the prior week's "
+    "centroid rows (7 x 32 rows, never event rows), re-stratifies, and "
+    "reads the median off the merged digest. The incremental-maintenance "
+    "pattern for quantile dashboards at 100 TB — the alternative recomputes "
+    "a per-window sort over raw history for every window. Exact oracle: "
+    "the digest arithmetic is deterministic end-to-end.",
+    tags=("sketch",),
+)
+def sketch_quantile_digest_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.quantiles import (
+        quantile_digest_build,
+        quantile_digest_merge,
+        quantile_digest_query,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_id", "value"
+    )
+    daily = quantile_digest_build(ev, "value", "event_id", ["day"], b=32)
+    anchors = daily.select(F.col("day").alias("anchor_day")).distinct()
+    windowed = anchors.join(
+        daily,
+        daily.day.between(F.date_sub(anchors.anchor_day, 6), anchors.anchor_day),
+    )
+    merged = quantile_digest_merge(windowed, ["anchor_day"], ["day", "bucket"], b=32)
+    return quantile_digest_query(merged, [500], ["anchor_day"]).select(
+        "anchor_day",
+        F.col("est").alias("p50_est"),
+        F.col("n_total").alias("n_window"),
+    )

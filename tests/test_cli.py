@@ -173,3 +173,122 @@ def test_cli_curate_line_dedup_stage(spark, tmp_path, capsys, sf_dir):
     assert tok_b < tok_a, (
         f"line dedup should strip repeated-line tokens: {tok_b} !< {tok_a}"
     )
+
+
+def _forbid(monkeypatch, attr):
+    """Patch curate's module-level reference so calling it fails the test —
+    proof the checkpointed tier was adopted, not recomputed."""
+    import canvas_data_aws_spark.pipelines.curate as curate_mod
+
+    def boom(*a, **k):
+        raise AssertionError(f"{attr} ran — tier should have resumed from checkpoint")
+
+    monkeypatch.setattr(curate_mod, attr, boom)
+
+
+def test_curate_checkpoint_resume_skips_completed_tiers(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """curate(checkpoint_dir=...): a rerun with identical inputs+params must
+    adopt BOTH tier checkpoints (no quality_filter, no minhash), reproduce
+    the identical funnel, and re-run only the epoch tier — with a new seed
+    producing the same doc set under a different shard assignment."""
+    from canvas_data_aws_spark.pipelines.curate import curate
+
+    ck = str(tmp_path / "ck")
+    out1 = str(tmp_path / "s1")
+    f1 = curate(spark, sf_dir, out1, checkpoint_dir=ck)
+    assert f1.n_clean > 0
+    import os
+
+    assert os.path.exists(os.path.join(ck, "quality._FINGERPRINT.json"))
+    assert os.path.exists(os.path.join(ck, "clean._FINGERPRINT.json"))
+
+    _forbid(monkeypatch, "quality_filter")
+    _forbid(monkeypatch, "minhash_lsh_pairs")
+    _forbid(monkeypatch, "dedup_exact")
+    _forbid(monkeypatch, "decontaminate")
+
+    out2 = str(tmp_path / "s2")
+    f2 = curate(spark, sf_dir, out2, checkpoint_dir=ck)
+    assert {**f1.as_dict(), "out_dir": ""} == {**f2.as_dict(), "out_dir": ""}
+    a = spark.read.parquet(out1).select("doc_id", "shard", "pos")
+    b = spark.read.parquet(out2).select("doc_id", "shard", "pos")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+    # new epoch seed: tier 1+2 still resume; same docs, reshuffled
+    out3 = str(tmp_path / "s3")
+    f3 = curate(spark, sf_dir, out3, seed="epoch1", checkpoint_dir=ck)
+    assert f3.n_clean == f1.n_clean
+    c = spark.read.parquet(out3)
+    assert {r["doc_id"] for r in c.select("doc_id").collect()} == {
+        r["doc_id"] for r in a.select("doc_id").collect()
+    }
+    assert {tuple(r) for r in c.select("doc_id", "shard", "pos").collect()} != {
+        tuple(r) for r in a.collect()
+    }
+
+
+def test_curate_checkpoint_param_change_invalidates_downstream_only(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """A pairwise-tier parameter change must miss the clean fingerprint but
+    still adopt the quality tier (upstream untouched); a quality-tier
+    parameter change must recompute everything."""
+    from canvas_data_aws_spark.pipelines.curate import curate
+
+    ck = str(tmp_path / "ck")
+    f1 = curate(spark, sf_dir, str(tmp_path / "s1"), checkpoint_dir=ck)
+
+    # jaccard change: quality resumes (forbidden), pairwise recomputes
+    _forbid(monkeypatch, "quality_filter")
+    f2 = curate(
+        spark, sf_dir, str(tmp_path / "s2"),
+        jaccard_threshold=0.9, checkpoint_dir=ck,
+    )
+    assert f2.n_quality == f1.n_quality
+    monkeypatch.undo()
+
+    # quality-rule change: nothing resumes; tier-1 really re-runs and the
+    # markers are rewritten under the new fingerprint
+    import json as _json
+    import os
+
+    f3 = curate(
+        spark, sf_dir, str(tmp_path / "s3"),
+        min_stop_ratio=0.5, checkpoint_dir=ck,
+    )
+    assert f3.n_quality < f1.n_quality
+    with open(os.path.join(ck, "quality._FINGERPRINT.json")) as fh:
+        m = _json.load(fh)
+    assert m["counts"]["quality"] == f3.n_quality
+
+
+def test_curate_checkpoint_missing_marker_recomputes(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """Markers are written only after their parquet completes, so a crash
+    mid-tier leaves data without a marker — the rerun must NOT trust the
+    orphan parquet and must recompute the tier."""
+    import os
+
+    from canvas_data_aws_spark.pipelines.curate import curate
+
+    ck = str(tmp_path / "ck")
+    f1 = curate(spark, sf_dir, str(tmp_path / "s1"), checkpoint_dir=ck)
+    os.remove(os.path.join(ck, "clean._FINGERPRINT.json"))
+
+    calls = {"n": 0}
+    import canvas_data_aws_spark.pipelines.curate as curate_mod
+
+    real = curate_mod.minhash_lsh_pairs
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(curate_mod, "minhash_lsh_pairs", spy)
+    _forbid(monkeypatch, "quality_filter")  # quality marker intact: resumes
+    f2 = curate(spark, sf_dir, str(tmp_path / "s2"), checkpoint_dir=ck)
+    assert calls["n"] == 1
+    assert {**f1.as_dict(), "out_dir": ""} == {**f2.as_dict(), "out_dir": ""}

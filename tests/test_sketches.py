@@ -161,3 +161,64 @@ def test_agg_approx_percentile_rank_error(spark, sf_dir):
                 f"vs target {target} (GK accuracy=10000 should hold 1e-4; "
                 "1pp bound is generous)"
             )
+
+
+def _digest_rank_errors(spark, sf_dir, group_expr):
+    """Build digests grouped by ``group_expr``, merge, query, and return
+    [(p_mil, rank_error_fraction)] vs the exact sorted ranks."""
+    import pyspark.sql.functions as F
+
+    from canvas_data_aws_spark.operators.quantiles import (
+        quantile_digest_build,
+        quantile_digest_merge,
+        quantile_digest_query,
+    )
+    from canvas_data_aws_spark.plans.sketch_q import QD_PMILS
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        group_expr.alias("grp"), "event_id", "value"
+    )
+    daily = quantile_digest_build(ev, "value", "event_id", ["grp"], b=32)
+    merged = quantile_digest_merge(daily, [], ["grp", "bucket"], b=64)
+    est = {
+        r["p_mil"]: r["est"]
+        for r in quantile_digest_query(merged, QD_PMILS, []).collect()
+    }
+    values = sorted(v for (v,) in ev.select("value").collect())
+    n = len(values)
+    errs = []
+    for p, e in est.items():
+        target = (p * n + 999) // 1000
+        import bisect
+
+        rank = bisect.bisect_right(values, e)
+        errs.append((p, abs(rank - target) / n))
+    return errs
+
+
+def test_quantile_digest_rank_error_bound(spark, sf_dir):
+    """sketch_quantile_digest: every queried quantile's estimate must sit
+    within 3/b_build + 1/b_merge of its target rank (strata width from the
+    daily build + one merge level), asserted at 5% of n with headroom."""
+    import pyspark.sql.functions as F
+
+    errs = _digest_rank_errors(
+        spark, sf_dir, F.date_trunc("day", "ts").cast("date")
+    )
+    for p, frac in errs:
+        assert frac <= 0.05, f"p_mil={p}: rank error {frac:.3%} exceeds 5%"
+
+
+def test_quantile_digest_merge_partitioning_invariance(spark, sf_dir):
+    """Merging is valid no matter how the state was partitioned: digests
+    built per WEEK (instead of per day) must merge to quantiles inside the
+    same rank-error bound — the property that lets any rollup window be
+    answered from whatever granularity the state table kept."""
+    import pyspark.sql.functions as F
+
+    errs = _digest_rank_errors(
+        spark, sf_dir, F.date_trunc("week", "ts").cast("date")
+    )
+    for p, frac in errs:
+        assert frac <= 0.05, f"p_mil={p} (weekly build): rank error {frac:.3%}"
