@@ -373,3 +373,72 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()  # materialize before the temp dir is removed
     shutil.rmtree(workdir, ignore_errors=True)
     return result
+
+
+def stage_arrival_batches(
+    spark: SparkSession, df, workdir: str, n_batches: int = 4, key: str = "doc_id"
+) -> str:
+    """Stage ``df`` as ``n_batches`` single-file parquet arrivals with
+    strictly increasing mtimes (``key % n_batches`` = arrival order), so a
+    maxFilesPerTrigger=1 file source replays them as deterministic
+    micro-batches — the fixture-side stand-in for a real ingest feed."""
+    src_dir = os.path.join(workdir, "in")
+    os.makedirs(src_dir, exist_ok=True)
+    base = 1_700_000_000
+    for b in range(n_batches):
+        part_dir = os.path.join(workdir, f"stage_{b}")
+        df.filter(F.col(key) % n_batches == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        part = next(
+            f for f in os.listdir(part_dir)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(src_dir, f"batch_{b}.parquet")
+        shutil.move(os.path.join(part_dir, part), dst)
+        os.utime(dst, (base + 60 * b, base + 60 * b))
+        shutil.rmtree(part_dir, ignore_errors=True)
+    return src_dir
+
+
+@register(
+    "stream_near_dedup",
+    None,  # xxhash64-seeded MinHash state — rows-only; exact equality to a
+    # sequential batch-by-batch replay (minhash_cross_pairs vs state +
+    # within-batch minhash_lsh_pairs, identical seed/geometry) is asserted
+    # in tests/test_streaming_near_dedup.py
+    doc="REAL streaming near-dup dedup: documents replayed as 4 arrival "
+    "micro-batches (file source, maxFilesPerTrigger=1, availableNow); each "
+    "batch MinHash-signs its docs, band-joins them against the persisted "
+    "band buckets of everything previously kept, drops near-matches "
+    "(state hit, or within-batch hit with a smaller id), and appends "
+    "survivors' bands+signatures to the state store "
+    "(streaming/near_dedup.py). The continuous-ingestion shape of "
+    "corpus_cross_dedup_near: per-batch cost is one delta signature pass "
+    "+ a delta x state band equi-join; the state is write-once per kept "
+    "doc and never rebuilt. Returns the per-doc verdict log.",
+    tags=("streaming", "llm", "dedup"),
+    quality_test="tests/test_streaming_near_dedup.py::test_stream_equals_sequential_replay",
+)
+def stream_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.streaming.near_dedup import stream_near_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    workdir = tempfile.mkdtemp(prefix="cda_stream_neardup_")
+    src_dir = stage_arrival_batches(spark, docs, workdir, n_batches=4)
+    schema = spark.read.parquet(src_dir).schema
+
+    out_dir = os.path.join(workdir, "verdicts")
+    query = stream_near_dedup(
+        spark,
+        src_dir,
+        schema,
+        state_dir=os.path.join(workdir, "state"),
+        out_dir=out_dir,
+        jaccard_threshold=0.5,
+    )
+    query.awaitTermination(300)
+    result = spark.read.parquet(out_dir).cache()
+    result.count()  # materialize before the temp dir is removed
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result.select("doc_id", "batch_id", "matched_state", "matched_batch", "kept")
