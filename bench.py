@@ -149,6 +149,7 @@ HEADLINE = [
     "sketch_count_min",
     "sketch_quantile_digest",
     "sketch_quantile_digest_rolling",
+    "corpus_attribute_store",
     "events_ab_cuped",
     "ts_holt_linear",
     "doc_fingerprint_winnowing",

@@ -316,3 +316,31 @@ def bpe_encode_counts(
         ),
         _count(F.col(text_col)).alias("n_tokens"),
     )
+
+
+def document_attributes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dolma-style attribute store: every row-local tagger fused into ONE
+    scan — language ID, length/token/punct/stopword features, BPE-ish
+    token count, composite quality score — emitted as a doc-keyed
+    attribute row WITHOUT the text column.
+
+    The decoupling is the 100 TB design: taggers read the corpus once and
+    persist a narrow attribute table (tens of bytes/doc vs KB of text);
+    every subsequent filter-config iteration — the loop data teams
+    actually run daily — joins attributes only and never rescans text.
+    All expressions are deterministic built-ins inside one whole-stage
+    codegen span (no UDFs), so the store is exact-oracle-checkable.
+    """
+    feats = quality_features(df, text_col)
+    passthrough = [c for c in df.columns if c != text_col]
+    return feats.select(
+        *passthrough,
+        lang_id(F.col(text_col)).alias("pred_lang"),
+        F.col("q_n_chars").alias("n_chars"),
+        F.col("q_n_tokens").alias("n_tokens"),
+        token_count_bpe_ish(F.col(text_col)).alias("n_bpe_tokens"),
+        F.col("q_punct_ratio").alias("punct_ratio"),
+        F.col("q_stop_ratio").alias("stop_ratio"),
+        F.col("q_mean_word_len").alias("mean_word_len"),
+        "q_score",
+    )

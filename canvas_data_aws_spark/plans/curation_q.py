@@ -1691,3 +1691,157 @@ def corpus_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    return (
+        "len(regexp_extract_all(lower(text), '\\b(?:" + "|".join(words) + ")\\b'))"
+    )
+
+
+_ATTR_CTE = rf"""
+    WITH f AS (
+      SELECT doc_id, lang, source,
+             LENGTH(text) AS n_chars,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+             len(regexp_extract_all(lower(text), '\b(?:the|and|of)\b')) AS n_stop,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS n_bpe,
+             {_lang_score_sql(['the', 'and', 'of'])} AS s_en,
+             {_lang_score_sql(['le', 'la', 'et'])} AS s_fr,
+             {_lang_score_sql(['der', 'und', 'die'])} AS s_de,
+             {_lang_score_sql(['el', 'los', 'que'])} AS s_es
+      FROM documents
+    ),
+    attrs AS (
+      SELECT doc_id, lang AS labeled_lang, source,
+             CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+                  WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                  WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+                  WHEN s_es > 0 THEN 'es'
+                  ELSE 'und' END AS pred_lang,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+             ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+             ROUND(n_stop / GREATEST(n_tokens, 1), 6) AS stop_ratio,
+             ROUND((n_chars - n_tokens + 1) / n_tokens, 6) AS mean_word_len,
+             FLOOR((0.4 * LEAST(n_chars / 500.0, 1.0)
+                 + 0.3 * (CASE WHEN (n_chars - n_tokens + 1) / n_tokens >= 3
+                                AND (n_chars - n_tokens + 1) / n_tokens <= 10
+                               THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * LEAST(ROUND(n_stop / GREATEST(n_tokens, 1), 6) * 5, 1.0))
+                 * 1000000) / 1000000 AS q_score
+      FROM f
+    )
+"""
+
+
+@register(
+    "corpus_attribute_store",
+    _ATTR_CTE + "\n    SELECT * FROM attrs",
+    doc="Dolma-style decoupled attribute store: ALL row-local taggers "
+    "(language ID, length/token/punct/stopword features, BPE-ish token "
+    "count, composite quality score) fused into ONE text scan and emitted "
+    "as a narrow doc-keyed attribute table — the artifact a 100 TB "
+    "pipeline persists so that every filter-config iteration afterwards "
+    "joins tens of bytes/doc instead of rescanning kilobytes of text. "
+    "Pure built-in expressions in a single whole-stage codegen span (no "
+    "UDF, no shuffle), hence the exact oracle; "
+    "operators/text.py::document_attributes.",
+    tags=("llm", "curation"),
+)
+def corpus_attribute_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.text import document_attributes
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    return document_attributes(docs).withColumnRenamed("lang", "labeled_lang")
+
+
+@register(
+    "corpus_filter_from_attributes",
+    _ATTR_CTE
+    + """,
+    flags AS (
+      SELECT (pred_lang = 'en') AS r_lang,
+             (n_chars BETWEEN 100 AND 20000) AS r_len,
+             (q_score >= 0.5) AS r_quality,
+             (n_tokens >= 20) AS r_tokens
+      FROM attrs
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN r_lang THEN 1 ELSE 0 END) AS BIGINT) AS p_lang,
+             CAST(SUM(CASE WHEN r_len THEN 1 ELSE 0 END) AS BIGINT) AS p_len,
+             CAST(SUM(CASE WHEN r_quality THEN 1 ELSE 0 END) AS BIGINT) AS p_quality,
+             CAST(SUM(CASE WHEN r_tokens THEN 1 ELSE 0 END) AS BIGINT) AS p_tokens,
+             CAST(SUM(CASE WHEN r_lang AND r_len AND r_quality AND r_tokens
+                           THEN 1 ELSE 0 END) AS BIGINT) AS p_all
+      FROM flags
+    )
+    SELECT t.rule, t.n_pass,
+           agg.n_docs - t.n_pass AS n_fail,
+           ROUND((agg.n_docs - t.n_pass) * 1.0 / agg.n_docs, 6) AS fail_share
+    FROM agg, (
+      SELECT 'r_lang' AS rule, p_lang AS n_pass FROM agg
+      UNION ALL SELECT 'r_len', p_len FROM agg
+      UNION ALL SELECT 'r_quality', p_quality FROM agg
+      UNION ALL SELECT 'r_tokens', p_tokens FROM agg
+      UNION ALL SELECT 'all', p_all FROM agg
+    ) t
+    """,
+    doc="Filter-config iteration over the ATTRIBUTE TABLE ONLY — the "
+    "second half of the Dolma decoupling: apply a rule config (lang, "
+    "length, quality, token floor) to corpus_attribute_store's output and "
+    "report per-rule pass/fail counts and fail shares plus the "
+    "conjunction ('all'). The text column is never touched: at 100 TB "
+    "this is the difference between a seconds-scale config sweep over a "
+    "narrow table and a full-corpus rescan per candidate config. One "
+    "attribute scan, one map-side-combined agg to a single row, unpivot "
+    "to the 5-row report.",
+    tags=("llm", "curation"),
+)
+def corpus_filter_from_attributes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.text import document_attributes
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    # production reads the persisted attribute parquet; the registry entry
+    # computes it inline so the oracle sees one self-contained query
+    attrs = document_attributes(docs)
+    flags = attrs.select(
+        (F.col("pred_lang") == "en").alias("r_lang"),
+        F.col("n_chars").between(100, 20000).alias("r_len"),
+        (F.col("q_score") >= 0.5).alias("r_quality"),
+        (F.col("n_tokens") >= 20).alias("r_tokens"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("r_lang").cast("bigint")).cast("bigint").alias("p_lang"),
+        F.sum(F.col("r_len").cast("bigint")).cast("bigint").alias("p_len"),
+        F.sum(F.col("r_quality").cast("bigint")).cast("bigint").alias("p_quality"),
+        F.sum(F.col("r_tokens").cast("bigint")).cast("bigint").alias("p_tokens"),
+        F.sum(
+            (F.col("r_lang") & F.col("r_len") & F.col("r_quality") & F.col("r_tokens"))
+            .cast("bigint")
+        ).cast("bigint").alias("p_all"),
+    )
+    report = agg.select(
+        F.expr(
+            "stack(5, 'r_lang', p_lang, 'r_len', p_len, 'r_quality', p_quality, "
+            "'r_tokens', p_tokens, 'all', p_all) as (rule, n_pass)"
+        ),
+        "n_docs",
+    )
+    return report.select(
+        "rule",
+        "n_pass",
+        (F.col("n_docs") - F.col("n_pass")).alias("n_fail"),
+        F.round((F.col("n_docs") - F.col("n_pass")) / F.col("n_docs"), 6).alias(
+            "fail_share"
+        ),
+    )
