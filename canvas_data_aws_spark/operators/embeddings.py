@@ -237,3 +237,122 @@ def ridge_predict(
         return pd.Series(x @ w + b)
 
     return df.withColumn(out_col, _score(F.col(vec_col)))
+
+
+@dataclass(frozen=True)
+class LogisticModel:
+    weights: np.ndarray  # (d,) feature weights
+    bias: float
+    lam: float
+    iterations: int
+
+
+def logistic_fit(
+    df: DataFrame,
+    target_col: str,
+    vec_col: str = "embedding",
+    lam: float = 1e-3,
+    iterations: int = 4,
+) -> LogisticModel:
+    """L2-regularized logistic regression by IRLS (Newton) — the
+    classification probe next to :func:`ridge_fit`'s regression probe,
+    and the shape of every model-based quality-classifier stage (DCLM /
+    FineWeb-edu style) once labels are binary.
+
+    Per iteration ONE distributed moment pass: each Arrow batch scores the
+    CURRENT beta (shipped in the UDF closure, KBs) and emits a single
+    partial (n, X'^T W X', X'^T (y - p)) for the bias-augmented design
+    with W = diag(p(1-p)); partials reduce element-wise via the same
+    dimension-bounded posexplode + groupBy(pos) as ridge_fit, and the
+    driver applies the Newton step
+        beta += (X'^T W X' + n*lam*I')^{-1} (X'^T(y-p) - n*lam*[w; 0])
+    (bias unregularized). Driver state is O(d^2) per iteration; total
+    exchange across the fit is iterations x (d+1)^2 rows — never
+    data-sized. Iteration count is FIXED (no data-dependent convergence
+    test), so the job graph is deterministic.
+    """
+    moment_schema = T.StructType(
+        [T.StructField("m", T.ArrayType(T.DoubleType()), False)]
+    )
+    beta: np.ndarray | None = None  # None => zeros (p = 0.5 everywhere)
+
+    for _ in range(iterations):
+        beta_c = None if beta is None else beta.copy()
+
+        def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                xa = np.hstack([x, np.ones((len(x), 1))])
+                y = pdf[target_col].to_numpy(dtype=np.float64)
+                if beta_c is None:
+                    p = np.full(len(xa), 0.5)
+                else:
+                    z = xa @ beta_c
+                    p = 1.0 / (1.0 + np.exp(-z))
+                w = p * (1.0 - p)
+                g = xa.T @ (xa * w[:, None])
+                r = xa.T @ (y - p)
+                yield pd.DataFrame(
+                    {
+                        "m": [
+                            np.concatenate(
+                                ([float(len(x))], g.ravel(), r)
+                            ).tolist()
+                        ]
+                    }
+                )
+
+        partials = df.select(vec_col, target_col).mapInPandas(
+            _partials, moment_schema
+        )
+        reduced = (
+            partials.select(F.posexplode("m").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.sum("val").alias("val"))
+            .collect()  # (d+1)^2 + (d+1) + 1 rows — dimension-bounded
+        )
+        if not reduced:
+            raise ValueError("logistic_fit: input has no rows")
+        flat = np.zeros(max(r["pos"] for r in reduced) + 1)
+        for r in reduced:
+            flat[r["pos"]] = r["val"]
+        n = flat[0]
+        da = int(round((-1 + np.sqrt(1 + 4 * (len(flat) - 1))) / 2))
+        hess = flat[1 : 1 + da * da].reshape(da, da)
+        grad = flat[1 + da * da :].copy()
+        if beta is None:
+            beta = np.zeros(da)
+        reg = np.eye(da) * (n * lam)
+        reg[-1, -1] = 0.0  # never regularize the bias
+        grad -= reg @ beta  # penalty gradient (zero on the bias row)
+        # hess + reg is positive definite for any n >= 1 (same argument as
+        # ridge_fit: W > 0 wherever p is not saturated, and the ridge term
+        # covers the rest), so underdetermined regularized fits solve fine
+        beta = beta + np.linalg.solve(hess + reg, grad)
+
+    return LogisticModel(
+        weights=beta[:-1], bias=float(beta[-1]), lam=lam, iterations=iterations
+    )
+
+
+def logistic_predict(
+    df: DataFrame,
+    model: LogisticModel,
+    vec_col: str = "embedding",
+    out_col: str = "p_hat",
+) -> DataFrame:
+    """Score rows with a fitted logistic model: sigmoid(x @ w + b) as one
+    Arrow-batched GEMV per batch; weights in the closure, row-local."""
+    w = model.weights.copy()
+    b = model.bias
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(vs: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series(1.0 / (1.0 + np.exp(-(x @ w + b))))
+
+    return df.withColumn(out_col, _score(F.col(vec_col)))

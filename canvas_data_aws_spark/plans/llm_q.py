@@ -2622,3 +2622,39 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "embed_logistic_probe",
+    None,  # the IRLS Newton solve is not SQL-expressible — rows-only;
+    # numpy IRLS equivalence + accuracy floor pinned by tests/test_llm_ops.py
+    doc="Logistic probe on the embedding space — ridge's classification "
+    "sibling and the exact shape of a model-based quality-classifier "
+    "stage once labels are binary: L2-regularized logistic regression "
+    "fit by IRLS/Newton, each of the 4 FIXED iterations one distributed "
+    "moment pass emitting (n, X'^T W X', X'^T(y-p)) partials at the "
+    "current beta (closure-shipped), reduced via the dimension-bounded "
+    "(pos, val) groupBy; the driver applies the (d+1)-dim Newton step. "
+    "Total exchange = iterations x (d+1)^2 rows regardless of corpus "
+    "size; scoring is a row-local Arrow GEMV. "
+    "operators/embeddings.py::logistic_fit/logistic_predict.",
+    tags=("llm", "similarity", "iterative"),
+    quality_test="tests/test_llm_ops.py::test_logistic_probe_matches_numpy_and_separates",
+)
+def embed_logistic_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.embeddings import (
+        logistic_fit,
+        logistic_predict,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("label") >= 5).cast("double").alias("y")
+    )
+    model = logistic_fit(emb, target_col="y", lam=1e-3, iterations=4)
+    out = logistic_predict(emb, model)
+    return out.select(
+        "vec_id",
+        F.col("y").cast("bigint").alias("y"),
+        F.round("p_hat", 4).alias("p_hat"),
+        (F.col("p_hat") >= 0.5).alias("pred"),
+    )

@@ -1038,3 +1038,49 @@ def test_embedding_block_gemm_tiled_path_matches_untiled(emb, spark, monkeypatch
         ).collect()
     }
     assert tiled == untiled
+
+
+def test_logistic_probe_matches_numpy_and_separates(spark, sf_dir):
+    """embed_logistic_probe: the distributed IRLS fit must match a local
+    numpy IRLS (same fixed iterations, same regularization, same update)
+    to float tolerance — proving the moment-pass decomposition is the
+    same mathematics — and the probe must separate the binary label on
+    the fixture (train accuracy above the 0.5 majority baseline)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from canvas_data_aws_spark.operators.embeddings import logistic_fit
+    from canvas_data_aws_spark.plans.registry import all_queries
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "embedding", (F.col("label") >= 5).cast("double").alias("y")
+    )
+    lam, iters = 1e-3, 4
+    model = logistic_fit(emb, target_col="y", lam=lam, iterations=iters)
+
+    rows = emb.collect()
+    x = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    y = np.array([r["y"] for r in rows])
+    xa = np.hstack([x, np.ones((len(x), 1))])
+    n, da = xa.shape
+    beta = np.zeros(da)
+    reg = np.eye(da) * (n * lam)
+    reg[-1, -1] = 0.0
+    for it in range(iters):
+        p = np.full(n, 0.5) if it == 0 else 1.0 / (1.0 + np.exp(-(xa @ beta)))
+        w = p * (1.0 - p)
+        hess = xa.T @ (xa * w[:, None])
+        grad = xa.T @ (y - p) - reg @ beta
+        beta = beta + np.linalg.solve(hess + reg, grad)
+
+    got = np.concatenate([model.weights, [model.bias]])
+    assert np.allclose(got, beta, rtol=1e-8, atol=1e-10), (
+        f"max |diff| = {np.abs(got - beta).max()}"
+    )
+
+    out = all_queries()["embed_logistic_probe"].fn(spark, sf_dir)
+    acc = out.selectExpr(
+        "avg(cast((pred = (y = 1)) as double)) as acc"
+    ).collect()[0]["acc"]
+    assert acc >= 0.6, f"train accuracy {acc:.3f} below floor"
