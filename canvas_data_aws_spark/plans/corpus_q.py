@@ -607,3 +607,52 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
     )
+
+
+@register(
+    "corpus_soft_dedup_weights",
+    _EDGE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , bidir AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    walk(v, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT b.dst, w.lab FROM walk w JOIN bidir b ON b.src = w.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(lab) AS component FROM walk GROUP BY v)
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+             AS cluster_size,
+           ROUND(1.0 / COUNT(*) OVER (PARTITION BY component), 6) AS weight
+    FROM comp
+    """,
+    doc="SOFT dedup: instead of dropping near-duplicates, downweight every "
+    "document by 1/cluster_size over the same exact-Jaccard component "
+    "graph dedup_cluster builds — the family's total sampling mass becomes "
+    "one document's, but intra-family variation (edits, reformattings) "
+    "stays available to training. The drop-vs-downweight choice is a "
+    "curation policy knob; this entry makes both policies first-class "
+    "over ONE clustering. Cost on top of the components: a single "
+    "count-over-window on the (doc, component) table — one "
+    "component-keyed exchange, no join-back. Exact recursive-CTE oracle, "
+    "same as dedup_cluster.",
+    tags=("llm", "curation", "iterative"),
+)
+def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, k=3, threshold=0.2).select("id_a", "id_b")
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id"
+    ).select(F.col("id").alias("doc_id"), "component")
+    size = F.count(F.lit(1)).over(Window.partitionBy("component"))
+    return comp.select(
+        "doc_id",
+        "component",
+        size.cast("bigint").alias("cluster_size"),
+        F.round(F.lit(1.0) / size, 6).alias("weight"),
+    )
