@@ -120,6 +120,11 @@ _ALLOW: dict[str, set[str]] = {
     "join_cross": {"cartesian-product", "nested-loop-join"},
     "join_theta_nonequi": {"nested-loop-join"},
     "orders_pareto_share": {"single-partition-window"},
+    # the global-merge window runs over the b x days CENTROID table
+    # (state-bounded, never data-sized — operators/quantiles.py), and the
+    # only data-sized global sort is the truth_at_rank oracle
+    # instrumentation the entry's docstring declares
+    "sketch_quantile_digest": {"single-partition-window"},
 }
 
 
