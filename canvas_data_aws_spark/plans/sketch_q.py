@@ -538,3 +538,180 @@ def sketch_quantile_digest_rolling(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("est").alias("p50_est"),
         F.col("n_total").alias("n_window"),
     )
+
+
+@register(
+    "sketch_quantile_digest_grouped",
+    """
+    WITH ev AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             event_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    built AS (
+      SELECT event_type, day, bucket,
+             SUM(CAST(value AS DECIMAL(18,6))) AS c_sum,
+             COUNT(*) AS c_w
+      FROM (
+        SELECT event_type, day, value,
+               ntile(32) OVER (PARTITION BY event_type, day
+                               ORDER BY value, event_id) AS bucket
+        FROM ev
+      )
+      GROUP BY event_type, day, bucket
+    ),
+    staged AS (
+      SELECT event_type, c_sum, c_w,
+             SUM(c_w) OVER (PARTITION BY event_type
+                            ORDER BY CAST(c_sum AS DOUBLE)/c_w, day, bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c_w) OVER (PARTITION BY event_type) AS total
+      FROM built
+    ),
+    mrg AS (
+      SELECT event_type,
+             LEAST(((cum - c_w) * 32) // total, 31) AS mbucket,
+             SUM(c_sum) AS m_sum, SUM(c_w) AS m_w
+      FROM staged GROUP BY 1, 2
+    ),
+    digest AS (
+      SELECT event_type, mbucket, m_sum, m_w,
+             SUM(m_w) OVER (PARTITION BY event_type ORDER BY mbucket
+                            ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(m_w) OVER (PARTITION BY event_type) AS total_w
+      FROM mrg
+    ),
+    qs(p_mil) AS (VALUES (500), (900), (990))
+    SELECT event_type, p_mil,
+           ROUND(CAST(m_sum AS DOUBLE)/m_w, 6) AS est,
+           CAST(total_w AS BIGINT) AS n_total
+    FROM (
+      SELECT q.p_mil, d.event_type, d.m_sum, d.m_w, d.total_w,
+             ROW_NUMBER() OVER (PARTITION BY d.event_type, q.p_mil
+                                ORDER BY d.cum_w) AS rk
+      FROM qs q JOIN digest d
+        ON d.cum_w >= (q.p_mil * d.total_w + 999) // 1000
+    ) WHERE rk = 1
+    """,
+    doc="Per-group quantiles from the SAME daily digest state: (event_type, "
+    "day) digests merge per event_type and answer p50/p90/p99 per group — "
+    "the grouped merge path of the mergeable-digest design, where adding "
+    "a grouping key costs one partition column, not a new scan of "
+    "history. Exact oracle, same deterministic arithmetic as "
+    "sketch_quantile_digest.",
+    tags=("sketch",),
+)
+def sketch_quantile_digest_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.quantiles import (
+        quantile_digest_build,
+        quantile_digest_merge,
+        quantile_digest_query,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_id",
+        "value",
+    )
+    daily = quantile_digest_build(ev, "value", "event_id", ["event_type", "day"], b=32)
+    merged = quantile_digest_merge(daily, ["event_type"], ["day", "bucket"], b=32)
+    return quantile_digest_query(merged, [500, 900, 990], ["event_type"]).select(
+        "event_type", "p_mil", "est", "n_total"
+    )
+
+
+@register(
+    "dq_quantile_drift",
+    """
+    WITH ev AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    built AS (
+      SELECT day, bucket,
+             SUM(CAST(value AS DECIMAL(18,6))) AS c_sum,
+             COUNT(*) AS c_w
+      FROM (
+        SELECT day, value,
+               ntile(32) OVER (PARTITION BY day ORDER BY value, event_id) AS bucket
+        FROM ev
+      )
+      GROUP BY day, bucket
+    ),
+    digest AS (
+      SELECT day, bucket, m_sum, m_w,
+             SUM(m_w) OVER (PARTITION BY day ORDER BY
+                            CAST(m_sum AS DOUBLE)/m_w, bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(m_w) OVER (PARTITION BY day) AS total_w
+      FROM (SELECT day, bucket, c_sum AS m_sum, c_w AS m_w FROM built)
+    ),
+    p50 AS (
+      SELECT day,
+             ROUND(CAST(m_sum AS DOUBLE)/m_w, 6) AS p50_est,
+             CAST(total_w AS BIGINT) AS n_day
+      FROM (
+        SELECT day, m_sum, m_w, total_w,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY cum_w) AS rk
+        FROM digest
+        WHERE cum_w >= (500 * total_w + 999) // 1000
+      ) WHERE rk = 1
+    )
+    SELECT day, p50_est, n_day,
+           ROUND(p50_est - LAG(p50_est) OVER (ORDER BY day), 6) AS p50_delta,
+           CASE WHEN ABS(p50_est - LAG(p50_est) OVER (ORDER BY day))
+                     > 0.25 * LAG(p50_est) OVER (ORDER BY day)
+                THEN TRUE ELSE FALSE END AS drift_alert
+    FROM p50
+    """,
+    doc="Day-over-day quantile drift monitor — the DQ consumer of the "
+    "digest state table: each day's median read off its own 32-strata "
+    "digest (no merge, no re-scan of history), day-over-day delta via "
+    "LAG, alert when the median moves >25%% vs the prior day. At 100 TB "
+    "the monitor's daily cost is the day's digest build (which the "
+    "rollup pipeline already pays) plus a b-row window — distribution "
+    "drift detection without a second pass over events. Exact oracle; "
+    "the alert threshold is exact arithmetic on deterministic "
+    "estimates.",
+    tags=("sketch", "dq"),
+)
+def dq_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from canvas_data_aws_spark.operators.quantiles import (
+        quantile_digest_build,
+        quantile_digest_query,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_id", "value"
+    )
+    daily = quantile_digest_build(ev, "value", "event_id", ["day"], b=32)
+    # per-day digests queried directly: stage the build output into the
+    # merged-digest shape (cum_w/total_w per day) without re-stratifying
+    w_ord = Window.partitionBy("day").orderBy(
+        (F.col("c_sum").cast("double") / F.col("c_w")), "bucket"
+    )
+    w_all = Window.partitionBy("day")
+    digest = daily.select(
+        "day",
+        F.col("bucket").alias("mbucket"),
+        F.col("c_sum").alias("m_sum"),
+        F.col("c_w").alias("m_w"),
+        F.sum("c_w").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_w"),
+        F.sum("c_w").over(w_all).alias("total_w"),
+    )
+    p50 = quantile_digest_query(digest, [500], ["day"]).select(
+        "day", F.col("est").alias("p50_est"), F.col("n_total").alias("n_day")
+    )
+    lag = F.lag("p50_est").over(Window.orderBy("day"))
+    return p50.select(
+        "day",
+        "p50_est",
+        "n_day",
+        F.round(F.col("p50_est") - lag, 6).alias("p50_delta"),
+        F.coalesce(
+            F.abs(F.col("p50_est") - lag) > 0.25 * lag, F.lit(False)
+        ).alias("drift_alert"),
+    )

@@ -125,6 +125,9 @@ _ALLOW: dict[str, set[str]] = {
     # only data-sized global sort is the truth_at_rank oracle
     # instrumentation the entry's docstring declares
     "sketch_quantile_digest": {"single-partition-window"},
+    # the day-over-day LAG runs over the ONE-ROW-PER-DAY p50 table
+    # (days-bounded monitor output, never event rows)
+    "dq_quantile_drift": {"single-partition-window"},
 }
 
 
