@@ -105,17 +105,20 @@ def test_ledger_entries_all_rendered():
 
 
 def test_top_cost_plans_have_100x_probes():
-    """Round-9 verdict item 4: the gate is now the TOP-30 most expensive
-    bench plans, DERIVED from the committed bench snapshot rather than a
-    hand list — a new query that lands in the top 30 without a 100x probe
-    row fails the suite until it gets one (the forcing function that made
-    round 9 catch corpus_semdedup's super-linear regime)."""
+    """Round-9 verdict item 4, ratcheted in round 10 to the TOP-40 most
+    expensive bench plans, DERIVED from the committed bench snapshot
+    rather than a hand list — a new query that lands in the top 40
+    without a 100x probe row fails the suite until it gets one (the
+    forcing function that made round 9 catch corpus_semdedup's
+    super-linear regime). 40, not 30: bench noise rotates queries around
+    the old boundary (sim_search_pq and doc_fingerprint_winnowing both
+    rotated in during round 10), so the gate covers the hover zone."""
     with open(os.path.join(REPO, "BENCH_FULL.json")) as f:
         bench = json.load(f)["queries"]
-    required = {q for q, _ in sorted(bench.items(), key=lambda kv: -kv[1])[:30]}
+    required = {q for q, _ in sorted(bench.items(), key=lambda kv: -kv[1])[:40]}
     have = {e["query"] for e in _ledger() if e["factor"] >= 100}
     missing = required - have
     assert not missing, (
-        f"top-30 bench plans missing 100x probe rows: {sorted(missing)} — "
+        f"top-40 bench plans missing 100x probe rows: {sorted(missing)} — "
         "run tools/run_100x_probes.sh for them"
     )
