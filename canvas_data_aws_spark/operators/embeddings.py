@@ -291,9 +291,13 @@ def logistic_fit(
                 if beta_c is None:
                     p = np.full(len(xa), 0.5)
                 else:
-                    z = xa @ beta_c
+                    # clip z: exp(-z) overflows past ~709 and saturated
+                    # p=0/1 would zero the Hessian's bias row (bias is
+                    # deliberately unregularized) — perfectly separable
+                    # labels with large-norm embeddings hit exactly that
+                    z = np.clip(xa @ beta_c, -30.0, 30.0)
                     p = 1.0 / (1.0 + np.exp(-z))
-                w = p * (1.0 - p)
+                w = np.maximum(p * (1.0 - p), 1e-9)
                 g = xa.T @ (xa * w[:, None])
                 r = xa.T @ (y - p)
                 yield pd.DataFrame(
@@ -329,10 +333,15 @@ def logistic_fit(
         reg = np.eye(da) * (n * lam)
         reg[-1, -1] = 0.0  # never regularize the bias
         grad -= reg @ beta  # penalty gradient (zero on the bias row)
-        # hess + reg is positive definite for any n >= 1 (same argument as
-        # ridge_fit: W > 0 wherever p is not saturated, and the ridge term
-        # covers the rest), so underdetermined regularized fits solve fine
-        beta = beta + np.linalg.solve(hess + reg, grad)
+        # hess + reg is positive definite in practice (W floored at 1e-9
+        # after z-clipping keeps every diagonal strictly positive), but a
+        # pathological fit can still be numerically singular — least-squares
+        # is the safety net, not the hot path
+        try:
+            step = np.linalg.solve(hess + reg, grad)
+        except np.linalg.LinAlgError:
+            step = np.linalg.lstsq(hess + reg, grad, rcond=None)[0]
+        beta = beta + step
 
     return LogisticModel(
         weights=beta[:-1], bias=float(beta[-1]), lam=lam, iterations=iterations

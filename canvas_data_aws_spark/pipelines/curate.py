@@ -93,19 +93,26 @@ class CurationFunnel:
 
 
 def _input_signature(sf_dir: str) -> str:
-    """Identity of the input: relative path + size of every file under
-    documents.parquet. Local-filesystem stat here; on a real lake this is
-    the table-format snapshot id — the contract (a resumable tier must
-    notice its input changed) is the same."""
+    """Identity of the input: relative path + size + mtime_ns of every
+    file under documents.parquet (mtime_ns catches an in-place rewrite
+    that preserves names and sizes — same convention as
+    sources/tpch_supplement.py::_source_fingerprint). Local-filesystem
+    stat here; on a real lake this is the table-format snapshot id — the
+    contract (a resumable tier must notice its input changed) is the
+    same."""
     root = os.path.join(sf_dir, "documents.parquet")
-    entries: list[tuple[str, int]] = []
+    entries: list[tuple[str, int, int]] = []
     if os.path.isdir(root):
         for d, _, files in os.walk(root):
             for f in files:
                 p = os.path.join(d, f)
-                entries.append((os.path.relpath(p, root), os.path.getsize(p)))
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, root), st.st_size, st.st_mtime_ns)
+                )
     elif os.path.exists(root):
-        entries.append(("documents.parquet", os.path.getsize(root)))
+        st = os.stat(root)
+        entries.append(("documents.parquet", st.st_size, st.st_mtime_ns))
     entries.sort()
     return hashlib.md5(json.dumps([sf_dir, entries]).encode()).hexdigest()
 

@@ -59,6 +59,7 @@ def schema_inference_off(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_trigger_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.streaming.ops import (
+        await_or_raise,
         file_stream_source,
         start_available_now,
         with_watermark_dedup,
@@ -75,7 +76,7 @@ def stream_trigger_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, name = start_available_now(
         stream.select("event_id"), sink_format="memory", output_mode="append"
     )
-    query.awaitTermination(120)
+    await_or_raise(query, 120)
     result = (
         spark.table(name).agg(F.countDistinct("event_id").alias("n_unique_events"))
     ).cache()
@@ -101,7 +102,7 @@ def stream_trigger_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the batch GROUP BY — state survival across batches is what's checked.",
 )
 def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from canvas_data_aws_spark.streaming.ops import file_stream_source, start_available_now
+    from canvas_data_aws_spark.streaming.ops import await_or_raise, file_stream_source, start_available_now
     from canvas_data_aws_spark.streaming.stateful import running_totals_per_user
 
     events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
@@ -114,7 +115,7 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         file_stream_source(spark, src, schema, max_files_per_trigger=1)
     )
     query, name = start_available_now(stream, sink_format="memory", output_mode="update")
-    query.awaitTermination(120)
+    await_or_raise(query, 120)
     result = (
         spark.table(name)
         .groupBy("user_id")
@@ -141,7 +142,7 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     "twice with bumped values — last writer wins, no duplicates.",
 )
 def stream_stateful_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from canvas_data_aws_spark.streaming.ops import file_stream_source, foreach_batch_upsert
+    from canvas_data_aws_spark.streaming.ops import await_or_raise, file_stream_source, foreach_batch_upsert
 
     ev = (
         load_table(spark, sf_dir, "events")
@@ -163,7 +164,7 @@ def stream_stateful_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
     result = spark.read.parquet(curated).cache()
     result.count()
     shutil.rmtree(workdir, ignore_errors=True)
@@ -291,7 +292,7 @@ def udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming/stateful.py::user_profile_stateful).",
 )
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from canvas_data_aws_spark.streaming.ops import file_stream_source, start_available_now
+    from canvas_data_aws_spark.streaming.ops import await_or_raise, file_stream_source, start_available_now
     from canvas_data_aws_spark.streaming.stateful import user_profile_stateful
 
     events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
@@ -304,7 +305,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         file_stream_source(spark, src, schema, max_files_per_trigger=1)
     )
     query, name = start_available_now(stream, sink_format="memory", output_mode="update")
-    query.awaitTermination(120)
+    await_or_raise(query, 120)
     result = (
         spark.table(name)
         .groupBy("user_id")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from canvas_data_aws_spark.plans.registry import register
 from canvas_data_aws_spark.sources.parquet import load_table
 from canvas_data_aws_spark.streaming.ops import (
+    await_or_raise,
     file_stream_source,
     session_window_agg,
     sliding_window_agg,
@@ -155,7 +156,7 @@ def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = file_stream_source(spark, src_dir, schema, fmt="parquet")
     agg = tumbling_window_agg(stream, "1 day")
     query, name = start_available_now(agg, sink_format="memory", output_mode="complete")
-    query.awaitTermination(120)
+    await_or_raise(query, 120)
     result = spark.table(name).cache()
     result.count()  # materialize before the temp dir is removed
     shutil.rmtree(workdir, ignore_errors=True)
@@ -210,7 +211,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(shuffle_key, "8")
     try:
         query, name = start_available_now(joined, sink_format="memory", output_mode="append")
-        query.awaitTermination(120)
+        await_or_raise(query, 120)
         result = spark.table(name).cache()
         result.count()  # materialize before the temp dir is removed
     finally:
@@ -316,7 +317,7 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(shuffle_key, "8")
     try:
         query, name = start_available_now(joined, sink_format="memory", output_mode="append")
-        query.awaitTermination(120)
+        await_or_raise(query, 120)
         result = spark.table(name).cache()
         result.count()
     finally:
@@ -368,7 +369,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     query, name = start_available_now(enriched, sink_format="memory", output_mode="complete")
-    query.awaitTermination(120)
+    await_or_raise(query, 120)
     result = spark.table(name).cache()
     result.count()  # materialize before the temp dir is removed
     shutil.rmtree(workdir, ignore_errors=True)
@@ -437,8 +438,16 @@ def stream_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir=out_dir,
         jaccard_threshold=0.5,
     )
-    query.awaitTermination(300)
+    await_or_raise(query, 300)
     result = spark.read.parquet(out_dir).cache()
     result.count()  # materialize before the temp dir is removed
     shutil.rmtree(workdir, ignore_errors=True)
-    return result.select("doc_id", "batch_id", "matched_state", "matched_batch", "kept")
+    return result.select(
+        "doc_id",
+        # batch_id is a partition directory now (replay-idempotent sink);
+        # partition-column inference reads it as int — pin the contract type
+        F.col("batch_id").cast("bigint").alias("batch_id"),
+        "matched_state",
+        "matched_batch",
+        "kept",
+    )

@@ -16,12 +16,27 @@ Per-batch cost at 100 TB (the contract that makes this streamable):
 
 - one signature pass over the BATCH (delta-sized, Arrow-free: pure
   xxhash64 + min aggregates, operators/dedup.py::minhash_signatures);
-- one band equi-join batch x state where the state side is the persisted
-  band table — bucketed by (band_no, band_val), so a real deployment
-  prunes to the buckets the batch actually touches; signatures stay out
-  of the exchange (only 16 longs/doc of band keys move);
+- one band equi-join batch x state where the state side is PARTITION-
+  PRUNED: band rows live under ``bucket=pmod(xxhash64(band_no, band_val),
+  n_state_buckets)`` directories, the batch's touched buckets (a
+  driver-side collect bounded by ``n_state_buckets``, never data-sized)
+  become an ``isin`` filter on the partition column, and the scan reads
+  only those directories (PartitionFilters — asserted by
+  tests/test_streaming_near_dedup.py::test_state_scan_partition_pruned).
+  Signatures stay out of the exchange (only 16 longs/doc of band keys
+  move);
 - state grows only by survivors (write-once per kept doc), and is NEVER
   rebuilt — exactly the signatures a batch pipeline would persist.
+
+Replay safety (foreachBatch is at-least-once): every sink write is keyed
+by ``batch_id`` via dynamic partition overwrite — a retried micro-batch
+REPLACES its own partitions instead of appending next to them — and the
+state read excludes rows whose ``batch_id`` equals the current batch, so
+a replay after a state append but before the checkpoint commit cannot
+read its own docs back as kept-state (which would self-match every doc at
+jaccard 1.0 and flip its verdict). The batch body is deterministic given
+the batch contents, so replace-on-replay converges to the exactly-once
+output.
 
 Verdict contract (deterministic given arrival order, which is what the
 sequential-replay equality test in tests/test_streaming_near_dedup.py
@@ -38,6 +53,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from dataclasses import dataclass
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -47,20 +63,73 @@ from canvas_data_aws_spark.operators.dedup import (
     minhash_signatures,
 )
 
-_BANDS_DDL = "id bigint, band_no int, band_val bigint"
-_SIGS_DDL = "id bigint, signature array<bigint>"
+_BANDS_DDL = "id bigint, band_no int, band_val bigint, bucket int, batch_id bigint"
+_SIGS_DDL = "id bigint, signature array<bigint>, batch_id bigint"
 VERDICT_DDL = (
-    "doc_id bigint, batch_id bigint, matched_state boolean, "
-    "matched_batch boolean, kept boolean"
+    "doc_id bigint, matched_state boolean, "
+    "matched_batch boolean, kept boolean, batch_id bigint"
 )
 
 
-def _read_state(spark: SparkSession, path: str, ddl: str) -> DataFrame:
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
-        return spark.read.schema(ddl).parquet(path)
-    return spark.createDataFrame([], ddl)
+def _has_parquet(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for d, _, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _bucket_col(n_state_buckets: int):
+    return F.pmod(F.xxhash64("band_no", "band_val"), F.lit(n_state_buckets)).cast(
+        "int"
+    )
+
+
+def read_state_bands(
+    spark: SparkSession,
+    bands_dir: str,
+    current_batch_id: int,
+    touched_buckets: list[int] | None = None,
+) -> DataFrame:
+    """Kept-state band rows visible to ``current_batch_id``: rows written
+    by THIS batch id are excluded (replay safety — an at-least-once retry
+    must not see its own partial state append), and when
+    ``touched_buckets`` is given the scan is pruned to those partition
+    directories (an ``isin`` on the ``bucket`` partition column, pushed
+    as PartitionFilters — never a full state scan)."""
+    if not _has_parquet(bands_dir):
+        return spark.createDataFrame([], _BANDS_DDL)
+    df = spark.read.schema(_BANDS_DDL).parquet(bands_dir)
+    df = df.filter(F.col("batch_id") != F.lit(current_batch_id))
+    if touched_buckets is not None:
+        df = df.filter(F.col("bucket").isin([int(b) for b in touched_buckets]))
+    return df
+
+
+def read_state_sigs(
+    spark: SparkSession, sigs_dir: str, current_batch_id: int
+) -> DataFrame:
+    if not _has_parquet(sigs_dir):
+        return spark.createDataFrame([], _SIGS_DDL)
+    return (
+        spark.read.schema(_SIGS_DDL)
+        .parquet(sigs_dir)
+        .filter(F.col("batch_id") != F.lit(current_batch_id))
+    )
+
+
+def _write_by_batch(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Idempotent sink write: dynamic partition overwrite keyed by
+    batch_id (always the last partition column) — a replayed micro-batch
+    replaces exactly the partitions it wrote before, leaving other
+    batches' partitions untouched."""
+    (
+        df.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .mode("overwrite")
+        .parquet(path)
+    )
 
 
 def _jaccard_est(num_hashes: int):
@@ -68,6 +137,143 @@ def _jaccard_est(num_hashes: int):
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     )
     return F.round(agree / F.lit(float(num_hashes)), 6)
+
+
+@dataclass(frozen=True)
+class NearDedupConfig:
+    state_dir: str
+    out_dir: str
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    jaccard_threshold: float = 0.5
+    num_hashes: int = 64
+    bands: int = 16
+    seed: int = 42
+    n_state_buckets: int = 64
+
+    @property
+    def bands_dir(self) -> str:
+        return os.path.join(self.state_dir, "bands")
+
+    @property
+    def sigs_dir(self) -> str:
+        return os.path.join(self.state_dir, "sigs")
+
+
+def process_batch(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, cfg: NearDedupConfig
+) -> None:
+    """One micro-batch of the near-dedup state machine. Module-level (not
+    a closure) so the replay-safety test can invoke the SAME batch twice
+    and assert idempotence directly."""
+    r = cfg.num_hashes // cfg.bands
+    docs = batch_df.select(
+        F.col(cfg.id_col).alias("doc_id"), F.col(cfg.text_col).alias("text")
+    )
+    # signature pipeline feeds 4 consumers (state join, batch self-join,
+    # verdict build, state append) — cut lineage once
+    sig = minhash_signatures(
+        docs, "text", "doc_id", cfg.num_hashes, seed=cfg.seed
+    ).localCheckpoint(eager=True)
+    bd = (
+        _band_signatures(sig, cfg.bands, r)
+        .withColumn("bucket", _bucket_col(cfg.n_state_buckets))
+        .localCheckpoint(eager=True)
+    )
+
+    # buckets this batch touches: bounded by n_state_buckets (64), never
+    # data-sized — the one driver-side collect, and it buys the partition
+    # prune on the state scan below
+    touched = [row["bucket"] for row in bd.select("bucket").distinct().collect()]
+    st_bands = read_state_bands(spark, cfg.bands_dir, batch_id, touched)
+    st_sigs = read_state_sigs(spark, cfg.sigs_dir, batch_id)
+
+    # (a) vs kept-state: band equi-join, then full-signature estimate
+    cand_st = (
+        bd.alias("d")
+        .join(
+            st_bands.alias("s"),
+            (F.col("d.band_no") == F.col("s.band_no"))
+            & (F.col("d.band_val") == F.col("s.band_val")),
+        )
+        .select(F.col("d.id").alias("id"), F.col("s.id").alias("state_id"))
+        .dropDuplicates(["id", "state_id"])
+    )
+    m_state = (
+        cand_st.join(
+            sig.select(F.col("id"), F.col("signature").alias("sig_a")), "id"
+        )
+        .join(
+            st_sigs.select(
+                F.col("id").alias("state_id"), F.col("signature").alias("sig_b")
+            ),
+            "state_id",
+        )
+        .filter(_jaccard_est(cfg.num_hashes) >= cfg.jaccard_threshold)
+        .select("id")
+        .distinct()
+    )
+
+    # (b) within batch: same banding, keep the smaller id of each pair
+    cand_in = (
+        bd.alias("a")
+        .join(
+            bd.alias("b"),
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    m_batch = (
+        cand_in.join(
+            sig.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b")),
+            "id_b",
+        )
+        .filter(_jaccard_est(cfg.num_hashes) >= cfg.jaccard_threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+
+    verdicts = (
+        docs.select("doc_id")
+        .join(m_state.withColumn("ms", F.lit(True)), docs.doc_id == m_state.id, "left")
+        .drop("id")
+        .join(m_batch.withColumn("mb", F.lit(True)), docs.doc_id == m_batch.id, "left")
+        .drop("id")
+        .select(
+            "doc_id",
+            F.coalesce("ms", F.lit(False)).alias("matched_state"),
+            F.coalesce("mb", F.lit(False)).alias("matched_batch"),
+            (
+                ~(F.coalesce("ms", F.lit(False)) | F.coalesce("mb", F.lit(False)))
+            ).alias("kept"),
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _write_by_batch(verdicts, cfg.out_dir, ["batch_id"])
+
+    kept = verdicts.filter("kept").select(F.col("doc_id").alias("id"))
+    _write_by_batch(
+        bd.join(kept, "id", "left_semi").withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        ),
+        cfg.bands_dir,
+        ["bucket", "batch_id"],
+    )
+    _write_by_batch(
+        sig.join(kept, "id", "left_semi").withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        ),
+        cfg.sigs_dir,
+        ["batch_id"],
+    )
 
 
 def stream_near_dedup(
@@ -84,107 +290,31 @@ def stream_near_dedup(
     seed: int = 42,
     max_files_per_trigger: int | None = 1,
     checkpoint: str | None = None,
+    n_state_buckets: int = 64,
 ):
     """Start the dedup stream (availableNow): file source over ``src_dir``
-    -> foreachBatch near-dup verdicts appended to ``out_dir`` (schema
-    ``VERDICT_DDL``), kept docs' bands/signatures appended to
-    ``state_dir``. Returns the StreamingQuery; await it, then read
-    ``out_dir`` for the verdicts.
+    -> foreachBatch near-dup verdicts written to ``out_dir`` (schema
+    ``VERDICT_DDL``, partitioned by batch_id, replay-idempotent), kept
+    docs' bands/signatures written to ``state_dir`` (bands partitioned by
+    (bucket, batch_id) for pruned state scans). Returns the
+    StreamingQuery; await it, then read ``out_dir`` for the verdicts.
     """
     from canvas_data_aws_spark.streaming.ops import file_stream_source
 
-    bands_dir = os.path.join(state_dir, "bands")
-    sigs_dir = os.path.join(state_dir, "sigs")
-    r = num_hashes // bands
+    cfg = NearDedupConfig(
+        state_dir=state_dir,
+        out_dir=out_dir,
+        text_col=text_col,
+        id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        n_state_buckets=n_state_buckets,
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-        )
-        # signature pipeline feeds 4 consumers (state join, batch self-join,
-        # verdict build, state append) — cut lineage once
-        sig = minhash_signatures(
-            docs, "text", "doc_id", num_hashes, seed=seed
-        ).localCheckpoint(eager=True)
-        bd = _band_signatures(sig, bands, r).localCheckpoint(eager=True)
-
-        st_bands = _read_state(spark, bands_dir, _BANDS_DDL)
-        st_sigs = _read_state(spark, sigs_dir, _SIGS_DDL)
-
-        # (a) vs kept-state: band equi-join, then full-signature estimate
-        cand_st = (
-            bd.alias("d")
-            .join(
-                st_bands.alias("s"),
-                (F.col("d.band_no") == F.col("s.band_no"))
-                & (F.col("d.band_val") == F.col("s.band_val")),
-            )
-            .select(F.col("d.id").alias("id"), F.col("s.id").alias("state_id"))
-            .dropDuplicates(["id", "state_id"])
-        )
-        m_state = (
-            cand_st.join(
-                sig.select(F.col("id"), F.col("signature").alias("sig_a")), "id"
-            )
-            .join(
-                st_sigs.select(
-                    F.col("id").alias("state_id"), F.col("signature").alias("sig_b")
-                ),
-                "state_id",
-            )
-            .filter(_jaccard_est(num_hashes) >= jaccard_threshold)
-            .select("id")
-            .distinct()
-        )
-
-        # (b) within batch: same banding, keep the smaller id of each pair
-        cand_in = (
-            bd.alias("a")
-            .join(
-                bd.alias("b"),
-                (F.col("a.band_no") == F.col("b.band_no"))
-                & (F.col("a.band_val") == F.col("b.band_val"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        m_batch = (
-            cand_in.join(
-                sig.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")),
-                "id_a",
-            )
-            .join(
-                sig.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b")),
-                "id_b",
-            )
-            .filter(_jaccard_est(num_hashes) >= jaccard_threshold)
-            .select(F.col("id_b").alias("id"))
-            .distinct()
-        )
-
-        verdicts = (
-            docs.select("doc_id")
-            .join(m_state.withColumn("ms", F.lit(True)), docs.doc_id == m_state.id, "left")
-            .drop("id")
-            .join(m_batch.withColumn("mb", F.lit(True)), docs.doc_id == m_batch.id, "left")
-            .drop("id")
-            .select(
-                "doc_id",
-                F.lit(batch_id).cast("bigint").alias("batch_id"),
-                F.coalesce("ms", F.lit(False)).alias("matched_state"),
-                F.coalesce("mb", F.lit(False)).alias("matched_batch"),
-                (
-                    ~(F.coalesce("ms", F.lit(False)) | F.coalesce("mb", F.lit(False)))
-                ).alias("kept"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        verdicts.write.mode("append").parquet(out_dir)
-
-        kept = verdicts.filter("kept").select(F.col("doc_id").alias("id"))
-        bd.join(kept, "id", "left_semi").write.mode("append").parquet(bands_dir)
-        sig.join(kept, "id", "left_semi").write.mode("append").parquet(sigs_dir)
+        process_batch(spark, batch_df, batch_id, cfg)
 
     stream = file_stream_source(
         spark, src_dir, schema, fmt="parquet",

@@ -130,6 +130,20 @@ def stream_stream_interval_join(
     )
 
 
+def await_or_raise(query, timeout_sec: int) -> None:
+    """awaitTermination with the boolean CHECKED: a still-running stream
+    after ``timeout_sec`` raises instead of letting the caller silently
+    read a partial sink (verdict log, memory table) and return wrong row
+    counts. Every plan/test that awaits a bounded (availableNow) stream
+    goes through here."""
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"streaming query {query.name or query.id} did not finish "
+            f"within {timeout_sec}s; sink contents would be partial"
+        )
+
+
 def start_available_now(
     df: DataFrame,
     sink_format: str = "memory",

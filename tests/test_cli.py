@@ -292,3 +292,30 @@ def test_curate_checkpoint_missing_marker_recomputes(
     f2 = curate(spark, sf_dir, str(tmp_path / "s2"), checkpoint_dir=ck)
     assert calls["n"] == 1
     assert {**f1.as_dict(), "out_dir": ""} == {**f2.as_dict(), "out_dir": ""}
+
+
+def test_curate_input_signature_detects_inplace_rewrite(tmp_path):
+    """_input_signature must notice an in-place rewrite of
+    documents.parquet that preserves file names AND sizes (a table
+    rewrite tool producing identical layout): mtime_ns is part of the
+    signature, matching sources/tpch_supplement.py's convention —
+    otherwise a resumed curate run silently adopts stale quality/clean
+    checkpoints over changed data."""
+    import os
+
+    from canvas_data_aws_spark.pipelines.curate import _input_signature
+
+    root = tmp_path / "sf"
+    pq = root / "documents.parquet"
+    pq.mkdir(parents=True)
+    f = pq / "part-00000.parquet"
+    f.write_bytes(b"x" * 128)
+    sig1 = _input_signature(str(root))
+
+    # same name, same size, different mtime — the in-place rewrite shape
+    os.utime(f, ns=(1_700_000_000_000_000_000, 1_700_000_000_000_000_000))
+    sig2 = _input_signature(str(root))
+    assert sig1 != sig2, "in-place rewrite (same name+size) not detected"
+
+    # and the signature is stable when nothing changed
+    assert sig2 == _input_signature(str(root))

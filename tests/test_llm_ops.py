@@ -1084,3 +1084,29 @@ def test_logistic_probe_matches_numpy_and_separates(spark, sf_dir):
         "avg(cast((pred = (y = 1)) as double)) as acc"
     ).collect()[0]["acc"]
     assert acc >= 0.6, f"train accuracy {acc:.3f} below floor"
+
+
+def test_logistic_fit_survives_separable_saturation(spark):
+    """Perfectly separable labels with large-norm embeddings: without
+    z-clipping, p saturates to exact 0/1, W=0 zeroes the Hessian's bias
+    row (bias is unregularized) and np.linalg.solve raises LinAlgError,
+    with exp(-z) overflow warnings on the way. The fit must converge
+    cleanly and still separate the data."""
+    import numpy as np
+
+    from canvas_data_aws_spark.operators.embeddings import (
+        logistic_fit,
+        logistic_predict,
+    )
+
+    rows = [([float(1000 + i), 1.0], 1.0) for i in range(20)] + [
+        ([float(-1000 - i), 1.0], 0.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "embedding array<double>, y double")
+
+    model = logistic_fit(df, target_col="y", lam=1e-3, iterations=6)
+
+    assert np.all(np.isfinite(model.weights)) and np.isfinite(model.bias)
+    scored = logistic_predict(df, model).collect()
+    acc = sum((r["p_hat"] >= 0.5) == (r["y"] == 1.0) for r in scored) / len(scored)
+    assert acc == 1.0, f"separable data not separated: acc={acc}"

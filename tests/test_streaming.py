@@ -11,6 +11,7 @@ import pytest
 
 from canvas_data_aws_spark.sources.parquet import load_table
 from canvas_data_aws_spark.streaming.ops import (
+    await_or_raise,
     file_stream_source,
     foreach_batch_upsert,
     start_available_now,
@@ -46,7 +47,7 @@ def test_file_source_checkpoint_resume(spark, sf_dir, tmp_path):
         query, name = start_available_now(
             agg, sink_format="memory", output_mode="complete", checkpoint=ckpt
         )
-        query.awaitTermination(120)
+        await_or_raise(query, 120)
         out_rows[round_no] = {
             r["window_start"]: (r["n_events"], r["sum_value"])
             for r in spark.table(name).collect()
@@ -76,7 +77,7 @@ def test_streaming_dedup(spark, sf_dir, tmp_path):
     stream = with_watermark_dedup(file_stream_source(spark, src, schema), "2 hours")
     counted = stream.select("event_id")
     query, name = start_available_now(counted, sink_format="memory", output_mode="append")
-    query.awaitTermination(120)
+    await_or_raise(query, 120)
     assert spark.table(name).count() == ev.count()
 
 
@@ -98,7 +99,7 @@ def test_foreach_batch_upsert(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     first = spark.read.parquet(curated)
     assert first.count() == 100
 
@@ -111,7 +112,7 @@ def test_foreach_batch_upsert(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    await_or_raise(q2, 120)
     after = spark.read.parquet(curated)
     assert after.count() == 100
     assert after.agg(F.min("value")).collect()[0][0] >= 1000
@@ -128,7 +129,7 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
     stream = file_stream_source(spark, src, schema, max_files_per_trigger=1)
     totals = running_totals_per_user(stream)
     query, name = start_available_now(totals, sink_format="memory", output_mode="update")
-    query.awaitTermination(180)
+    await_or_raise(query, 180)
 
     # memory sink in update mode appends every emission; last row per user wins
     emitted = spark.table(name)
@@ -177,6 +178,31 @@ def test_processing_time_schedule_picks_up_new_files(spark, sf_dir, tmp_path):
     finally:
         query.stop()
     assert got == want, f"daemon ingested {got} of {want} rows"
+
+
+def test_await_or_raise_times_out_on_live_stream(spark, sf_dir, tmp_path):
+    """await_or_raise must RAISE (not silently return) when the stream is
+    still running at the deadline — the failure mode the helper exists to
+    close is a caller reading a partial sink after a quiet timeout."""
+    import pytest
+
+    from canvas_data_aws_spark.streaming.ops import (
+        await_or_raise,
+        start_processing_time,
+    )
+
+    src = str(tmp_path / "in")
+    load_table(spark, sf_dir, "events").select("event_id").limit(10).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = file_stream_source(spark, src, schema)
+    query, _ = start_processing_time(stream, interval="1 second")
+    try:
+        with pytest.raises(TimeoutError, match="did not finish"):
+            await_or_raise(query, 1)
+    finally:
+        query.stop()
 
 
 def test_user_profile_stateful_gate():

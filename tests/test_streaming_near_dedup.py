@@ -16,6 +16,7 @@ from canvas_data_aws_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from canvas_data_aws_spark.sources.parquet import load_table
+from canvas_data_aws_spark.streaming.ops import await_or_raise
 
 
 def test_stream_equals_sequential_replay(spark, sf_dir, tmp_path):
@@ -38,7 +39,7 @@ def test_stream_equals_sequential_replay(spark, sf_dir, tmp_path):
         out_dir=out_dir,
         jaccard_threshold=0.5,
     )
-    query.awaitTermination(300)
+    await_or_raise(query, 300)
     got = {
         r["doc_id"]: (r["matched_state"], r["matched_batch"], r["kept"])
         for r in spark.read.parquet(out_dir).collect()
@@ -87,3 +88,105 @@ def test_stream_equals_sequential_replay(spark, sf_dir, tmp_path):
     # cross-corpus near-dups), and batch 0 can never match empty state
     assert any(ms for d, (ms, _, _) in got.items() if d % n_batches > 0)
     assert not any(ms for d, (ms, _, _) in got.items() if d % n_batches == 0)
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch that ALREADY
+    appended its state (driver died before the checkpoint commit) must
+    reproduce byte-identical verdicts and state — in particular the
+    replayed docs must NOT read themselves back as kept-state and
+    self-match at jaccard 1.0 (the failure mode of a plain append sink)."""
+    from canvas_data_aws_spark.streaming.near_dedup import (
+        NearDedupConfig,
+        process_batch,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    cfg = NearDedupConfig(
+        state_dir=str(tmp_path / "state"), out_dir=str(tmp_path / "verdicts")
+    )
+    b0 = _mk_docs(
+        spark,
+        [(1, base * 3), (2, "completely different corpus text here " * 4)],
+    )
+    # doc 11 near-dups doc 1 (state hit); docs 12/13 are identical
+    # (within-batch clique: min-id 12 is kept, 13 drops)
+    b1 = _mk_docs(
+        spark,
+        [
+            (11, base * 3 + "tail"),
+            (12, "fresh unseen text about spark partitioning " * 4),
+            (13, "fresh unseen text about spark partitioning " * 4),
+        ],
+    )
+
+    process_batch(spark, b0, 0, cfg)
+    process_batch(spark, b1, 1, cfg)
+
+    def snap(path):
+        return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    v_before = snap(cfg.out_dir)
+    bands_before = snap(cfg.bands_dir)
+    sigs_before = sorted(
+        (r["id"], tuple(r["signature"]), r["batch_id"])
+        for r in spark.read.parquet(cfg.sigs_dir).collect()
+    )
+
+    # the retry: same batch, same batch_id, state already appended
+    process_batch(spark, b1, 1, cfg)
+
+    assert snap(cfg.out_dir) == v_before, "verdicts changed on replay"
+    assert snap(cfg.bands_dir) == bands_before, "band state changed on replay"
+    got_sigs = sorted(
+        (r["id"], tuple(r["signature"]), r["batch_id"])
+        for r in spark.read.parquet(cfg.sigs_dir).collect()
+    )
+    assert got_sigs == sigs_before, "signature state changed on replay"
+
+    verd = {
+        r["doc_id"]: (r["matched_state"], r["matched_batch"], r["kept"])
+        for r in spark.read.parquet(cfg.out_dir).collect()
+    }
+    assert verd[11] == (True, False, False), verd  # near-dup of state doc 1
+    assert verd[12] == (False, False, True), verd  # min-id of the 12/13 clique
+    assert verd[13] == (False, True, False), verd
+
+
+def test_state_scan_partition_pruned(spark, tmp_path):
+    """The batch x state join's state side must be a PARTITION-PRUNED scan:
+    band rows live under bucket=... directories and the touched-bucket
+    isin lands in the reader's PartitionFilters — at 100 TB the state
+    table is the big side and an unpruned scan is the bottleneck."""
+    from canvas_data_aws_spark.plans.audit import explain_str
+    from canvas_data_aws_spark.streaming.near_dedup import (
+        NearDedupConfig,
+        process_batch,
+        read_state_bands,
+    )
+
+    cfg = NearDedupConfig(
+        state_dir=str(tmp_path / "state"), out_dir=str(tmp_path / "verdicts")
+    )
+    docs = _mk_docs(
+        spark,
+        [(i, f"document number {i} with some shared vocabulary " * 3) for i in range(6)],
+    )
+    process_batch(spark, docs, 0, cfg)
+
+    st = read_state_bands(spark, cfg.bands_dir, current_batch_id=1, touched_buckets=[0, 1, 2])
+    plan = explain_str(st, mode="formatted")
+    assert "PartitionFilters" in plan, plan[:2000]
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("bucket" in ln for ln in pf), pf
+    assert any("batch_id" in ln for ln in pf), pf  # replay self-exclusion prunes too
+
+    # and the prune is semantics-preserving: pruned union == full read
+    full = read_state_bands(spark, cfg.bands_dir, current_batch_id=1, touched_buckets=None)
+    all_buckets = [r["bucket"] for r in full.select("bucket").distinct().collect()]
+    pruned_all = read_state_bands(spark, cfg.bands_dir, 1, all_buckets)
+    assert pruned_all.count() == full.count()

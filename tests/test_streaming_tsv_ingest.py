@@ -11,7 +11,7 @@ import os
 import pyspark.sql.functions as F
 
 from canvas_data_aws_spark.sources.schema import table_struct
-from canvas_data_aws_spark.streaming.ops import file_stream_source
+from canvas_data_aws_spark.streaming.ops import await_or_raise, file_stream_source
 
 TABLE = {
     "tableName": "submission_fact",
@@ -47,7 +47,7 @@ def test_stream_canvas_tsv_to_curated(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
 
     run_pass()
     first = spark.read.parquet(curated)
