@@ -150,6 +150,7 @@ HEADLINE = [
     "sketch_quantile_digest",
     "sketch_quantile_digest_rolling",
     "corpus_attribute_store",
+    "corpus_attribute_store_incremental",
     "events_ab_cuped",
     "ts_holt_linear",
     "doc_fingerprint_winnowing",

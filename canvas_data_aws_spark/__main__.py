@@ -97,6 +97,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         jaccard_threshold=args.jaccard_threshold,
         line_dedup_min_df=args.line_dedup_min_df,
         checkpoint_dir=args.checkpoint_dir,
+        attributes_dir=args.attributes_dir,
     )
     print(json.dumps(funnel.as_dict()))
     return 0
@@ -162,6 +163,13 @@ def main(argv: list[str] | None = None) -> int:
         help="materialize + fingerprint tier outputs here; a rerun resumes "
         "from the deepest tier whose inputs and parameters are unchanged "
         "(crash recovery / re-shard for a new epoch without re-deduping)",
+    )
+    pc.add_argument(
+        "--attributes-dir",
+        default=None,
+        help="persist the Dolma-style document attribute store here (one "
+        "fused tagger scan, input-signature marker); the quality stage "
+        "then filters from attributes and a rerun never re-tags text",
     )
     pc.set_defaults(fn=_cmd_curate)
 

@@ -97,6 +97,37 @@ def quality_filter(
     return out.withColumn("keep", keep)
 
 
+def quality_rules_from_attributes(
+    attrs: DataFrame,
+    min_chars: int = 100,
+    max_chars: int = 1_000_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_punct_ratio: float = 0.2,
+    min_stop_ratio: float = 0.0,
+) -> DataFrame:
+    """:func:`quality_filter`'s rule chain evaluated over a PERSISTED
+    attribute table (operators/text.py::document_attributes) instead of
+    re-tagging text — the Dolma decoupling's consumer half. Same rules,
+    same ``keep`` conjunction, pinned equivalent by
+    tests/test_cli.py::test_curate_attributes_equal_inline_quality; the
+    input is tens of bytes per doc, so iterating filter thresholds over
+    100 TB never rescans the corpus."""
+    rules = {
+        "r_len": (F.col("n_chars") >= min_chars) & (F.col("n_chars") <= max_chars),
+        "r_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "r_punct": F.col("punct_ratio") <= max_punct_ratio,
+        "r_stop": F.col("stop_ratio") >= min_stop_ratio,
+    }
+    out = attrs
+    keep = F.lit(True)
+    for name, rule in rules.items():
+        out = out.withColumn(name, rule)
+        keep = keep & rule
+    return out.withColumn("keep", keep)
+
+
 #: LCG constants (glibc family). The bucket is pure 64-bit arithmetic on
 #: the id — any engine reproduces it; ids up to ~8e9 stay within BIGINT.
 LCG_A = 1103515245

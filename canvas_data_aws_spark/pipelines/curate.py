@@ -65,12 +65,14 @@ from canvas_data_aws_spark.operators.curation import (
     decontaminate,
     pack_sequences,
     quality_filter,
+    quality_rules_from_attributes,
 )
 from canvas_data_aws_spark.operators.dedup import (
     dedup_exact,
     line_dedup,
     minhash_lsh_pairs,
 )
+from canvas_data_aws_spark.operators.text import document_attributes
 from canvas_data_aws_spark.sources.parquet import load_table
 
 
@@ -162,6 +164,7 @@ def curate(
     n_shard_chars: int = 1,
     line_dedup_min_df: int | None = None,
     checkpoint_dir: str | None = None,
+    attributes_dir: str | None = None,
 ) -> CurationFunnel:
     """Run the full curation chain over ``{sf_dir}/documents.parquet`` and
     write training shards to ``out_dir`` (parquet, partitioned by shard).
@@ -174,10 +177,36 @@ def curate(
     fingerprinted so a rerun (crash recovery, or a new ``seed``/
     ``capacity`` for the next epoch) resumes from the deepest tier whose
     fingerprint still matches — see the module docstring.
+
+    With ``attributes_dir`` set, the Dolma-style attribute store
+    (operators/text.py::document_attributes) becomes the pipeline's first
+    stage: one fused tagger scan persists a narrow doc-keyed attribute
+    table (own input-signature marker, refreshed only when the corpus
+    changes), and the quality tier derives its keep-set from ATTRIBUTES
+    (quality_rules_from_attributes + one id semi-join) instead of
+    re-tagging text — so iterating quality thresholds over 100 TB costs an
+    attribute-table scan, never a corpus scan. Equivalence with the inline
+    path is test-pinned (same rules, same features).
     """
     from pyspark.sql import Observation
 
     docs = load_table(spark, sf_dir, "documents")
+
+    # ---- stage 0 (optional): build-or-adopt the attribute store. The
+    # store is input-keyed only (taggers are parameter-free), so threshold
+    # iteration and epoch reruns always adopt it.
+    attrs: DataFrame | None = None
+    if attributes_dir is not None:
+        a_fp = _fingerprint(tier="attributes", input_sig=_input_signature(sf_dir))
+        a_marker = _load_marker(attributes_dir, "attributes")
+        if not (a_marker and a_marker.get("fingerprint") == a_fp):
+            at = document_attributes(docs.select("doc_id", "text"))
+            at.write.mode("overwrite").parquet(
+                os.path.join(attributes_dir, "attributes")
+            )
+            _write_marker(attributes_dir, "attributes", a_fp, {}, at.schema.json())
+            a_marker = _load_marker(attributes_dir, "attributes")
+        attrs = _read_tier(spark, attributes_dir, "attributes", a_marker["schema"])
 
     obs = {
         name: Observation(f"curate_{name}")
@@ -242,14 +271,26 @@ def curate(
     persisted: DataFrame | None = None
     if clean is None:
         if q is None:
-            # ---- tier 1: row-local quality rules, one scan
+            # ---- tier 1: row-local quality rules, one scan — or, with an
+            # attribute store, one narrow attribute scan + id semi-join
             d0 = counted(docs.select("doc_id", "text"), "raw")
-            q = counted(
-                quality_filter(d0, min_stop_ratio=min_stop_ratio)
-                .filter(F.col("keep"))
-                .select("doc_id", "text"),
-                "quality",
-            )
+            if attrs is not None:
+                keep_ids = (
+                    quality_rules_from_attributes(attrs, min_stop_ratio=min_stop_ratio)
+                    .filter(F.col("keep"))
+                    .select("doc_id")
+                )
+                q = counted(
+                    d0.join(keep_ids, "doc_id", "left_semi").select("doc_id", "text"),
+                    "quality",
+                )
+            else:
+                q = counted(
+                    quality_filter(d0, min_stop_ratio=min_stop_ratio)
+                    .filter(F.col("keep"))
+                    .select("doc_id", "text"),
+                    "quality",
+                )
 
             # 1b. optional C4-style line-level dedup (off by default): strip
             #     lines repeated across >= line_dedup_min_df documents and

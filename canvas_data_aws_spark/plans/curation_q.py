@@ -1845,3 +1845,51 @@ def corpus_filter_from_attributes_q(spark: SparkSession, sf_dir: str) -> DataFra
             "fail_share"
         ),
     )
+
+
+@register(
+    "corpus_attribute_store_incremental",
+    _ATTR_CTE
+    + """
+    SELECT attrs.*,
+           CASE WHEN doc_id % 10 = 0 THEN 'delta' ELSE 'base' END AS tagged_in
+    FROM attrs
+    """,
+    doc="Day-2 shape of the Dolma attribute store: the persisted store "
+    "covers yesterday's corpus (doc_id % 10 != 0 here); today's feed "
+    "re-delivers everything plus new docs. The incremental update "
+    "anti-joins the feed against the STORE'S KEYS (doc-id exchange only), "
+    "tags ONLY the genuinely-new delta with the fused tagger scan, and "
+    "unions it in — so daily attribute maintenance at 100 TB costs one "
+    "delta-sized text scan plus a key anti-join, never a corpus rescan, "
+    "and re-delivered documents are never re-tagged. The result is "
+    "value-identical to tagging the whole corpus at once (what the exact "
+    "oracle checks), with tagged_in recording which pass produced each "
+    "row; operators/text.py::document_attributes.",
+    tags=("llm", "curation"),
+)
+def corpus_attribute_store_incremental_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from canvas_data_aws_spark.operators.text import document_attributes
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    # yesterday's persisted store (base slice, already tagged)
+    store = (
+        document_attributes(docs.filter(F.col("doc_id") % 10 != 0))
+        .withColumnRenamed("lang", "labeled_lang")
+        .withColumn("tagged_in", F.lit("base"))
+    )
+    # today's feed re-delivers the full corpus; only docs absent from the
+    # store's key set pay the tagger scan
+    arrivals = docs.join(
+        store.select("doc_id"), "doc_id", "left_anti"
+    )
+    delta = (
+        document_attributes(arrivals)
+        .withColumnRenamed("lang", "labeled_lang")
+        .withColumn("tagged_in", F.lit("delta"))
+    )
+    return store.unionByName(delta)

@@ -451,3 +451,52 @@ def stream_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matched_batch",
         "kept",
     )
+
+
+@register(
+    "stream_near_dedup_compacted",
+    None,  # same rows-only rationale as stream_near_dedup; verdict
+    # equivalence across a mid-stream compaction is the quality contract
+    doc="stream_near_dedup with an offline STATE COMPACTION between "
+    "arrival windows: the first half of the batches runs, compact_state "
+    "folds the per-batch state partitions into one batch_id=-1 layer "
+    "(one file per band bucket — the lakehouse OPTIMIZE action for the "
+    "state store, streaming/near_dedup.py::compact_state), then the "
+    "remaining batches run against the compacted state. Verdicts must be "
+    "indistinguishable from the never-compacted run; what changes is the "
+    "state scan's file count, which after B batches is B small files per "
+    "bucket and is the classic streaming small-files bottleneck at "
+    "100 TB. Returns the per-doc verdict log.",
+    tags=("streaming", "llm", "dedup"),
+    quality_test="tests/test_streaming_near_dedup.py::test_compaction_preserves_verdicts",
+)
+def stream_near_dedup_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.streaming.near_dedup import (
+        NearDedupConfig,
+        compact_state,
+        process_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_batches = 4
+    workdir = tempfile.mkdtemp(prefix="cda_stream_neardup_cmp_")
+    cfg = NearDedupConfig(
+        state_dir=os.path.join(workdir, "state"),
+        out_dir=os.path.join(workdir, "verdicts"),
+    )
+    for b in range(n_batches):
+        process_batch(
+            spark, docs.filter(F.col("doc_id") % n_batches == b), b, cfg
+        )
+        if b == n_batches // 2 - 1:
+            compact_state(spark, cfg)
+    result = spark.read.parquet(cfg.out_dir).cache()
+    result.count()  # materialize before the temp dir is removed
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result.select(
+        "doc_id",
+        F.col("batch_id").cast("bigint").alias("batch_id"),
+        "matched_state",
+        "matched_batch",
+        "kept",
+    )

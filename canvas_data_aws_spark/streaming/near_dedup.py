@@ -123,9 +123,16 @@ def _write_by_batch(df: DataFrame, path: str, partition_cols: list[str]) -> None
     """Idempotent sink write: dynamic partition overwrite keyed by
     batch_id (always the last partition column) — a replayed micro-batch
     replaces exactly the partitions it wrote before, leaving other
-    batches' partitions untouched."""
+    batches' partitions untouched.
+
+    The repartition on the partition columns is load-bearing: without it
+    every upstream task writes a sliver into every partition directory
+    (32 tasks x 64 buckets ~ 2k files PER BATCH, measured 1.6x wall at
+    the 100x probe), with it each directory gets exactly one file per
+    batch and compact_state keeps the long-run count flat."""
     (
-        df.write.option("partitionOverwriteMode", "dynamic")
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .mode("overwrite")
         .parquet(path)
@@ -274,6 +281,80 @@ def process_batch(
         cfg.sigs_dir,
         ["batch_id"],
     )
+
+
+#: batch_id of the compacted state layer. Negative on purpose: Structured
+#: Streaming batch ids are non-negative, so compacted rows can never be
+#: mistaken for (and excluded as) a live batch's own rows.
+COMPACTED_BATCH_ID = -1
+
+
+def compact_state(spark: SparkSession, cfg: NearDedupConfig) -> dict:
+    """Offline compaction of the near-dedup state store: fold every
+    per-batch partition into one consolidated ``batch_id=-1`` layer,
+    preserving the bucket partitioning (the scan-prune axis) and writing
+    ONE file per bucket instead of one per (bucket, batch).
+
+    Why it exists: each micro-batch appends its own ``batch_id=...``
+    partition — replay-idempotent, but after B batches a bucket holds B
+    small files and the state scan's cost becomes file-count-bound, the
+    classic streaming small-files failure at 100 TB. Compaction is the
+    same maintenance action a lakehouse runs (Delta OPTIMIZE / Iceberg
+    rewrite_data_files): read the state once, rewrite it partitioned by
+    bucket only, swap atomically (write to a sibling temp dir, then
+    directory rename), so a reader sees either the old layout or the new.
+
+    Contract: run BETWEEN stream runs (checkpoint committed, no pending
+    replay) — the same offline contract as any table compaction. A replay
+    of batch N after compaction would find its own rows under batch_id=-1
+    and wrongly self-exclude nothing; the stream being stopped makes that
+    window empty. Verdict equivalence across a mid-stream compaction is
+    pinned by tests/test_streaming_near_dedup.py::
+    test_compaction_preserves_verdicts.
+
+    Returns ``{"files_before", "files_after", "rows"}``.
+    """
+    import shutil
+
+    stats = {"files_before": 0, "files_after": 0, "rows": 0}
+    for path, ddl, parts in (
+        (cfg.bands_dir, _BANDS_DDL, ["bucket", "batch_id"]),
+        (cfg.sigs_dir, _SIGS_DDL, ["batch_id"]),
+    ):
+        if not _has_parquet(path):
+            continue
+
+        def _nfiles(p):
+            return sum(
+                f.endswith(".parquet") for d, _, fs in os.walk(p) for f in fs
+            )
+
+        stats["files_before"] += _nfiles(path)
+        df = spark.read.schema(ddl).parquet(path)
+        compacted = df.withColumn(
+            "batch_id", F.lit(COMPACTED_BATCH_ID).cast("bigint")
+        )
+        stats["rows"] += compacted.count()
+        tmp = path + ".compact_tmp"
+        # bands: one file per bucket dir (hash-repartition on the partition
+        # column). sigs: all compacted rows share batch_id=-1, so spread
+        # them over a bounded file count by id hash — a real deployment
+        # sizes this by target bytes per file.
+        if "bucket" in parts:
+            spread = compacted.repartition(F.col("bucket"))
+        else:
+            spread = compacted.repartition(F.pmod(F.xxhash64("id"), F.lit(16)))
+        (
+            spread.write.partitionBy(*parts)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        old = path + ".pre_compact"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        stats["files_after"] += _nfiles(path)
+    return stats
 
 
 def stream_near_dedup(

@@ -319,3 +319,55 @@ def test_curate_input_signature_detects_inplace_rewrite(tmp_path):
 
     # and the signature is stable when nothing changed
     assert sig2 == _input_signature(str(root))
+
+
+def test_curate_attributes_equal_inline_quality(spark, tmp_path, sf_dir):
+    """attributes_dir path equivalence: the funnel and shard contents of a
+    curate run that filters from the persisted attribute store must be
+    IDENTICAL to the inline quality_filter path — same rules, same
+    features, different physical plan (narrow attribute scan + id
+    semi-join instead of re-tagging text)."""
+    from canvas_data_aws_spark.pipelines.curate import curate
+
+    out_a = str(tmp_path / "inline")
+    out_b = str(tmp_path / "via_attrs")
+    f_a = curate(spark, sf_dir, out_a)
+    f_b = curate(
+        spark, sf_dir, out_b, attributes_dir=str(tmp_path / "attrs")
+    )
+    assert {**f_a.as_dict(), "out_dir": ""} == {**f_b.as_dict(), "out_dir": ""}
+    a = spark.read.parquet(out_a).select("doc_id", "shard", "pos", "batch_id")
+    b = spark.read.parquet(out_b).select("doc_id", "shard", "pos", "batch_id")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_curate_attributes_store_skips_text_retag(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """Second curate run against the same attributes_dir must adopt the
+    stored attribute table: document_attributes (the fused tagger scan)
+    and quality_filter (the inline re-tag) are both FORBIDDEN and the run
+    still reproduces the funnel — the Dolma iteration story (threshold
+    sweeps over 100 TB never rescan text) made enforceable."""
+    import os
+
+    from canvas_data_aws_spark.pipelines.curate import curate
+
+    ad = str(tmp_path / "attrs")
+    f1 = curate(spark, sf_dir, str(tmp_path / "s1"), attributes_dir=ad)
+    assert os.path.exists(os.path.join(ad, "attributes._FINGERPRINT.json"))
+
+    _forbid(monkeypatch, "document_attributes")
+    _forbid(monkeypatch, "quality_filter")
+    f2 = curate(spark, sf_dir, str(tmp_path / "s2"), attributes_dir=ad)
+    assert {**f1.as_dict(), "out_dir": ""} == {**f2.as_dict(), "out_dir": ""}
+
+    # a threshold change (the daily iteration) also never re-tags
+    f3 = curate(
+        spark,
+        sf_dir,
+        str(tmp_path / "s3"),
+        attributes_dir=ad,
+        min_stop_ratio=0.5,
+    )
+    assert f3.n_quality < f1.n_quality  # the stricter rule actually bit

@@ -104,6 +104,32 @@ def test_ledger_entries_all_rendered():
             )
 
 
+def _committed_bench_snapshot(repo: str):
+    """The COMMITTED bench snapshot (`git show HEAD:BENCH_FULL.json`),
+    falling back to the working-tree file when git or the committed copy
+    is unavailable. The gate must read the committed min-of-2 snapshot:
+    the round driver overwrites the working-tree file post-close with its
+    own run, whose rank order among sub-1 s queries is noise (round 10:
+    that overwrite rotated tpch_q21 from rank 51 to 40 and turned the
+    gate red on a tree with zero code change)."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            ["git", "show", "HEAD:BENCH_FULL.json"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if proc.returncode == 0 and proc.stdout.strip():
+            return json.loads(proc.stdout)
+    except (OSError, ValueError, subprocess.SubprocessError):
+        pass
+    with open(os.path.join(repo, "BENCH_FULL.json")) as f:
+        return json.load(f)
+
+
 def test_top_cost_plans_have_100x_probes():
     """Round-9 verdict item 4, ratcheted in round 10 to the TOP-40 most
     expensive bench plans, DERIVED from the committed bench snapshot
@@ -112,13 +138,62 @@ def test_top_cost_plans_have_100x_probes():
     forcing function that made round 9 catch corpus_semdedup's
     super-linear regime). 40, not 30: bench noise rotates queries around
     the old boundary (sim_search_pq and doc_fingerprint_winnowing both
-    rotated in during round 10), so the gate covers the hover zone."""
-    with open(os.path.join(REPO, "BENCH_FULL.json")) as f:
-        bench = json.load(f)["queries"]
+    rotated in during round 10), so the gate covers the hover zone.
+    Round 11: reads the COMMITTED snapshot so the driver's post-close
+    working-tree overwrite can never rotate this gate red."""
+    bench = _committed_bench_snapshot(REPO)["queries"]
     required = {q for q, _ in sorted(bench.items(), key=lambda kv: -kv[1])[:40]}
     have = {e["query"] for e in _ledger() if e["factor"] >= 100}
     missing = required - have
     assert not missing, (
         f"top-40 bench plans missing 100x probe rows: {sorted(missing)} — "
         "run tools/run_100x_probes.sh for them"
+    )
+
+
+def test_gate_snapshot_survives_driver_overwrite(tmp_path):
+    """Regression for the round-10 red: a noisy single-run overwrite of
+    the working-tree BENCH_FULL.json must NOT change what the gate reads.
+    Replicates the exact scenario in a scratch git repo: committed
+    min-of-2 snapshot, then a post-close overwrite with different
+    rankings — the helper must return the committed content, and fall
+    back to the working tree only when HEAD has no snapshot."""
+    import subprocess
+
+    repo = str(tmp_path / "r")
+    os.makedirs(repo)
+
+    def git(*args):
+        subprocess.run(
+            ["git", *args],
+            cwd=repo,
+            check=True,
+            capture_output=True,
+            env={
+                **os.environ,
+                "GIT_AUTHOR_NAME": "t",
+                "GIT_AUTHOR_EMAIL": "t@t",
+                "GIT_COMMITTER_NAME": "t",
+                "GIT_COMMITTER_EMAIL": "t@t",
+            },
+        )
+
+    git("init", "-q")
+    committed = {"queries": {"q_slow": 5.0, "q_fast": 0.5}}
+    path = os.path.join(repo, "BENCH_FULL.json")
+
+    # before any commit exists: fall back to the working-tree file
+    with open(path, "w") as f:
+        json.dump(committed, f)
+    assert _committed_bench_snapshot(repo) == committed
+
+    git("add", "BENCH_FULL.json")
+    git("commit", "-q", "-m", "close-out snapshot")
+
+    # the driver's post-close overwrite: same file, rotated ranks
+    with open(path, "w") as f:
+        json.dump({"queries": {"q_rotated_in": 9.9, "q_slow": 0.1}}, f)
+
+    assert _committed_bench_snapshot(repo) == committed, (
+        "gate read the driver-overwritten working tree, not the commit"
     )

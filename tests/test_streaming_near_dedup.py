@@ -190,3 +190,45 @@ def test_state_scan_partition_pruned(spark, tmp_path):
     all_buckets = [r["bucket"] for r in full.select("bucket").distinct().collect()]
     pruned_all = read_state_bands(spark, cfg.bands_dir, 1, all_buckets)
     assert pruned_all.count() == full.count()
+
+
+def test_compaction_preserves_verdicts(spark, tmp_path):
+    """compact_state folds the per-batch state partitions into the
+    batch_id=-1 layer between runs: verdicts for every subsequent batch
+    must be identical to the never-compacted state machine, and the state
+    file count must actually drop (the operator's reason to exist)."""
+    from canvas_data_aws_spark.streaming.near_dedup import (
+        NearDedupConfig,
+        compact_state,
+        process_batch,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    batches = [
+        _mk_docs(spark, [(1, base * 4), (2, "unrelated corpus one " * 8)]),
+        _mk_docs(spark, [(11, base * 4 + "tail"), (12, "unrelated corpus two " * 8)]),
+        _mk_docs(spark, [(21, base * 4 + "tip"), (22, "unrelated corpus two " * 8 + "x")]),
+    ]
+
+    def run(compact_after: int | None):
+        d = tmp_path / f"c{compact_after}"
+        cfg = NearDedupConfig(state_dir=str(d / "state"), out_dir=str(d / "v"))
+        stats = None
+        for i, b in enumerate(batches):
+            process_batch(spark, b, i, cfg)
+            if compact_after == i:
+                stats = compact_state(spark, cfg)
+        verd = sorted(
+            (r["doc_id"], r["matched_state"], r["matched_batch"], r["kept"])
+            for r in spark.read.parquet(cfg.out_dir).collect()
+        )
+        return verd, stats
+
+    plain, _ = run(None)
+    compacted, stats = run(1)
+    assert compacted == plain, "compaction changed verdicts"
+    assert stats is not None and stats["files_after"] < stats["files_before"], stats
+    # the fixture bites: batch-2 docs must actually hit compacted state
+    verd = dict((d, (ms, mb, k)) for d, ms, mb, k in compacted)
+    assert verd[21][0] is True, verd  # near-dup of compacted doc 1/11 family
+    assert verd[22][0] is True, verd  # near-dup of compacted doc 12
