@@ -131,7 +131,7 @@ def _committed_bench_snapshot(repo: str):
 
 
 def test_top_cost_plans_have_100x_probes():
-    """Round-9 verdict item 4, ratcheted in round 10 to the TOP-40 most
+    """Round-9 verdict item 4, ratcheted in round 10 to the TOP-40 (50 in round 11) most
     expensive bench plans, DERIVED from the committed bench snapshot
     rather than a hand list — a new query that lands in the top 40
     without a 100x probe row fails the suite until it gets one (the
@@ -140,13 +140,15 @@ def test_top_cost_plans_have_100x_probes():
     the old boundary (sim_search_pq and doc_fingerprint_winnowing both
     rotated in during round 10), so the gate covers the hover zone.
     Round 11: reads the COMMITTED snapshot so the driver's post-close
-    working-tree overwrite can never rotate this gate red."""
+    working-tree overwrite can never rotate this gate red, and the
+    constant ratchets to 50 (rows now exist through rank ~55, and the
+    round-10 rotation showed the sub-1 s hover zone reaches rank 50)."""
     bench = _committed_bench_snapshot(REPO)["queries"]
-    required = {q for q, _ in sorted(bench.items(), key=lambda kv: -kv[1])[:40]}
+    required = {q for q, _ in sorted(bench.items(), key=lambda kv: -kv[1])[:50]}
     have = {e["query"] for e in _ledger() if e["factor"] >= 100}
     missing = required - have
     assert not missing, (
-        f"top-40 bench plans missing 100x probe rows: {sorted(missing)} — "
+        f"top-50 bench plans missing 100x probe rows: {sorted(missing)} — "
         "run tools/run_100x_probes.sh for them"
     )
 
