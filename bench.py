@@ -151,6 +151,7 @@ HEADLINE = [
     "sketch_quantile_digest_rolling",
     "corpus_attribute_store",
     "corpus_attribute_store_incremental",
+    "corpus_quality_calibration",
     "events_ab_cuped",
     "ts_holt_linear",
     "doc_fingerprint_winnowing",

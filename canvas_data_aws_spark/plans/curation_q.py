@@ -1893,3 +1893,54 @@ def corpus_attribute_store_incremental_q(
         .withColumn("tagged_in", F.lit("delta"))
     )
     return store.unionByName(delta)
+
+
+@register(
+    "corpus_quality_calibration",
+    _ATTR_CTE
+    + """,
+    b AS (
+      SELECT LEAST(CAST(FLOOR(q_score * 10) AS BIGINT), 9) AS bucket,
+             CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS pass,
+             CAST(q_score AS DECIMAL(18,6)) AS qs
+      FROM attrs
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pass) AS BIGINT) AS n_pass,
+           ROUND(SUM(pass) * 1.0 / COUNT(*), 6) AS pass_rate,
+           CAST(SUM(qs) AS DECIMAL(38,6)) AS sum_score
+    FROM b GROUP BY bucket
+    """,
+    doc="Reliability (calibration) table for a quality scorer: bucket the "
+    "composite q_score into deciles (integer FLOOR math — engine-exact) "
+    "and report, per bucket, the observed pass rate of the Gopher "
+    "word-count gate plus the DECIMAL-exact score mass. The readout every "
+    "model-based filtering stage (DCLM / FineWeb-edu) needs before "
+    "trusting a threshold: a well-calibrated scorer's pass rate rises "
+    "monotonically across buckets, and a flat stretch says the score "
+    "carries no signal there. One attribute scan, one 10-group "
+    "map-side-combined agg — at 100 TB this rides the attribute store "
+    "(corpus_attribute_store) and never touches text.",
+    tags=("llm", "curation", "quality"),
+)
+def corpus_quality_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.text import document_attributes
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    attrs = document_attributes(docs)
+    b = attrs.select(
+        F.least(F.floor(F.col("q_score") * 10).cast("bigint"), F.lit(9)).alias(
+            "bucket"
+        ),
+        F.when(F.col("n_tokens").between(50, 100000), 1).otherwise(0).alias("pass"),
+        F.col("q_score").cast("decimal(18,6)").alias("qs"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pass").cast("bigint").alias("n_pass"),
+        F.round(F.sum("pass") / F.count(F.lit(1)), 6).alias("pass_rate"),
+        F.sum("qs").cast("decimal(38,6)").alias("sum_score"),
+    )

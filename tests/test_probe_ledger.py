@@ -55,7 +55,7 @@ def test_every_ledger_factor_has_a_block():
     assert {10, 100} <= factors
 
 
-@pytest.mark.parametrize("factor", [10, 100, 300])
+@pytest.mark.parametrize("factor", [10, 100, 300, 1000])
 def test_generated_block_rows_are_well_formed(factor):
     """Every row inside a generated block has exactly the 5 declared columns
     and a numeric growth — the mixed-column-count corruption the round-8
