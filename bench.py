@@ -152,6 +152,8 @@ HEADLINE = [
     "corpus_attribute_store",
     "corpus_attribute_store_incremental",
     "corpus_quality_calibration",
+    "corpus_quality_classifier",
+    "corpus_classifier_holdout_auc",
     "events_ab_cuped",
     "ts_holt_linear",
     "doc_fingerprint_winnowing",

@@ -1944,3 +1944,222 @@ def corpus_quality_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("pass") / F.count(F.lit(1)), 6).alias("pass_rate"),
         F.sum("qs").cast("decimal(38,6)").alias("sum_score"),
     )
+
+
+def _classifier_gd_oracle(
+    train_pred: str,
+    final_select: str,
+    passes: int = 3,
+    lr: float = 0.5,
+    n_buckets: int = 64,
+    scale: float = 100.0,
+) -> str:
+    """Unrolled full-batch logistic-GD as chained DuckDB CTEs — the exact
+    oracle for operators/classifier.logistic_gd (zero init, ``passes``
+    deterministic passes, learning rate ``lr``). Generated the same way as
+    _vocab_coverage_oracle: a Python loop emitting one (score, residual,
+    gradient, weight-update) CTE block per pass. md5-nibble bucketing is
+    byte-identical to text_hashing_vectorizer's portable hash."""
+    head = rf"""
+    WITH d AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END AS y
+      FROM d WHERE {train_pred}
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+      FROM d
+    ),
+    x0 AS (
+      SELECT doc_id,
+             CAST(((strpos('0123456789abcdef', substring(md5(word), 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substring(md5(word), 2, 1)) - 1)
+                  % {n_buckets} AS BIGINT) AS bucket
+      FROM tok
+    ),
+    xt AS (
+      SELECT doc_id, bucket, COUNT(*) / {scale} AS x
+      FROM x0 GROUP BY doc_id, bucket
+    ),
+    xtr AS (SELECT xt.* FROM xt JOIN lab USING (doc_id)),
+    ntr AS (SELECT COUNT(*) AS n FROM lab),
+    buckets AS (SELECT range AS bucket FROM range(0, {n_buckets})),
+    w0 AS (SELECT bucket, 0.0 AS w FROM buckets),
+    b0 AS (SELECT 0.0 AS b)"""
+    blocks = [head]
+    for k in range(1, passes + 1):
+        blocks.append(
+            f""",
+    s{k} AS (
+      SELECT lab.doc_id, lab.y,
+             COALESCE(ws.sv, 0) + (SELECT b FROM b{k - 1}) AS s
+      FROM lab LEFT JOIN (
+        SELECT xtr.doc_id, SUM(xtr.x * w{k - 1}.w) AS sv
+        FROM xtr JOIN w{k - 1} USING (bucket) GROUP BY xtr.doc_id
+      ) ws USING (doc_id)
+    ),
+    r{k} AS (SELECT doc_id, 1.0 / (1.0 + exp(-s)) - y AS r FROM s{k}),
+    g{k} AS (
+      SELECT bucket, SUM(xtr.x * r{k}.r) / (SELECT n FROM ntr) AS g
+      FROM xtr JOIN r{k} USING (doc_id) GROUP BY bucket
+    ),
+    w{k} AS (
+      SELECT buckets.bucket,
+             COALESCE(w{k - 1}.w, 0) - {lr} * COALESCE(g{k}.g, 0) AS w
+      FROM buckets
+      LEFT JOIN w{k - 1} USING (bucket)
+      LEFT JOIN g{k} USING (bucket)
+    ),
+    b{k} AS (
+      SELECT (SELECT b FROM b{k - 1})
+             - {lr} * (SELECT SUM(r) / (SELECT n FROM ntr) FROM r{k}) AS b
+    )"""
+        )
+    blocks.append(final_select.format(T=passes))
+    return "".join(blocks)
+
+
+@register(
+    "corpus_quality_classifier",
+    _classifier_gd_oracle(
+        train_pred="TRUE",
+        final_select="""
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+                AS BIGINT) AS label,
+           ROUND(COALESCE(ws.sv, 0) + (SELECT b FROM b{T}), 6) AS score_r,
+           ROUND(1.0 / (1.0 + exp(-(COALESCE(ws.sv, 0) + (SELECT b FROM b{T})))),
+                 6) AS prob_r
+    FROM d LEFT JOIN (
+      SELECT xt.doc_id, SUM(xt.x * w{T}.w) AS sv
+      FROM xt JOIN w{T} USING (bucket) GROUP BY xt.doc_id
+    ) ws USING (doc_id)
+    """,
+    ),
+    doc="fastText-class quality classifier trained INSIDE the engine "
+    "(the DCLM / RedPajama-v2 model-based filtering stage): unsigned "
+    "hashed-BOW features (md5-nibble buckets — text_hashing_vectorizer's "
+    "portable hash), weak labels from the Gopher word-count gate, and 3 "
+    "deterministic full-batch logistic-GD passes expressed as DataFrame "
+    "ops (operators/classifier.py). Zero init + fixed pass count = no "
+    "RNG, so the whole fit unrolls into chained SQL CTEs and carries a "
+    "FULL value oracle — a trained classifier that hash-matches DuckDB. "
+    "Scale shape: the feature table is built once (one scan, one "
+    "(doc,bucket) agg) and hash-partitioned by doc; each pass reuses that "
+    "partitioning for the per-doc score (no exchange) and pays ONE "
+    "64-key map-side-combined exchange for the gradient; driver state is "
+    "65 doubles per pass (embed_kmeans' bounded-collect contract). "
+    "Separation quality pinned by tests/test_classifier.py (AUC >= 0.95 "
+    "on the weak label).",
+    tags=("llm", "curation", "quality", "iterative"),
+)
+def corpus_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.classifier import (
+        bias_rows,
+        hashed_bow,
+        logistic_gd,
+        logistic_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        n_words.between(50, 100000).cast("double").alias("y"),
+    )
+    feats = hashed_bow(docs).unionByName(bias_rows(docs))
+    w, b = logistic_gd(feats, labels, n_buckets=64, lr=0.5, passes=3)
+    scored = logistic_score(feats, w, b)
+    return scored.join(labels, "id").select(
+        F.col("id").alias("doc_id"),
+        F.col("y").cast("bigint").alias("label"),
+        F.round("s", 6).alias("score_r"),
+        F.round("p", 6).alias("prob_r"),
+    )
+
+
+@register(
+    "corpus_classifier_holdout_auc",
+    _classifier_gd_oracle(
+        train_pred="doc_id % 5 <> 0",
+        final_select="""
+    , stest AS (
+      SELECT d.doc_id,
+             CASE WHEN d.n_words BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END AS y,
+             COALESCE(ws.sv, 0) + (SELECT b FROM b{T}) AS s
+      FROM d LEFT JOIN (
+        SELECT xt.doc_id, SUM(xt.x * w{T}.w) AS sv
+        FROM xt JOIN w{T} USING (bucket) GROUP BY xt.doc_id
+      ) ws USING (doc_id)
+      WHERE d.doc_id % 5 = 0
+    ),
+    rk AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY s, doc_id) AS rnk FROM stest
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           ROUND((SUM(CASE WHEN y = 1.0 THEN rnk ELSE 0 END)
+                  - (SUM(y) * (SUM(y) + 1)) / 2.0)
+                 / (SUM(y) * (COUNT(*) - SUM(y))), 4) AS auc_r
+    FROM rk
+    """,
+    ),
+    doc="Held-out evaluation of corpus_quality_classifier: train on the "
+    "doc_id%5<>0 split (the repo's stable-bucket split convention, "
+    "corpus_train_val_split), score the held-out 20%, and report the "
+    "exact Mann-Whitney AUC via rank-sum. The global rank is computed "
+    "with the scalable two-level idiom (range-sort exchange, then "
+    "per-partition row_number + broadcast cumulative offsets — "
+    "operators/classifier.global_rank), never a single-reducer window; "
+    "ties broken by doc_id so the rank (and the AUC) is engine-exact. "
+    "One row out: the gate a production filter reads before trusting a "
+    "threshold.",
+    tags=("llm", "curation", "quality", "iterative"),
+)
+def corpus_classifier_holdout_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.classifier import (
+        bias_rows,
+        global_rank,
+        hashed_bow,
+        logistic_gd,
+        logistic_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        n_words.between(50, 100000).cast("double").alias("y"),
+    )
+    feats = hashed_bow(docs).unionByName(bias_rows(docs))
+    train = labels.filter(F.col("id") % 5 != 0)
+    w, b = logistic_gd(feats, train, n_buckets=64, lr=0.5, passes=3)
+    test = (
+        logistic_score(feats, w, b)
+        .join(labels.filter(F.col("id") % 5 == 0), "id")
+        .select("id", "y", "s")
+    )
+    ranked = global_rank(test, ["s", "id"], out_col="rnk")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.round(
+            (
+                F.sum(F.when(F.col("y") == 1.0, F.col("rnk")).otherwise(F.lit(0)))
+                - (F.sum("y") * (F.sum("y") + 1)) / 2.0
+            )
+            / (F.sum("y") * (F.count(F.lit(1)) - F.sum("y"))),
+            4,
+        ).alias("auc_r"),
+    )

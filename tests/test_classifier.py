@@ -1,0 +1,140 @@
+"""Hashed-BOW logistic classifier (operators/classifier.py): numpy parity
+for the distributed GD, separation floor for the trained filter, and the
+two-level global-rank idiom vs a reference window rank."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from canvas_data_aws_spark.operators.classifier import (
+    bias_rows,
+    global_rank,
+    hashed_bow,
+    logistic_gd,
+    logistic_score,
+)
+from canvas_data_aws_spark.sources.parquet import load_table
+
+N_BUCKETS = 64
+SCALE = 100.0
+
+
+def _numpy_fit(rows, lr=0.5, passes=3):
+    """Reference implementation: identical tokenization (md5-nibble
+    buckets), identical zero-init full-batch GD."""
+    X = np.zeros((len(rows), N_BUCKETS))
+    y = np.zeros(len(rows))
+    for i, (doc_id, text) in enumerate(rows):
+        t = text.strip()
+        words = re.sub(r"\s+", " ", text.lower().strip()).split(" ") if t else []
+        n_words = len(re.split(r"\s+", t)) if t else 0
+        y[i] = 1.0 if 50 <= n_words <= 100000 else 0.0
+        for wd in words:
+            h = hashlib.md5(wd.encode()).hexdigest()
+            X[i, (int(h[0], 16) * 16 + int(h[1], 16)) % N_BUCKETS] += 1
+    X /= SCALE
+    w = np.zeros(N_BUCKETS)
+    b = 0.0
+    for _ in range(passes):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        w -= lr * (X.T @ (p - y)) / len(y)
+        b -= lr * (p - y).mean()
+    return X, y, w, b
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+
+
+def _labels(docs):
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        n_words.between(50, 100000).cast("double").alias("y"),
+    )
+
+
+def test_logistic_gd_matches_numpy(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    _, _, w_ref, b_ref = _numpy_fit(rows)
+    feats = hashed_bow(docs).unionByName(bias_rows(docs))
+    w, b = logistic_gd(feats, _labels(docs), n_buckets=N_BUCKETS, lr=0.5, passes=3)
+    assert np.allclose(np.array(w), w_ref, atol=1e-9)
+    assert abs(b - b_ref) < 1e-9
+
+
+def test_classifier_separates_weak_label(spark, sf_dir):
+    """The trained filter must actually discriminate: held-out AUC >= 0.95
+    on the Gopher word-count weak label (the floor a fastText-class
+    quality gate needs before a threshold means anything)."""
+    docs = _docs(spark, sf_dir)
+    labels = _labels(docs)
+    feats = hashed_bow(docs).unionByName(bias_rows(docs))
+    train = labels.filter(F.col("id") % 5 != 0)
+    w, b = logistic_gd(feats, train, n_buckets=N_BUCKETS, lr=0.5, passes=3)
+    test = (
+        logistic_score(feats, w, b)
+        .join(labels.filter(F.col("id") % 5 == 0), "id")
+        .select("id", "y", "s")
+    )
+    ranked = global_rank(test, ["s", "id"], out_col="rnk").collect()
+    n = len(ranked)
+    npos = sum(1 for r in ranked if r["y"] == 1.0)
+    assert 0 < npos < n  # both classes present in the held-out split
+    rank_sum = sum(r["rnk"] for r in ranked if r["y"] == 1.0)
+    auc = (rank_sum - npos * (npos + 1) / 2) / (npos * (n - npos))
+    assert auc >= 0.95, f"held-out AUC {auc:.4f} below floor"
+
+
+def test_global_rank_matches_window_rank(spark, sf_dir):
+    """Two-level rank (range sort + per-partition offsets) == the
+    single-window row_number reference, including tie-break behavior."""
+    from pyspark.sql import Window
+
+    df = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", (F.col("n_chars") % 7).alias("k"))  # heavy ties
+        .repartition(4)
+    )
+    got = {
+        r["doc_id"]: r["rnk"]
+        for r in global_rank(df, ["k", "doc_id"], out_col="rnk").collect()
+    }
+    ref = {
+        r["doc_id"]: r["rnk"]
+        for r in df.withColumn(
+            "rnk", F.row_number().over(Window.orderBy("k", "doc_id"))
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_gd_per_pass_plan_is_bounded(spark, sf_dir):
+    """The per-doc score aggregate must reuse the feature table's hash
+    partitioning: no Exchange between the checkpointed scan and the
+    final aggregate (the per-pass cost contract in the module docstring)."""
+    docs = _docs(spark, sf_dir)
+    feats = (
+        hashed_bow(docs).unionByName(bias_rows(docs)).repartition("id").persist()
+    )
+    feats.count()
+    from canvas_data_aws_spark.operators.classifier import _doc_scores
+
+    try:
+        df = _doc_scores(feats, {b: 0.1 for b in range(-1, N_BUCKETS)})
+        df.collect()  # AQE: final plan only exists after execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # exactly the one Exchange from the persisted repartition is allowed
+        # to appear ABOVE the InMemoryTableScan reuse boundary; the aggregate
+        # itself must not add one
+        agg_part = plan.split("InMemoryTableScan")[0]
+        assert "Exchange" not in agg_part, plan
+    finally:
+        feats.unpersist()
