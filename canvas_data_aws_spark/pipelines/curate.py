@@ -336,22 +336,27 @@ def curate(
                     F.col("doc_id").alias("id"),
                     n_words_c.between(50, 100000).cast("double").alias("y"),
                 )
-                feats_c = hashed_bow(q).unionByName(bias_rows(q))
-                wgt_c, bias_c = logistic_gd(
-                    feats_c, labels_c, n_buckets=64, lr=0.5, passes=3
-                )
-                # materialize once: the scores feed approxQuantile AND the
-                # keep-set semi-join on the main action
-                scored_c = logistic_score(feats_c, wgt_c, bias_c).localCheckpoint(
-                    eager=True
-                )
-                cut = scored_c.approxQuantile(
-                    "p", [1.0 - float(classifier_keep_frac)], 0.001
-                )[0]
-                keep_c = scored_c.filter(F.col("p") >= cut).select(
-                    F.col("id").alias("doc_id")
-                )
-                q = q.join(keep_c, "doc_id", "left_semi")
+                # degenerate guard: if the rule tier filtered everything,
+                # there is nothing to train on — skip the stage and let the
+                # zero funnel be the diagnosis (limit(1) short-circuits, so
+                # this probe never scans the survivor set)
+                if labels_c.limit(1).count() > 0:
+                    feats_c = hashed_bow(q).unionByName(bias_rows(q))
+                    wgt_c, bias_c = logistic_gd(
+                        feats_c, labels_c, n_buckets=64, lr=0.5, passes=3
+                    )
+                    # materialize once: the scores feed approxQuantile AND
+                    # the keep-set semi-join on the main action
+                    scored_c = logistic_score(
+                        feats_c, wgt_c, bias_c
+                    ).localCheckpoint(eager=True)
+                    cut = scored_c.approxQuantile(
+                        "p", [1.0 - float(classifier_keep_frac)], 0.001
+                    )[0]
+                    keep_c = scored_c.filter(F.col("p") >= cut).select(
+                        F.col("id").alias("doc_id")
+                    )
+                    q = q.join(keep_c, "doc_id", "left_semi")
 
             if checkpoint_dir is not None:
                 q.write.mode("overwrite").parquet(

@@ -444,3 +444,18 @@ def test_cli_curate_classifier_stage(spark, tmp_path, capsys, sf_dir):
     n_q = q.count()
     assert len(kept) < n_q, "the cutoff must drop some rule survivors"
     assert ids_b <= kept, "every shard doc must pass the standalone classifier"
+
+
+def test_curate_classifier_stage_on_empty_survivors(spark, tmp_path, sf_dir):
+    """classifier_keep_frac + an unsatisfiable rule tier: nothing survives
+    to train on — curate must skip the stage and return the zero funnel
+    (the diagnosis), not crash in logistic_gd on an empty label set."""
+    from canvas_data_aws_spark.pipelines.curate import curate
+
+    out_dir = str(tmp_path / "shards_empty_clf")
+    funnel = curate(
+        spark, sf_dir, out_dir, min_stop_ratio=1.0, classifier_keep_frac=0.6
+    )
+    assert funnel.n_raw > 0
+    assert funnel.n_quality == 0
+    assert funnel.n_clean == 0 and funnel.n_shards == 0
