@@ -338,9 +338,13 @@ def curate(
                 )
                 # degenerate guard: if the rule tier filtered everything,
                 # there is nothing to train on — skip the stage and let the
-                # zero funnel be the diagnosis (limit(1) short-circuits, so
-                # this probe never scans the survivor set)
-                if labels_c.limit(1).count() > 0:
+                # zero funnel be the diagnosis. This must be a FULL count,
+                # never limit(1): the guard is the first action over the
+                # observed lineage, and an Observation records the FIRST
+                # completed action — a limit-truncated job would poison
+                # n_raw/n_quality at ~1 for the whole run (and, with
+                # checkpointing, persist the lie into the quality marker).
+                if labels_c.count() > 0:
                     feats_c = hashed_bow(q).unionByName(bias_rows(q))
                     wgt_c, bias_c = logistic_gd(
                         feats_c, labels_c, n_buckets=64, lr=0.5, passes=3
