@@ -195,9 +195,12 @@ def curate(
 
     # ---- stage 0 (optional): build-or-adopt the attribute store. The
     # store is input-keyed only (taggers are parameter-free), so threshold
-    # iteration and epoch reruns always adopt it.
-    attrs: DataFrame | None = None
-    if attributes_dir is not None:
+    # iteration and epoch reruns always adopt it. Built LAZILY (inside the
+    # quality tier, via _attrs below): a run that resumes past the quality
+    # tier never consumes the store, and an unconditional build here would
+    # pay a full corpus tagger scan + write for nothing — exactly the text
+    # re-scan the checkpoint exists to skip.
+    def _attrs() -> DataFrame:
         a_fp = _fingerprint(tier="attributes", input_sig=_input_signature(sf_dir))
         a_marker = _load_marker(attributes_dir, "attributes")
         if not (a_marker and a_marker.get("fingerprint") == a_fp):
@@ -207,7 +210,7 @@ def curate(
             )
             _write_marker(attributes_dir, "attributes", a_fp, {}, at.schema.json())
             a_marker = _load_marker(attributes_dir, "attributes")
-        attrs = _read_tier(spark, attributes_dir, "attributes", a_marker["schema"])
+        return _read_tier(spark, attributes_dir, "attributes", a_marker["schema"])
 
     obs = {
         name: Observation(f"curate_{name}")
@@ -276,9 +279,9 @@ def curate(
             # ---- tier 1: row-local quality rules, one scan — or, with an
             # attribute store, one narrow attribute scan + id semi-join
             d0 = counted(docs.select("doc_id", "text"), "raw")
-            if attrs is not None:
+            if attributes_dir is not None:
                 keep_ids = (
-                    quality_rules_from_attributes(attrs, min_stop_ratio=min_stop_ratio)
+                    quality_rules_from_attributes(_attrs(), min_stop_ratio=min_stop_ratio)
                     .filter(F.col("keep"))
                     .select("doc_id")
                 )

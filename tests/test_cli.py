@@ -459,3 +459,26 @@ def test_curate_classifier_stage_on_empty_survivors(spark, tmp_path, sf_dir):
     assert funnel.n_raw > 0
     assert funnel.n_quality == 0
     assert funnel.n_clean == 0 and funnel.n_shards == 0
+
+
+def test_curate_resumed_run_skips_attribute_build(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """A run that resumes past the quality tier must not build the attribute
+    store at all (lazy stage 0): with a valid clean checkpoint and a FRESH
+    attributes_dir, document_attributes is forbidden — the resume's whole
+    point is skipping the corpus text scan."""
+    from canvas_data_aws_spark.pipelines.curate import curate
+
+    ck = str(tmp_path / "ck")
+    f1 = curate(spark, sf_dir, str(tmp_path / "s1"), checkpoint_dir=ck)
+    _forbid(monkeypatch, "document_attributes")
+    _forbid(monkeypatch, "quality_filter")
+    f2 = curate(
+        spark,
+        sf_dir,
+        str(tmp_path / "s2"),
+        checkpoint_dir=ck,
+        attributes_dir=str(tmp_path / "attrs_fresh"),
+    )
+    assert f2.n_clean == f1.n_clean > 0
