@@ -119,7 +119,13 @@ def read_state_sigs(
     )
 
 
-def _write_by_batch(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+def _write_by_batch(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    salt_col: str | None = None,
+    n_salt: int = 16,
+) -> None:
     """Idempotent sink write: dynamic partition overwrite keyed by
     batch_id (always the last partition column) — a replayed micro-batch
     replaces exactly the partitions it wrote before, leaving other
@@ -128,10 +134,20 @@ def _write_by_batch(df: DataFrame, path: str, partition_cols: list[str]) -> None
     The repartition on the partition columns is load-bearing: without it
     every upstream task writes a sliver into every partition directory
     (32 tasks x 64 buckets ~ 2k files PER BATCH, measured 1.6x wall at
-    the 100x probe), with it each directory gets exactly one file per
-    batch and compact_state keeps the long-run count flat."""
+    the 100x probe), with it each directory gets a bounded file count per
+    batch and compact_state keeps the long-run count flat.
+
+    ``salt_col``: for sinks whose only partition column is the constant
+    batch_id (sigs, verdicts), repartitioning on it alone collapses the
+    whole batch into ONE task — a data-sized serial write at large batch
+    sizes. A bounded id-hash salt keeps the write ``n_salt``-way parallel
+    at the cost of n_salt files per batch dir (folded later by
+    compact_state)."""
+    parts = [F.col(c) for c in partition_cols]
+    if salt_col is not None:
+        parts.append(F.pmod(F.xxhash64(salt_col), F.lit(n_salt)))
     (
-        df.repartition(*[F.col(c) for c in partition_cols])
+        df.repartition(*parts)
         .write.option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .mode("overwrite")
@@ -264,7 +280,7 @@ def process_batch(
         )
         .localCheckpoint(eager=True)
     )
-    _write_by_batch(verdicts, cfg.out_dir, ["batch_id"])
+    _write_by_batch(verdicts, cfg.out_dir, ["batch_id"], salt_col="doc_id")
 
     kept = verdicts.filter("kept").select(F.col("doc_id").alias("id"))
     _write_by_batch(
@@ -280,6 +296,7 @@ def process_batch(
         ),
         cfg.sigs_dir,
         ["batch_id"],
+        salt_col="id",
     )
 
 
@@ -301,8 +318,12 @@ def compact_state(spark: SparkSession, cfg: NearDedupConfig) -> dict:
     classic streaming small-files failure at 100 TB. Compaction is the
     same maintenance action a lakehouse runs (Delta OPTIMIZE / Iceberg
     rewrite_data_files): read the state once, rewrite it partitioned by
-    bucket only, swap atomically (write to a sibling temp dir, then
-    directory rename), so a reader sees either the old layout or the new.
+    bucket only, then swap via two directory renames. The swap window is
+    not atomic, so entry performs crash recovery: a ``.pre_compact``
+    backup with no live dir (death between the renames) is rolled
+    forward, a stale backup or half-written ``.compact_tmp`` is
+    discarded — the next run always sees a complete state, never an
+    empty one.
 
     Contract: run BETWEEN stream runs (checkpoint committed, no pending
     replay) — the same offline contract as any table compaction. A replay
@@ -321,6 +342,21 @@ def compact_state(spark: SparkSession, cfg: NearDedupConfig) -> dict:
         (cfg.bands_dir, _BANDS_DDL, ["bucket", "batch_id"]),
         (cfg.sigs_dir, _SIGS_DDL, ["batch_id"]),
     ):
+        # crash recovery for the two-rename swap below: a death between
+        # rename(path -> old) and rename(tmp -> path) leaves the state
+        # MISSING (the next stream run would silently treat it as empty
+        # and re-admit near-dups), and the leftover old/ would make the
+        # next swap's rename raise. Roll the backup forward if the live
+        # dir is gone; discard it (and any half-written tmp) otherwise.
+        old = path + ".pre_compact"
+        tmp = path + ".compact_tmp"
+        if os.path.isdir(old) and not os.path.isdir(path):
+            os.rename(old, path)
+        elif os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
         if not _has_parquet(path):
             continue
 
@@ -335,7 +371,6 @@ def compact_state(spark: SparkSession, cfg: NearDedupConfig) -> dict:
             "batch_id", F.lit(COMPACTED_BATCH_ID).cast("bigint")
         )
         stats["rows"] += compacted.count()
-        tmp = path + ".compact_tmp"
         # bands: one file per bucket dir (hash-repartition on the partition
         # column). sigs: all compacted rows share batch_id=-1, so spread
         # them over a bounded file count by id hash — a real deployment
@@ -349,7 +384,6 @@ def compact_state(spark: SparkSession, cfg: NearDedupConfig) -> dict:
             .mode("overwrite")
             .parquet(tmp)
         )
-        old = path + ".pre_compact"
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)

@@ -232,3 +232,45 @@ def test_compaction_preserves_verdicts(spark, tmp_path):
     verd = dict((d, (ms, mb, k)) for d, ms, mb, k in compacted)
     assert verd[21][0] is True, verd  # near-dup of compacted doc 1/11 family
     assert verd[22][0] is True, verd  # near-dup of compacted doc 12
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """The two-rename swap is not atomic: a death between rename(path->old)
+    and rename(tmp->path) leaves the live state dir MISSING. The next
+    compact_state must roll the .pre_compact backup forward (never treat
+    the state as empty), and a stale backup from a completed swap must not
+    break the next swap's rename."""
+    import os
+    import shutil
+
+    from canvas_data_aws_spark.streaming.near_dedup import (
+        NearDedupConfig,
+        compact_state,
+        process_batch,
+        read_state_bands,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    cfg = NearDedupConfig(
+        state_dir=str(tmp_path / "state"), out_dir=str(tmp_path / "v")
+    )
+    process_batch(spark, _mk_docs(spark, [(1, base * 4)]), 0, cfg)
+    n_bands = read_state_bands(spark, cfg.bands_dir, 99).count()
+    assert n_bands > 0
+
+    # simulate the mid-swap crash: live dir renamed away, tmp half-written
+    os.rename(cfg.bands_dir, cfg.bands_dir + ".pre_compact")
+    os.makedirs(cfg.bands_dir + ".compact_tmp", exist_ok=True)
+
+    stats = compact_state(spark, cfg)
+    assert stats["rows"] > 0, "recovery must roll the backup forward"
+    assert read_state_bands(spark, cfg.bands_dir, 99).count() == n_bands
+    assert not os.path.isdir(cfg.bands_dir + ".pre_compact")
+    assert not os.path.isdir(cfg.bands_dir + ".compact_tmp")
+
+    # stale backup from a COMPLETED swap alongside a live dir: discarded,
+    # and a second compaction still succeeds
+    shutil.copytree(cfg.bands_dir, cfg.bands_dir + ".pre_compact")
+    stats2 = compact_state(spark, cfg)
+    assert stats2["rows"] == stats["rows"]
+    assert not os.path.isdir(cfg.bands_dir + ".pre_compact")
