@@ -66,30 +66,44 @@ def decontaminate(
     )
 
 
-def quality_filter(
-    df: DataFrame,
-    text_col: str = "text",
-    min_chars: int = 100,
-    max_chars: int = 1_000_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    max_punct_ratio: float = 0.2,
-    min_stop_ratio: float = 0.0,
-) -> DataFrame:
-    """C4/Gopher-style quality-filter chain: one row-local rule column per
-    heuristic plus the conjunction ``keep``. Rule outcomes stay visible so
-    curation can report *why* documents were dropped (filter-rate
-    accounting), not just how many.
-    """
-    feats = quality_features(df, text_col)
+#: shared rule thresholds — ONE defaults source for the inline path
+#: (quality_filter) and the attribute-store path
+#: (quality_rules_from_attributes); a retune edits exactly one place.
+QUALITY_DEFAULTS = {
+    "min_chars": 100,
+    "max_chars": 1_000_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_punct_ratio": 0.2,
+    "min_stop_ratio": 0.0,
+}
+
+
+def _merge_thresholds(thresholds: dict) -> dict:
+    """QUALITY_DEFAULTS overlaid with caller overrides; an unknown key is a
+    TypeError (with **kwargs a typo like min_char=5 would otherwise be
+    silently ignored — the opposite of a filter retune)."""
+    unknown = set(thresholds) - set(QUALITY_DEFAULTS)
+    if unknown:
+        raise TypeError(f"unknown quality threshold(s): {sorted(unknown)}")
+    return {**QUALITY_DEFAULTS, **thresholds}
+
+
+def _apply_quality_rules(out: DataFrame, prefix: str, th: dict) -> DataFrame:
+    """The single rule chain behind both quality paths: rule columns named
+    identically, conjunction in ``keep``; ``prefix`` maps the feature
+    column names ("q_" for quality_features, "" for the attribute store).
+    Keeping ONE chain is what makes the inline-vs-attributes equivalence
+    (tests/test_cli.py) structural rather than a maintained coincidence."""
+    c = lambda name: F.col(prefix + name)  # noqa: E731
     rules = {
-        "r_len": (F.col("q_n_chars") >= min_chars) & (F.col("q_n_chars") <= max_chars),
-        "r_word_len": (F.col("q_mean_word_len") >= min_mean_word_len)
-        & (F.col("q_mean_word_len") <= max_mean_word_len),
-        "r_punct": F.col("q_punct_ratio") <= max_punct_ratio,
-        "r_stop": F.col("q_stop_ratio") >= min_stop_ratio,
+        "r_len": (c("n_chars") >= th["min_chars"])
+        & (c("n_chars") <= th["max_chars"]),
+        "r_word_len": (c("mean_word_len") >= th["min_mean_word_len"])
+        & (c("mean_word_len") <= th["max_mean_word_len"]),
+        "r_punct": c("punct_ratio") <= th["max_punct_ratio"],
+        "r_stop": c("stop_ratio") >= th["min_stop_ratio"],
     }
-    out = feats
     keep = F.lit(True)
     for name, rule in rules.items():
         out = out.withColumn(name, rule)
@@ -97,14 +111,25 @@ def quality_filter(
     return out.withColumn("keep", keep)
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    **thresholds,
+) -> DataFrame:
+    """C4/Gopher-style quality-filter chain: one row-local rule column per
+    heuristic plus the conjunction ``keep``. Rule outcomes stay visible so
+    curation can report *why* documents were dropped (filter-rate
+    accounting), not just how many. Thresholds default to
+    QUALITY_DEFAULTS; pass any subset as keyword overrides.
+    """
+    return _apply_quality_rules(
+        quality_features(df, text_col), "q_", _merge_thresholds(thresholds)
+    )
+
+
 def quality_rules_from_attributes(
     attrs: DataFrame,
-    min_chars: int = 100,
-    max_chars: int = 1_000_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    max_punct_ratio: float = 0.2,
-    min_stop_ratio: float = 0.0,
+    **thresholds,
 ) -> DataFrame:
     """:func:`quality_filter`'s rule chain evaluated over a PERSISTED
     attribute table (operators/text.py::document_attributes) instead of
@@ -113,19 +138,7 @@ def quality_rules_from_attributes(
     tests/test_cli.py::test_curate_attributes_equal_inline_quality; the
     input is tens of bytes per doc, so iterating filter thresholds over
     100 TB never rescans the corpus."""
-    rules = {
-        "r_len": (F.col("n_chars") >= min_chars) & (F.col("n_chars") <= max_chars),
-        "r_word_len": (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len),
-        "r_punct": F.col("punct_ratio") <= max_punct_ratio,
-        "r_stop": F.col("stop_ratio") >= min_stop_ratio,
-    }
-    out = attrs
-    keep = F.lit(True)
-    for name, rule in rules.items():
-        out = out.withColumn(name, rule)
-        keep = keep & rule
-    return out.withColumn("keep", keep)
+    return _apply_quality_rules(attrs, "", _merge_thresholds(thresholds))
 
 
 #: LCG constants (glibc family). The bucket is pure 64-bit arithmetic on
