@@ -296,7 +296,13 @@ def process_batch(
         ),
         cfg.sigs_dir,
         ["batch_id"],
+        # smaller salt than the verdicts: sigs are RE-READ by every later
+        # batch, so their file count is per-batch scan cost, not just write
+        # parallelism (measured: n_salt=16 on sigs inflated the 100x probe
+        # 79->96 s); 4-way keeps the writer off the single-task cliff while
+        # compact_state folds the accumulation
         salt_col="id",
+        n_salt=4,
     )
 
 
