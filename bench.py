@@ -154,6 +154,7 @@ HEADLINE = [
     "corpus_quality_calibration",
     "corpus_quality_classifier",
     "corpus_classifier_holdout_auc",
+    "corpus_classifier_topk_filter",
     "events_ab_cuped",
     "ts_holt_linear",
     "doc_fingerprint_winnowing",

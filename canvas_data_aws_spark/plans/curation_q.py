@@ -2163,3 +2163,77 @@ def corpus_classifier_holdout_auc_q(spark: SparkSession, sf_dir: str) -> DataFra
             4,
         ).alias("auc_r"),
     )
+
+
+@register(
+    "corpus_classifier_topk_filter",
+    _classifier_gd_oracle(
+        train_pred="TRUE",
+        final_select="""
+    , sall AS (
+      SELECT d.doc_id,
+             COALESCE(ws.sv, 0) + (SELECT b FROM b{T}) AS s
+      FROM d LEFT JOIN (
+        SELECT xt.doc_id, SUM(xt.x * w{T}.w) AS sv
+        FROM xt JOIN w{T} USING (bucket) GROUP BY xt.doc_id
+      ) ws USING (doc_id)
+    ),
+    rk AS (
+      SELECT doc_id, s,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM sall
+    )
+    SELECT doc_id, ROUND(s, 6) AS score_r, CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= CAST(CEIL(0.6 * n) AS BIGINT)
+    """,
+    ),
+    doc="The DCLM keep-top-k% model-based filter as an EXACT operator: "
+    "train the hashed-BOW logistic classifier (corpus_quality_classifier's "
+    "fit, same unrolled-GD oracle) and keep the top 60% of documents by "
+    "predicted score with a deterministic (score desc, doc_id) tie-break — "
+    "rank-exact, so the kept set is bit-reproducible across engines and "
+    "runs (the registry-grade version of curate's --classifier-keep-frac "
+    "stage, which trades the exact rank for one approxQuantile float). "
+    "Plan: the two-level global rank (range-sort exchange + driver-side "
+    "per-partition offsets, operators/classifier.py::global_rank) — never "
+    "a single-reducer window; the keep threshold is ceil(0.6*n) with n "
+    "from one count over the already-materialized score table.",
+    tags=("llm", "curation", "quality", "iterative"),
+)
+def corpus_classifier_topk_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from canvas_data_aws_spark.operators.classifier import (
+        bias_rows,
+        global_rank,
+        hashed_bow,
+        logistic_gd,
+        logistic_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        n_words.between(50, 100000).cast("double").alias("y"),
+    )
+    feats = hashed_bow(docs).unionByName(bias_rows(docs))
+    w, b = logistic_gd(feats, labels, n_buckets=64, lr=0.5, passes=3)
+    scored = logistic_score(feats, w, b).select(
+        "id", (-F.col("s")).alias("neg_s"), "s"
+    )
+    ranked = global_rank(scored, ["neg_s", "id"], out_col="rnk")
+    # count over the rank's already-checkpointed blocks — no score recompute
+    total = ranked.count()
+    cut = int(math.ceil(0.6 * total))
+    return (
+        ranked.filter(F.col("rnk") <= cut)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.round("s", 6).alias("score_r"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
