@@ -123,6 +123,31 @@ def _fingerprint(**params) -> str:
     return hashlib.md5(json.dumps(params, sort_keys=True).encode()).hexdigest()
 
 
+def _classifier_training_inputs(q: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Stage-1c training inputs: ``(labels, features)`` for the hashed-BOW
+    logistic classifier, BOTH built from the same nonblank doc set.
+
+    The alignment is the contract: ``hashed_bow``/``bias_rows`` drop
+    whitespace-only docs (``length(trim(text)) > 0`` — reachable at this
+    point only via the line_dedup rewrite, which filters ``!= ''`` but not
+    blanks), so the label frame must apply the identical filter. A label
+    row without feature rows would inflate the gradient denominator n
+    without contributing features, and its doc would then be silently
+    dropped by the keep semi-join even at ``classifier_keep_frac=1.0``.
+    Pinned by tests/test_cli.py::
+    test_classifier_labels_cover_exactly_the_feature_docs."""
+    from canvas_data_aws_spark.operators.classifier import bias_rows, hashed_bow
+
+    nonblank = q.filter(F.length(F.trim("text")) > 0)
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    labels = nonblank.select(
+        F.col("doc_id").alias("id"),
+        n_words.between(50, 100000).cast("double").alias("y"),
+    )
+    feats = hashed_bow(nonblank).unionByName(bias_rows(nonblank))
+    return labels, feats
+
+
 def _marker_path(checkpoint_dir: str, tier: str) -> str:
     return os.path.join(checkpoint_dir, f"{tier}._FINGERPRINT.json")
 
@@ -249,13 +274,20 @@ def curate(
     clean: DataFrame | None = None
     if checkpoint_dir is not None:
         sig = _input_signature(sf_dir)
-        fp_quality = _fingerprint(
+        # classifier_keep_frac entered the fingerprint in a later release
+        # than the other keys; omit it when None (the default) so quality/
+        # clean checkpoints written BEFORE the stage existed stay adoptable
+        # — a non-default value still invalidates, which is the direction
+        # that matters for correctness.
+        fp_quality_params = dict(
             tier="quality",
             input_sig=sig,
             min_stop_ratio=min_stop_ratio,
             line_dedup_min_df=line_dedup_min_df,
-            classifier_keep_frac=classifier_keep_frac,
         )
+        if classifier_keep_frac is not None:
+            fp_quality_params["classifier_keep_frac"] = classifier_keep_frac
+        fp_quality = _fingerprint(**fp_quality_params)
         fp_clean = _fingerprint(
             tier="clean",
             upstream=fp_quality,
@@ -328,17 +360,14 @@ def curate(
                 if not (0.0 < classifier_keep_frac <= 1.0):
                     raise ValueError("classifier_keep_frac must be in (0, 1]")
                 from canvas_data_aws_spark.operators.classifier import (
-                    bias_rows,
-                    hashed_bow,
                     logistic_gd,
                     logistic_score,
                 )
 
-                n_words_c = F.size(F.split(F.trim("text"), r"\s+"))
-                labels_c = q.select(
-                    F.col("doc_id").alias("id"),
-                    n_words_c.between(50, 100000).cast("double").alias("y"),
-                )
+                # labels and features over the IDENTICAL nonblank doc set —
+                # see _classifier_training_inputs for why the alignment is
+                # load-bearing
+                labels_c, feats_c = _classifier_training_inputs(q)
                 # degenerate guard: if the rule tier filtered everything,
                 # there is nothing to train on — skip the stage and let the
                 # zero funnel be the diagnosis. This must be a FULL count,
@@ -348,7 +377,6 @@ def curate(
                 # n_raw/n_quality at ~1 for the whole run (and, with
                 # checkpointing, persist the lie into the quality marker).
                 if labels_c.count() > 0:
-                    feats_c = hashed_bow(q).unionByName(bias_rows(q))
                     wgt_c, bias_c = logistic_gd(
                         feats_c, labels_c, n_buckets=64, lr=0.5, passes=3
                     )

@@ -2180,7 +2180,7 @@ def corpus_classifier_holdout_auc_q(spark: SparkSession, sf_dir: str) -> DataFra
     ),
     rk AS (
       SELECT doc_id, s,
-             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rnk,
+             ROW_NUMBER() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS rnk,
              COUNT(*) OVER () AS n
       FROM sall
     )
@@ -2191,7 +2191,9 @@ def corpus_classifier_holdout_auc_q(spark: SparkSession, sf_dir: str) -> DataFra
     doc="The DCLM keep-top-k% model-based filter as an EXACT operator: "
     "train the hashed-BOW logistic classifier (corpus_quality_classifier's "
     "fit, same unrolled-GD oracle) and keep the top 60% of documents by "
-    "predicted score with a deterministic (score desc, doc_id) tie-break — "
+    "predicted score with a deterministic (round(score,6) desc, doc_id) "
+    "tie-break — the rank key is rounded BEFORE ranking so near-ties "
+    "resolve by doc_id rather than by aggregation merge order — "
     "rank-exact, so the kept set is bit-reproducible across engines and "
     "runs (the registry-grade version of curate's --classifier-keep-frac "
     "stage, which trades the exact rank for one approxQuantile float). "
@@ -2222,8 +2224,14 @@ def corpus_classifier_topk_filter_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
     feats = hashed_bow(docs).unionByName(bias_rows(docs))
     w, b = logistic_gd(feats, labels, n_buckets=64, lr=0.5, passes=3)
+    # Rank on the ROUNDED score (6dp, the repo's rounding-before-comparison
+    # convention) so the (score desc, doc_id) tie-break absorbs last-ulp
+    # aggregation-merge-order differences between engines/runs — two
+    # near-tied docs must resolve by doc_id, not by which engine's sum
+    # landed a ulp higher. Rounding the PRIMARY key is safe here precisely
+    # because doc_id is a unique secondary tie-break.
     scored = logistic_score(feats, w, b).select(
-        "id", (-F.col("s")).alias("neg_s"), "s"
+        "id", (-F.round("s", 6)).alias("neg_s"), "s"
     )
     ranked = global_rank(scored, ["neg_s", "id"], out_col="rnk")
     # count over the rank's already-checkpointed blocks — no score recompute

@@ -141,8 +141,14 @@ def _write_by_batch(
     batch_id (sigs, verdicts), repartitioning on it alone collapses the
     whole batch into ONE task — a data-sized serial write at large batch
     sizes. A bounded id-hash salt keeps the write ``n_salt``-way parallel
-    at the cost of n_salt files per batch dir (folded later by
-    compact_state)."""
+    at the cost of n_salt files per batch dir. For the RE-READ state dirs
+    (bands, sigs) that accumulation is folded by ``compact_state``; the
+    verdicts sink (out_dir) is an append-only OUTPUT, never re-read as
+    state, and is deliberately NOT compacted — its batch_id partitions are
+    the provenance incremental consumers tail (read only batches > their
+    high-water mark), so rewriting them into one layer would break exactly
+    the consumers the partitioning serves. Its file count is bounded at
+    n_salt per batch and never enters a scan the engine performs."""
     parts = [F.col(c) for c in partition_cols]
     if salt_col is not None:
         parts.append(F.pmod(F.xxhash64(salt_col), F.lit(n_salt)))
@@ -330,6 +336,12 @@ def compact_state(spark: SparkSession, cfg: NearDedupConfig) -> dict:
     forward, a stale backup or half-written ``.compact_tmp`` is
     discarded — the next run always sees a complete state, never an
     empty one.
+
+    Scope: the two RE-READ state dirs only (bands, sigs) — these are what
+    every batch scans, so their file count is the scan cost. The verdicts
+    sink (out_dir) is excluded on purpose: it is an append-only output
+    whose batch_id partitions are consumer-facing provenance (see
+    ``_write_by_batch``), not state the engine re-reads.
 
     Contract: run BETWEEN stream runs (checkpoint committed, no pending
     replay) — the same offline contract as any table compaction. A replay

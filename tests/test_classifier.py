@@ -138,3 +138,34 @@ def test_gd_per_pass_plan_is_bounded(spark, sf_dir):
         assert "Exchange" not in agg_part, plan
     finally:
         feats.unpersist()
+
+
+def test_topk_filter_rank_key_is_rounded_score(spark, sf_dir):
+    """corpus_classifier_topk_filter must rank on the ROUNDED score
+    (round(s, 6) desc, doc_id) — rounding BEFORE ranking lets the unique
+    doc_id tie-break absorb last-ulp aggregation-merge-order differences,
+    so the kept set is bit-reproducible across engines and runs (round-11
+    advice). The output is self-describing (score_r IS round(s,6)), so the
+    committed rnk column must equal a rank recomputed from the output's
+    own (score_r desc, doc_id) ordering."""
+    from pyspark.sql import Window
+
+    from canvas_data_aws_spark.plans.registry import query_map
+
+    out = query_map()["corpus_classifier_topk_filter"](spark, sf_dir)
+    rows = out.select("doc_id", "score_r", "rnk").collect()
+    assert len(rows) > 0
+    expected = {
+        r["doc_id"]: r["re_rnk"]
+        for r in out.withColumn(
+            "re_rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("score_r").desc(), "doc_id")
+            ),
+        ).collect()
+    }
+    got = {r["doc_id"]: r["rnk"] for r in rows}
+    assert got == expected, (
+        "rnk disagrees with the (round(s,6) desc, doc_id) order — the rank "
+        "key is not the rounded score"
+    )

@@ -274,3 +274,51 @@ def test_compaction_crash_recovery(spark, tmp_path):
     stats2 = compact_state(spark, cfg)
     assert stats2["rows"] == stats["rows"]
     assert not os.path.isdir(cfg.bands_dir + ".pre_compact")
+
+def test_compact_state_leaves_verdicts_sink_untouched(spark, tmp_path):
+    """Round-11 advice: compact_state's scope is the two RE-READ state dirs
+    (bands, sigs) ONLY. The verdicts sink (out_dir) is an append-only
+    OUTPUT whose batch_id partitions are consumer-facing provenance
+    (incremental consumers tail batches > their high-water mark), so
+    compaction must not rewrite, fold, or even touch it."""
+    import os
+
+    from canvas_data_aws_spark.streaming.near_dedup import (
+        NearDedupConfig,
+        compact_state,
+        process_batch,
+    )
+
+    cfg = NearDedupConfig(
+        state_dir=str(tmp_path / "state"), out_dir=str(tmp_path / "verdicts")
+    )
+    for i in range(2):
+        docs = _mk_docs(
+            spark,
+            [(10 * i + j, f"batch {i} doc {j} body text " * 4) for j in range(3)],
+        )
+        process_batch(spark, docs, i, cfg)
+
+    def verdict_files(root):
+        return sorted(
+            (os.path.relpath(os.path.join(d, f), root), os.stat(os.path.join(d, f)).st_mtime_ns)
+            for d, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = verdict_files(cfg.out_dir)
+    assert before, "fixture wrote no verdicts"
+    batch_ids_before = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(cfg.out_dir).select("batch_id").distinct().collect()
+    )
+    assert batch_ids_before == [0, 1]
+
+    stats = compact_state(spark, cfg)
+    assert stats["files_after"] < stats["files_before"]
+
+    assert verdict_files(cfg.out_dir) == before, (
+        "compact_state touched the verdicts sink — out_dir is an append-only "
+        "output, not state"
+    )
