@@ -15,6 +15,23 @@ adjudicated against per-run scatter instead of a single sample. Within a
 child each query is min-of-2 reps, so the snapshot is a min over 4
 samples from 2 JVMs. Set CDA_BENCH_SINGLE=1 to force the old one-process
 behavior (used by the children themselves).
+
+Ambient-load protocol (round-11 verdict item: the r11 snapshot landed in
+a ~1.2x-slow machine band and cross-round deltas against it would read
+spuriously fast). Every run now records, alongside the timings:
+
+- ``loadavg``: os.getloadavg() 1-minute samples at child start and end —
+  load NOT attributable to the bench itself means a contended box.
+- ``ref_query_sec``: a fixed REFERENCE micro-benchmark — sum over a
+  2-billion-row in-memory range, pure whole-stage-codegen arithmetic, no
+  I/O, no shuffle, data-independent — timed at child start and end
+  (min-of-2 each). Its cost depends only on machine speed, so the ratio
+  ref_now / ref_committed is the ambient slowdown factor of the box.
+
+Normalization rule (BENCH_NOISE.md states the same): a cross-round
+per-query delta is attributable to CODE only if it survives dividing by
+the ambient factor ref_now/ref_baseline and still exceeds the measured
+±0.3-0.7 s per-query noise floor; otherwise it is the machine band.
 """
 
 from __future__ import annotations
@@ -289,17 +306,39 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0  # unknown scale tag; timings still valid
 
 
-def run_single(sf_dir: str) -> dict[str, float]:
-    """One fresh-process bench pass: min-of-2 reps per query in this JVM."""
+def _ref_query_sec(spark) -> float:
+    """The fixed machine-speed probe: sum((id*3+7) mod p) over a 4e9-row range in
+    32 partitions — pure whole-stage-codegen arithmetic, no I/O, no
+    shuffle beyond the final 1-row reduce, no data dependence. min-of-2.
+    Constant across rounds BY CONTRACT: changing this query invalidates
+    every cross-round ambient comparison, so don't."""
+    reps = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df = spark.range(0, 4_000_000_000, 1, 32).selectExpr(
+            "sum((id * 3 + 7) % 1000000007) as s"  # mod keeps SUM in int64
+        )
+        df.write.format("noop").mode("overwrite").save()
+        reps.append(time.perf_counter() - t0)
+    return round(min(reps), 3)
+
+
+def run_single(sf_dir: str) -> dict:
+    """One fresh-process bench pass: min-of-2 reps per query in this JVM.
+    Returns ``{"queries": {...}, "loadavg": [start, end],
+    "ref_query_sec": [start, end]}`` — the load/reference pairs bracket
+    the run so mid-run ambient drift is visible."""
     from canvas_data_aws_spark.plans.registry import all_queries
     from canvas_data_aws_spark.session import get_spark
 
+    load_start = os.getloadavg()[0]
     spark = get_spark(app_name="cda-bench")
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry] or list(registry)[:5]
 
     # warm the JVM + parquet footers once so timings measure the engine
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    ref_start = _ref_query_sec(spark)
 
     timings: dict[str, float] = {}
     to_time = [(name, registry[name].fn) for name in names]
@@ -321,8 +360,14 @@ def run_single(sf_dir: str) -> dict[str, float]:
                 jrdd.unpersist(False)
         except Exception:
             pass  # private-API cleanup is best-effort
+    ref_end = _ref_query_sec(spark)
+    load_end = os.getloadavg()[0]
     spark.stop()
-    return timings
+    return {
+        "queries": timings,
+        "loadavg": [round(load_start, 2), round(load_end, 2)],
+        "ref_query_sec": [ref_start, ref_end],
+    }
 
 
 def main() -> None:
@@ -331,8 +376,9 @@ def main() -> None:
 
     if os.environ.get("CDA_BENCH_SINGLE"):
         # child / legacy mode: one process, print its own timings JSON
-        timings = run_single(sf_dir)
-        print(json.dumps({"value": round(sum(timings.values()), 3), "queries": timings}))
+        res = run_single(sf_dir)
+        res["value"] = round(sum(res["queries"].values()), 3)
+        print(json.dumps(res))
         return
 
     # min-of-2 fresh processes: each child is its own JVM
@@ -359,6 +405,10 @@ def main() -> None:
         for name in runs[0]["queries"]
     }
     total = round(sum(timings.values()), 3)
+    # machine-speed snapshot: the BEST reference sample across both JVMs is
+    # the box's attainable speed this session; the per-run [start, end]
+    # pairs (kept under runs[i].ref_query_sec) show mid-run drift
+    ref_samples = [s for r in runs for s in r.get("ref_query_sec", [])]
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -366,6 +416,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "protocol": "min over 2 fresh processes x 2 reps",
+        "ref_query_sec": min(ref_samples) if ref_samples else None,
+        "loadavg": [r.get("loadavg") for r in runs],
         "runs": runs,
     }
     # Keep the last few snapshots in-file: per-query timings have a
@@ -378,7 +430,15 @@ def main() -> None:
             prev = json.load(f)
         history = prev.get("history", [])
         if "value" in prev:
-            history.insert(0, {"value": prev["value"], "queries": prev["queries"], "sf": prev.get("sf")})
+            history.insert(
+                0,
+                {
+                    "value": prev["value"],
+                    "queries": prev["queries"],
+                    "sf": prev.get("sf"),
+                    "ref_query_sec": prev.get("ref_query_sec"),
+                },
+            )
     except (OSError, ValueError):
         pass
     full["history"] = history[:4]

@@ -100,3 +100,13 @@ def test_events_ts_encodings(spark, tmp_path, encoding):
     assert df.schema["ts"].dataType.typeName() == "timestamp"
     got = sorted(r["ts"].replace(tzinfo=None) for r in df.collect())
     assert got == times, (encoding, got[:2], times[:2])
+
+
+def test_ref_query_probe_runs(spark):
+    """The ambient-load reference probe (round-11 verdict item) must run and
+    return a plausible machine-speed sample — it is the denominator of
+    every cross-round normalization, so it shipping broken would silently
+    void the noise protocol."""
+    bench = _bench()
+    v = bench._ref_query_sec(spark)
+    assert isinstance(v, float) and 0.0 < v < 60.0, v
