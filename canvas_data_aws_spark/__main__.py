@@ -10,6 +10,7 @@ the named query registry:
     python -m canvas_data_aws_spark query tpch_q3 --sf-dir /data/sf0.1 -n 20
     python -m canvas_data_aws_spark sync --root /lake [--dry-run] [--additive]
     python -m canvas_data_aws_spark curate --sf-dir /data/sf0.1 --out /shards
+    python -m canvas_data_aws_spark compact --state-dir /state [--force]
     python -m canvas_data_aws_spark bench
 
 ``sync`` resolves credentials secret-file-first/env-fallback (the
@@ -104,6 +105,31 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_compact(args: argparse.Namespace) -> int:
+    from canvas_data_aws_spark.streaming.near_dedup import (
+        NearDedupConfig,
+        compact_state,
+        compaction_due,
+    )
+
+    # out_dir is part of NearDedupConfig for the streaming run; compaction
+    # touches only the two re-read state dirs (bands, sigs) and never the
+    # verdicts sink, so no output dir is needed here.
+    cfg = NearDedupConfig(state_dir=args.state_dir, out_dir="")
+    policy = compaction_due(
+        cfg, max_state_files=args.max_state_files, max_batches=args.max_batches
+    )
+    if not (policy["due"] or args.force):
+        print(json.dumps({**policy, "compacted": False}))
+        return 0
+    from canvas_data_aws_spark.session import get_spark
+
+    spark = get_spark(app_name="cda-compact")
+    stats = compact_state(spark, cfg)
+    print(json.dumps({**policy, "compacted": True, **stats}))
+    return 0
+
+
 def _cmd_bench(_args: argparse.Namespace) -> int:
     import importlib
 
@@ -182,6 +208,37 @@ def main(argv: list[str] | None = None) -> int:
         "then filters from attributes and a rerun never re-tags text",
     )
     pc.set_defaults(fn=_cmd_curate)
+
+    pk = sub.add_parser(
+        "compact",
+        help="fold the streaming near-dedup state store's per-batch "
+        "partitions into one batch_id=-1 layer (lakehouse OPTIMIZE for the "
+        "state dirs). Run BETWEEN stream runs — checkpoint committed, no "
+        "pending replay. No-op unless the file-count/batch-count policy "
+        "fires (see --max-state-files/--max-batches) or --force is given.",
+    )
+    pk.add_argument(
+        "--state-dir", required=True, help="the stream's state_dir"
+    )
+    pk.add_argument(
+        "--max-state-files",
+        type=int,
+        default=256,
+        help="compact when live state parquet files exceed this (every "
+        "micro-batch's state scan opens every live file)",
+    )
+    pk.add_argument(
+        "--max-batches",
+        type=int,
+        default=32,
+        help="compact when distinct live batch_id partitions exceed this",
+    )
+    pk.add_argument(
+        "--force",
+        action="store_true",
+        help="compact regardless of the policy triggers",
+    )
+    pk.set_defaults(fn=_cmd_compact)
 
     pb = sub.add_parser("bench", help="run the headline bench (bench.py)")
     pb.set_defaults(fn=_cmd_bench)

@@ -141,6 +141,36 @@ def quality_rules_from_attributes(
     return _apply_quality_rules(attrs, "", _merge_thresholds(thresholds))
 
 
+def quality_calibration_from_attributes(attrs: DataFrame) -> DataFrame:
+    """Reliability (calibration) table for the composite quality scorer,
+    computed over an ATTRIBUTE table (persisted or inline): bucket
+    ``q_score`` into deciles (integer FLOOR math — engine-exact) and
+    report, per bucket, the observed pass rate of the Gopher word-count
+    gate plus the DECIMAL-exact score mass.
+
+    The Dolma-decoupling consumer half, same as
+    :func:`quality_rules_from_attributes`: ``attrs`` needs only
+    ``q_score`` and ``n_tokens`` (tens of bytes per doc), so recalibrating
+    after a threshold change at 100 TB reads the narrow store and never
+    touches text. The registry entry ``corpus_quality_calibration``
+    computes attributes inline so the oracle sees one self-contained plan;
+    production passes the persisted store — equivalence pinned by
+    tests/test_curation.py::test_calibration_rides_persisted_attributes."""
+    b = attrs.select(
+        F.least(F.floor(F.col("q_score") * 10).cast("bigint"), F.lit(9)).alias(
+            "bucket"
+        ),
+        F.when(F.col("n_tokens").between(50, 100000), 1).otherwise(0).alias("pass"),
+        F.col("q_score").cast("decimal(18,6)").alias("qs"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pass").cast("bigint").alias("n_pass"),
+        F.round(F.sum("pass") / F.count(F.lit(1)), 6).alias("pass_rate"),
+        F.sum("qs").cast("decimal(38,6)").alias("sum_score"),
+    )
+
+
 #: LCG constants (glibc family). The bucket is pure 64-bit arithmetic on
 #: the id — any engine reproduces it; ids up to ~8e9 stay within BIGINT.
 LCG_A = 1103515245

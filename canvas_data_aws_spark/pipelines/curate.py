@@ -368,6 +368,41 @@ def curate(
                 # see _classifier_training_inputs for why the alignment is
                 # load-bearing
                 labels_c, feats_c = _classifier_training_inputs(q)
+
+                # adopt persisted weights when the training inputs are
+                # unchanged: the model is 65 doubles keyed by everything
+                # UPSTREAM of the fit (corpus signature, quality-rule and
+                # line-dedup params, GD hyperparameters) and deliberately
+                # NOT by classifier_keep_frac — the keep fraction is a
+                # post-scoring threshold, so iterating it
+                # (--classifier-keep-frac 0.5 -> 0.6) must skip the 3-pass
+                # refit the same way quality-threshold iteration skips the
+                # tagger scan. Rides --attributes-dir, the store for
+                # exactly this class of derived-once artifacts.
+                wgt_c = bias_c = None
+                w_fp = w_path = None
+                if attributes_dir is not None:
+                    w_fp = _fingerprint(
+                        tier="classifier_weights",
+                        input_sig=_input_signature(sf_dir),
+                        min_stop_ratio=min_stop_ratio,
+                        line_dedup_min_df=line_dedup_min_df,
+                        n_buckets=64,
+                        lr=0.5,
+                        passes=3,
+                    )
+                    w_path = os.path.join(
+                        attributes_dir, "classifier_weights.json"
+                    )
+                    try:
+                        with open(w_path) as fh:
+                            wrec = json.load(fh)
+                    except (OSError, ValueError):
+                        wrec = None
+                    if wrec and wrec.get("fingerprint") == w_fp:
+                        wgt_c = [float(x) for x in wrec["weights"]]
+                        bias_c = float(wrec["bias"])
+
                 # degenerate guard: if the rule tier filtered everything,
                 # there is nothing to train on — skip the stage and let the
                 # zero funnel be the diagnosis. This must be a FULL count,
@@ -376,10 +411,25 @@ def curate(
                 # completed action — a limit-truncated job would poison
                 # n_raw/n_quality at ~1 for the whole run (and, with
                 # checkpointing, persist the lie into the quality marker).
-                if labels_c.count() > 0:
-                    wgt_c, bias_c = logistic_gd(
-                        feats_c, labels_c, n_buckets=64, lr=0.5, passes=3
-                    )
+                # Adopted weights imply the fingerprinted training set was
+                # non-empty (the empty branch never persists), so the guard
+                # count is skipped on adoption.
+                if wgt_c is not None or labels_c.count() > 0:
+                    if wgt_c is None:
+                        wgt_c, bias_c = logistic_gd(
+                            feats_c, labels_c, n_buckets=64, lr=0.5, passes=3
+                        )
+                        if w_path is not None:
+                            os.makedirs(attributes_dir, exist_ok=True)
+                            with open(w_path, "w") as fh:
+                                json.dump(
+                                    {
+                                        "fingerprint": w_fp,
+                                        "weights": wgt_c,
+                                        "bias": bias_c,
+                                    },
+                                    fh,
+                                )
                     # materialize once: the scores feed approxQuantile AND
                     # the keep-set semi-join on the main action
                     scored_c = logistic_score(

@@ -1921,29 +1921,26 @@ def corpus_attribute_store_incremental_q(
     "monotonically across buckets, and a flat stretch says the score "
     "carries no signal there. One attribute scan, one 10-group "
     "map-side-combined agg — at 100 TB this rides the attribute store "
-    "(corpus_attribute_store) and never touches text.",
+    "(corpus_attribute_store) and never touches text: the computation is "
+    "operators/curation.py::quality_calibration_from_attributes, which "
+    "accepts the PERSISTED store (equivalence test-pinned); this entry "
+    "feeds it inline attributes so the oracle sees one plan.",
     tags=("llm", "curation", "quality"),
 )
 def corpus_quality_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.curation import (
+        quality_calibration_from_attributes,
+    )
     from canvas_data_aws_spark.operators.text import document_attributes
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
     )
-    attrs = document_attributes(docs)
-    b = attrs.select(
-        F.least(F.floor(F.col("q_score") * 10).cast("bigint"), F.lit(9)).alias(
-            "bucket"
-        ),
-        F.when(F.col("n_tokens").between(50, 100000), 1).otherwise(0).alias("pass"),
-        F.col("q_score").cast("decimal(18,6)").alias("qs"),
-    )
-    return b.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("pass").cast("bigint").alias("n_pass"),
-        F.round(F.sum("pass") / F.count(F.lit(1)), 6).alias("pass_rate"),
-        F.sum("qs").cast("decimal(38,6)").alias("sum_score"),
-    )
+    # production reads the persisted attribute parquet (the docstring's
+    # "rides the attribute store" path — quality_calibration_from_attributes
+    # accepts any attrs frame); the registry entry computes attributes
+    # inline so the oracle sees one self-contained query
+    return quality_calibration_from_attributes(document_attributes(docs))
 
 
 def _classifier_gd_oracle(

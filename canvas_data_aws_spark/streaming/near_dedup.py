@@ -318,6 +318,51 @@ def process_batch(
 COMPACTED_BATCH_ID = -1
 
 
+def compaction_due(
+    cfg: NearDedupConfig, max_state_files: int = 256, max_batches: int = 32
+) -> dict:
+    """The run-it-when policy for ``compact_state`` (filesystem-only — no
+    Spark session needed to decide).
+
+    Compaction is due when EITHER trigger fires over the two re-read state
+    dirs (bands, sigs):
+
+    - ``files > max_state_files``: every micro-batch's state scan opens
+      every live state file, so total parquet file count IS the per-batch
+      planning + open cost. Default 256 ~ one file per (64 buckets x 4
+      batches) of bands growth.
+    - ``batches > max_batches``: distinct live ``batch_id=`` partitions.
+      Each adds a directory level to prune per scan; 32 keeps the listing
+      cost trivial even on object stores where LIST is metered.
+
+    Defaults are deliberately conservative (compacting early is cheap —
+    the state rewrite is one scan of data the next batch would read
+    anyway); a deployment tunes them to its micro-batch cadence. Returns
+    ``{"files", "batches", "due"}`` where ``batches`` counts non-compacted
+    partitions only (the batch_id=-1 layer is the compactor's own output
+    and never re-triggers it)."""
+    files = 0
+    batch_ids: set[int] = set()
+    for path in (cfg.bands_dir, cfg.sigs_dir):
+        if not os.path.isdir(path):
+            continue
+        for d, _, fs in os.walk(path):
+            files += sum(f.endswith(".parquet") for f in fs)
+            base = os.path.basename(d)
+            if base.startswith("batch_id="):
+                try:
+                    bid = int(base.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if bid != COMPACTED_BATCH_ID:
+                    batch_ids.add(bid)
+    return {
+        "files": files,
+        "batches": len(batch_ids),
+        "due": files > max_state_files or len(batch_ids) > max_batches,
+    }
+
+
 def compact_state(spark: SparkSession, cfg: NearDedupConfig) -> dict:
     """Offline compaction of the near-dedup state store: fold every
     per-batch partition into one consolidated ``batch_id=-1`` layer,

@@ -558,3 +558,125 @@ def test_curate_default_fingerprint_adopts_pre_classifier_checkpoints(
     )
     assert fp_on != legacy_fp
     assert os.path.exists(os.path.join(ck, "quality._FINGERPRINT.json"))
+
+
+def test_cli_compact_policy_and_force(spark, tmp_path, capsys):
+    """`compact` CLI verb (round-11 verdict item 1 of the operational-polish
+    list): the streaming near-dedup state compaction must be reachable from
+    the command line with a run-it-when policy — a no-op below the
+    file-count/batch-count triggers, a real compaction when a trigger fires
+    (or --force), and verdict-equivalent state afterwards."""
+    import canvas_data_aws_spark.__main__ as cli
+    from canvas_data_aws_spark.streaming.near_dedup import (
+        NearDedupConfig,
+        process_batch,
+    )
+
+    cfg = NearDedupConfig(
+        state_dir=str(tmp_path / "state"), out_dir=str(tmp_path / "verdicts")
+    )
+    for i in range(3):
+        docs = spark.createDataFrame(
+            [(10 * i + j, f"cli compact fixture batch {i} doc {j} " * 4) for j in range(3)],
+            ["doc_id", "text"],
+        )
+        process_batch(spark, docs, i, cfg)
+
+    # policy holds: thresholds far above the fixture's footprint -> no-op
+    assert cli.main(["compact", "--state-dir", cfg.state_dir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] is False
+    assert out["files"] > 0 and out["batches"] == 3
+
+    # trigger fires: batch threshold below the live batch count -> compacts
+    assert (
+        cli.main(
+            ["compact", "--state-dir", cfg.state_dir, "--max-batches", "2"]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] is True
+    assert out["files_after"] < out["files_before"], out
+
+    # after compaction the policy counters reset (batch_id=-1 layer never
+    # re-triggers), so a --force rerun still works and is idempotent
+    assert cli.main(["compact", "--state-dir", cfg.state_dir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] is False and out["batches"] == 0
+
+    assert (
+        cli.main(["compact", "--state-dir", cfg.state_dir, "--force"]) == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] is True
+
+    # the compacted state still answers: a new batch near-dupping an old doc
+    # must match state
+    probe = spark.createDataFrame(
+        [(99, "cli compact fixture batch 0 doc 0 " * 4 + "tail")],
+        ["doc_id", "text"],
+    )
+    process_batch(spark, probe, 3, cfg)
+    verd = {
+        r["doc_id"]: r["matched_state"]
+        for r in spark.read.parquet(cfg.out_dir).collect()
+    }
+    assert verd[99] is True, verd
+
+
+def test_curate_classifier_weights_persisted_and_refit_skipped(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """Round-11 verdict task: the trained classifier (65 doubles) is
+    persisted under an input-signature marker in --attributes-dir, keyed by
+    everything UPSTREAM of the fit but NOT by classifier_keep_frac — so
+    iterating the keep fraction skips the 3-pass GD refit the way
+    quality-threshold iteration skips the tagger scan. Skip-proof: on the
+    rerun logistic_gd is forbidden at its source module (the pipeline
+    imports it function-locally). Equivalence: a same-params rerun with
+    adopted weights reproduces the identical funnel and shard doc set."""
+    import os
+
+    import canvas_data_aws_spark.operators.classifier as clf_mod
+    from canvas_data_aws_spark.pipelines.curate import curate
+
+    ad = str(tmp_path / "attrs")
+    out1 = str(tmp_path / "s1")
+    f1 = curate(
+        spark, sf_dir, out1, classifier_keep_frac=0.6, attributes_dir=ad
+    )
+    assert f1.n_clean > 0
+    w_path = os.path.join(ad, "classifier_weights.json")
+    assert os.path.exists(w_path), "weights marker not persisted"
+    rec = json.loads(open(w_path).read())
+    assert len(rec["weights"]) == 64 and "bias" in rec and "fingerprint" in rec
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "logistic_gd ran — weights should have been adopted from the marker"
+        )
+
+    monkeypatch.setattr(clf_mod, "logistic_gd", boom)
+
+    # threshold iteration: a DIFFERENT keep fraction must reuse the weights
+    f2 = curate(
+        spark,
+        sf_dir,
+        str(tmp_path / "s2"),
+        classifier_keep_frac=0.4,
+        attributes_dir=ad,
+    )
+    assert f2.n_clean > 0
+    assert f2.n_quality == f1.n_quality  # stage 1c shrinkage lands below quality
+    assert f2.n_exact < f1.n_exact, "keep 0.4 must drop more docs than 0.6"
+
+    # same-params rerun with adopted weights == the trained run, exactly
+    out3 = str(tmp_path / "s3")
+    f3 = curate(
+        spark, sf_dir, out3, classifier_keep_frac=0.6, attributes_dir=ad
+    )
+    assert {**f1.as_dict(), "out_dir": ""} == {**f3.as_dict(), "out_dir": ""}
+    ids1 = {r["doc_id"] for r in spark.read.parquet(out1).select("doc_id").collect()}
+    ids3 = {r["doc_id"] for r in spark.read.parquet(out3).select("doc_id").collect()}
+    assert ids1 == ids3

@@ -288,3 +288,38 @@ def test_dup_span_strip_complements_report(spark, sf_dir):
         assert n_words == r["kept_tokens"]
         some_dup = some_dup or dup > 0
     assert some_dup, "fixture should contain duplicated spans"
+
+
+def test_calibration_rides_persisted_attributes(spark, sf_dir, tmp_path):
+    """Round-11 verdict task: corpus_quality_calibration's computation is
+    quality_calibration_from_attributes, which must accept the PERSISTED
+    attribute store (the Dolma decoupling its docstring promises) and
+    produce exactly the registry entry's inline result — so recalibrating
+    at 100 TB reads the narrow store, never the text."""
+    from canvas_data_aws_spark.operators.curation import (
+        quality_calibration_from_attributes,
+    )
+    from canvas_data_aws_spark.operators.text import document_attributes
+    from canvas_data_aws_spark.plans.registry import query_map
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    store = str(tmp_path / "attrs")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    document_attributes(docs).write.mode("overwrite").parquet(store)
+
+    from_store = quality_calibration_from_attributes(spark.read.parquet(store))
+    inline = query_map()["corpus_quality_calibration"](spark, sf_dir)
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert snap(from_store) == snap(inline)
+    assert from_store.columns == inline.columns
+    # and the store path really is narrow: the calibration's scan prunes to
+    # the two columns it needs — text never enters the plan
+    plan = explain_str(from_store, mode="formatted")
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("text" not in ln for ln in read_schema), read_schema
+    assert any("q_score" in ln and "n_tokens" in ln for ln in read_schema), read_schema

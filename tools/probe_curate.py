@@ -10,6 +10,11 @@ printed so the replica corpus can be sanity-checked (disjoint replicas
 => every stage count should scale ~Nx).
 
 Usage: CDA_PROBE_FACTOR=100 python tools/probe_curate.py
+
+With CDA_PROBE_CLASSIFIER_KEEP_FRAC set (e.g. 0.6), the run enables the
+model-based filter stage (--classifier-keep-frac) and records a separate
+``curate_cli_classifier`` ledger row — the composed-pipeline scale row
+covering the newest stage (round-12 verdict item 7).
 """
 
 import json
@@ -37,11 +42,15 @@ def run(sf_dir: str):
     and the probe times the wrong thing. The other quality rules
     (length/word-len/punct) still apply identically at 1x and Nx.
     """
+    keep = os.environ.get("CDA_PROBE_CLASSIFIER_KEEP_FRAC")
+    kwargs = {"min_stop_ratio": 0.0}
+    if keep:
+        kwargs["classifier_keep_frac"] = float(keep)
     best, funnel = None, None
     for _ in range(2):
         out = tempfile.mkdtemp(prefix="cda_curate_probe_")
         t0 = time.time()
-        f = curate(probe10x.spark, sf_dir, out, min_stop_ratio=0.0)
+        f = curate(probe10x.spark, sf_dir, out, **kwargs)
         dt = time.time() - t0
         shutil.rmtree(out, ignore_errors=True)
         if best is None or dt < best:
@@ -50,12 +59,17 @@ def run(sf_dir: str):
 
 
 if __name__ == "__main__":
+    ROW = (
+        "curate_cli_classifier"
+        if os.environ.get("CDA_PROBE_CLASSIFIER_KEEP_FRAC")
+        else "curate_cli"
+    )
     probe10x.build()
     t1, f1 = run(probe10x.SRC)
     tn, fn = run(probe10x.DST)
-    probe10x.record("curate_cli", t1, tn)
+    probe10x.record(ROW, t1, tn)
     print(
-        f"PROBE curate_cli: 1x={t1:.2f}s {probe10x.N}x={tn:.2f}s "
+        f"PROBE {ROW}: 1x={t1:.2f}s {probe10x.N}x={tn:.2f}s "
         f"growth={tn / t1:.1f}x",
         flush=True,
     )
