@@ -23,7 +23,8 @@ spuriously fast). Every run now records, alongside the timings:
 - ``loadavg``: os.getloadavg() 1-minute samples at child start and end —
   load NOT attributable to the bench itself means a contended box.
 - ``ref_query_sec``: a fixed REFERENCE micro-benchmark — sum over a
-  2-billion-row in-memory range, pure whole-stage-codegen arithmetic, no
+  4-billion-row in-memory range (see _ref_query_sec, the single source
+  of truth for the query), pure whole-stage-codegen arithmetic, no
   I/O, no shuffle, data-independent — timed at child start and end
   (min-of-2 each). Its cost depends only on machine speed, so the ratio
   ref_now / ref_committed is the ambient slowdown factor of the box.

@@ -110,12 +110,17 @@ def _cmd_compact(args: argparse.Namespace) -> int:
         NearDedupConfig,
         compact_state,
         compaction_due,
+        recover_state,
     )
 
     # out_dir is part of NearDedupConfig for the streaming run; compaction
     # touches only the two re-read state dirs (bands, sigs) and never the
     # verdicts sink, so no output dir is needed here.
     cfg = NearDedupConfig(state_dir=args.state_dir, out_dir="")
+    # recovery BEFORE the policy gate: a prior compaction that died mid-swap
+    # leaves a store that looks small/absent — the early return below must
+    # never skip the roll-forward (no Spark session needed)
+    recover_state(cfg)
     policy = compaction_due(
         cfg, max_state_files=args.max_state_files, max_batches=args.max_batches
     )

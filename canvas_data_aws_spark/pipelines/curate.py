@@ -130,11 +130,15 @@ def _classifier_training_inputs(q: DataFrame) -> tuple[DataFrame, DataFrame]:
     The alignment is the contract: ``hashed_bow``/``bias_rows`` drop
     whitespace-only docs (``length(trim(text)) > 0`` — reachable at this
     point only via the line_dedup rewrite, which filters ``!= ''`` but not
-    blanks), so the label frame must apply the identical filter. A label
+    blanks), so the label frame must apply the identical filter — a label
     row without feature rows would inflate the gradient denominator n
-    without contributing features, and its doc would then be silently
-    dropped by the keep semi-join even at ``classifier_keep_frac=1.0``.
-    Pinned by tests/test_cli.py::
+    without contributing features, skewing the fit for every OTHER doc.
+    Note what the alignment does NOT change: a whitespace-only doc still
+    carries no features, gets no score, and is therefore dropped by the
+    keep semi-join even at ``classifier_keep_frac=1.0`` — deliberate (a
+    blank doc is exactly what the stage exists to drop), but a drop that
+    happens because the doc is OUTSIDE the classified set, not because the
+    model ranked it. Pinned by tests/test_cli.py::
     test_classifier_labels_cover_exactly_the_feature_docs."""
     from canvas_data_aws_spark.operators.classifier import bias_rows, hashed_bow
 
@@ -218,6 +222,17 @@ def curate(
 
     docs = load_table(spark, sf_dir, "documents")
 
+    # one os.walk+stat of the input per run: the signature feeds up to
+    # three fingerprints (checkpoint tiers, attribute store, classifier
+    # weights), and on the object stores this pipeline targets every
+    # LIST/stat is metered — memoize instead of re-walking per consumer
+    _sig_memo: list[str] = []
+
+    def _sig() -> str:
+        if not _sig_memo:
+            _sig_memo.append(_input_signature(sf_dir))
+        return _sig_memo[0]
+
     # ---- stage 0 (optional): build-or-adopt the attribute store. The
     # store is input-keyed only (taggers are parameter-free), so threshold
     # iteration and epoch reruns always adopt it. Built LAZILY (inside the
@@ -226,7 +241,7 @@ def curate(
     # pay a full corpus tagger scan + write for nothing — exactly the text
     # re-scan the checkpoint exists to skip.
     def _attrs() -> DataFrame:
-        a_fp = _fingerprint(tier="attributes", input_sig=_input_signature(sf_dir))
+        a_fp = _fingerprint(tier="attributes", input_sig=_sig())
         a_marker = _load_marker(attributes_dir, "attributes")
         if not (a_marker and a_marker.get("fingerprint") == a_fp):
             at = document_attributes(docs.select("doc_id", "text"))
@@ -273,7 +288,7 @@ def curate(
     q: DataFrame | None = None
     clean: DataFrame | None = None
     if checkpoint_dir is not None:
-        sig = _input_signature(sf_dir)
+        sig = _sig()
         # classifier_keep_frac entered the fingerprint in a later release
         # than the other keys; omit it when None (the default) so quality/
         # clean checkpoints written BEFORE the stage existed stay adoptable
@@ -384,7 +399,7 @@ def curate(
                 if attributes_dir is not None:
                     w_fp = _fingerprint(
                         tier="classifier_weights",
-                        input_sig=_input_signature(sf_dir),
+                        input_sig=_sig(),
                         min_stop_ratio=min_stop_ratio,
                         line_dedup_min_df=line_dedup_min_df,
                         n_buckets=64,

@@ -318,19 +318,56 @@ def process_batch(
 COMPACTED_BATCH_ID = -1
 
 
+#: directory name of the compacted layer's partition — walked-over by the
+#: policy counters below
+_COMPACTED_DIR = f"batch_id={COMPACTED_BATCH_ID}"
+
+
+def recover_state(cfg: NearDedupConfig) -> None:
+    """Crash recovery for ``compact_state``'s two-rename swap, callable
+    WITHOUT a Spark session: a death between rename(path -> .pre_compact)
+    and rename(.compact_tmp -> path) leaves the live dir MISSING — the
+    next stream run would silently treat the state as empty and re-admit
+    every near-dup. Roll the backup forward if the live dir is gone;
+    discard a stale backup and any half-written tmp otherwise.
+
+    MUST run before any decision is taken over the state dirs (the CLI
+    ``compact`` verb calls it before its policy gate: a mid-swap crash can
+    leave a store that looks small/absent and would otherwise early-return
+    past the very recovery it needs). ``compact_state`` also calls it at
+    entry, so library users get the same guarantee. Idempotent."""
+    import shutil
+
+    for path in (cfg.bands_dir, cfg.sigs_dir):
+        old = path + ".pre_compact"
+        tmp = path + ".compact_tmp"
+        if os.path.isdir(old) and not os.path.isdir(path):
+            os.rename(old, path)
+        elif os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def compaction_due(
     cfg: NearDedupConfig, max_state_files: int = 256, max_batches: int = 32
 ) -> dict:
     """The run-it-when policy for ``compact_state`` (filesystem-only — no
-    Spark session needed to decide).
+    Spark session needed to decide). Call :func:`recover_state` first (the
+    CLI verb does) so a mid-swap crash can't masquerade as a small store.
 
     Compaction is due when EITHER trigger fires over the two re-read state
-    dirs (bands, sigs):
+    dirs (bands, sigs), counting LIVE (non-compacted) partitions only —
+    the ``batch_id=-1`` layer is the compactor's own output and must not
+    re-trigger it through either counter, or a store whose steady-state
+    compacted file count exceeds the threshold would be permanently "due"
+    and every scheduled run would rewrite the whole state for zero
+    reduction:
 
     - ``files > max_state_files``: every micro-batch's state scan opens
-      every live state file, so total parquet file count IS the per-batch
-      planning + open cost. Default 256 ~ one file per (64 buckets x 4
-      batches) of bands growth.
+      every live state file, so the reducible file count IS the per-batch
+      planning + open cost headroom compaction can reclaim. Default 256 ~
+      one file per (64 buckets x 4 batches) of bands growth.
     - ``batches > max_batches``: distinct live ``batch_id=`` partitions.
       Each adds a directory level to prune per scan; 32 keeps the listing
       cost trivial even on object stores where LIST is metered.
@@ -338,15 +375,16 @@ def compaction_due(
     Defaults are deliberately conservative (compacting early is cheap —
     the state rewrite is one scan of data the next batch would read
     anyway); a deployment tunes them to its micro-batch cadence. Returns
-    ``{"files", "batches", "due"}`` where ``batches`` counts non-compacted
-    partitions only (the batch_id=-1 layer is the compactor's own output
-    and never re-triggers it)."""
+    ``{"files", "batches", "due"}``."""
     files = 0
     batch_ids: set[int] = set()
     for path in (cfg.bands_dir, cfg.sigs_dir):
         if not os.path.isdir(path):
             continue
         for d, _, fs in os.walk(path):
+            rel = os.path.relpath(d, path)
+            if _COMPACTED_DIR in rel.split(os.sep):
+                continue  # the compacted layer never re-triggers compaction
             files += sum(f.endswith(".parquet") for f in fs)
             base = os.path.basename(d)
             if base.startswith("batch_id="):
@@ -400,25 +438,17 @@ def compact_state(spark: SparkSession, cfg: NearDedupConfig) -> dict:
     """
     import shutil
 
+    # crash recovery for the two-rename swap below (shared with the CLI
+    # verb's pre-policy call): see recover_state
+    recover_state(cfg)
+
     stats = {"files_before": 0, "files_after": 0, "rows": 0}
     for path, ddl, parts in (
         (cfg.bands_dir, _BANDS_DDL, ["bucket", "batch_id"]),
         (cfg.sigs_dir, _SIGS_DDL, ["batch_id"]),
     ):
-        # crash recovery for the two-rename swap below: a death between
-        # rename(path -> old) and rename(tmp -> path) leaves the state
-        # MISSING (the next stream run would silently treat it as empty
-        # and re-admit near-dups), and the leftover old/ would make the
-        # next swap's rename raise. Roll the backup forward if the live
-        # dir is gone; discard it (and any half-written tmp) otherwise.
         old = path + ".pre_compact"
         tmp = path + ".compact_tmp"
-        if os.path.isdir(old) and not os.path.isdir(path):
-            os.rename(old, path)
-        elif os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp, ignore_errors=True)
 
         if not _has_parquet(path):
             continue

@@ -322,3 +322,83 @@ def test_compact_state_leaves_verdicts_sink_untouched(spark, tmp_path):
         "compact_state touched the verdicts sink — out_dir is an append-only "
         "output, not state"
     )
+
+def test_compaction_policy_ignores_compacted_layer_files(spark, tmp_path):
+    """/code-review finding (round 12): the files trigger must count LIVE
+    partitions only — a store whose steady-state compacted file count
+    exceeds max_state_files would otherwise be permanently 'due' and every
+    scheduled run would rewrite the whole state for zero reduction."""
+    from canvas_data_aws_spark.streaming.near_dedup import (
+        NearDedupConfig,
+        compact_state,
+        compaction_due,
+        process_batch,
+    )
+
+    cfg = NearDedupConfig(
+        state_dir=str(tmp_path / "state"), out_dir=str(tmp_path / "v")
+    )
+    for i in range(2):
+        docs = _mk_docs(
+            spark, [(10 * i + j, f"policy fixture {i} {j} words " * 4) for j in range(3)]
+        )
+        process_batch(spark, docs, i, cfg)
+
+    before = compaction_due(cfg, max_state_files=0, max_batches=999)
+    assert before["files"] > 0 and before["due"] is True
+
+    compact_state(spark, cfg)
+    after = compaction_due(cfg, max_state_files=0, max_batches=0)
+    assert after["files"] == 0 and after["batches"] == 0, after
+    assert after["due"] is False, (
+        "the batch_id=-1 layer re-triggered the files counter — permanent "
+        "rewrite loop at steady state"
+    )
+
+
+def test_cli_compact_recovers_mid_swap_crash_before_policy(spark, tmp_path, capsys):
+    """/code-review finding (round 12): a compaction that died between the
+    two swap renames leaves a state dir MISSING; the CLI verb's policy
+    early-return must not skip the roll-forward, or the next stream run
+    silently treats the state as empty and re-admits every near-dup."""
+    import json as _json
+    import os
+
+    import canvas_data_aws_spark.__main__ as cli
+    from canvas_data_aws_spark.streaming.near_dedup import (
+        NearDedupConfig,
+        process_batch,
+    )
+
+    cfg = NearDedupConfig(
+        state_dir=str(tmp_path / "state"), out_dir=str(tmp_path / "v")
+    )
+    docs = _mk_docs(spark, [(1, "crash recovery corpus text " * 5)])
+    process_batch(spark, docs, 0, cfg)
+
+    # simulate the mid-swap crash: live sigs dir renamed away, new dir never
+    # landed — the store now looks absent to any naive policy scan
+    os.rename(cfg.sigs_dir, cfg.sigs_dir + ".pre_compact")
+    assert not os.path.isdir(cfg.sigs_dir)
+
+    # default thresholds: policy says not-due -> early return path taken
+    assert cli.main(["compact", "--state-dir", cfg.state_dir]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] is False
+
+    # ... but the roll-forward must have happened anyway
+    assert os.path.isdir(cfg.sigs_dir), (
+        "mid-swap backup not rolled forward — next stream run would see "
+        "empty signature state"
+    )
+    assert not os.path.isdir(cfg.sigs_dir + ".pre_compact")
+
+    # and the recovered state answers: an exact re-delivery of doc 1's text
+    # in a later batch must match state
+    probe = _mk_docs(spark, [(9, "crash recovery corpus text " * 5 + "tail")])
+    process_batch(spark, probe, 1, cfg)
+    verd = {
+        r["doc_id"]: r["matched_state"]
+        for r in spark.read.parquet(cfg.out_dir).collect()
+    }
+    assert verd[9] is True, verd
