@@ -10,6 +10,7 @@ the named query registry:
     python -m canvas_data_aws_spark query tpch_q3 --sf-dir /data/sf0.1 -n 20
     python -m canvas_data_aws_spark sync --root /lake [--dry-run] [--additive]
     python -m canvas_data_aws_spark curate --sf-dir /data/sf0.1 --out /shards
+    python -m canvas_data_aws_spark tag --sf-dir /data/sf0.1 --out /attrs
     python -m canvas_data_aws_spark compact --state-dir /state [--force]
     python -m canvas_data_aws_spark bench
 
@@ -102,6 +103,16 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         attributes_dir=args.attributes_dir,
     )
     print(json.dumps(funnel.as_dict()))
+    return 0
+
+
+def _cmd_tag(args: argparse.Namespace) -> int:
+    from canvas_data_aws_spark.pipelines.curate import build_attribute_store
+    from canvas_data_aws_spark.session import get_spark
+
+    spark = get_spark(app_name="cda-tag")
+    rec = build_attribute_store(spark, args.sf_dir, args.out)
+    print(json.dumps({"built": rec["built"], "fingerprint": rec["fingerprint"]}))
     return 0
 
 
@@ -213,6 +224,21 @@ def main(argv: list[str] | None = None) -> int:
         "then filters from attributes and a rerun never re-tags text",
     )
     pc.set_defaults(fn=_cmd_curate)
+
+    pt = sub.add_parser(
+        "tag",
+        help="build-or-adopt the Dolma-style document attribute store "
+        "standalone (one fused tagger scan, input-signature marker): "
+        "pre-build on a schedule so the day's first `curate "
+        "--attributes-dir` run pays no tagger scan. No-op when the "
+        "marker matches the corpus.",
+    )
+    pt.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pt.add_argument(
+        "--out", required=True, help="attribute store directory (the same "
+        "path later passed to curate --attributes-dir)"
+    )
+    pt.set_defaults(fn=_cmd_tag)
 
     pk = sub.add_parser(
         "compact",

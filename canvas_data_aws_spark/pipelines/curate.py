@@ -152,6 +152,39 @@ def _classifier_training_inputs(q: DataFrame) -> tuple[DataFrame, DataFrame]:
     return labels, feats
 
 
+def build_attribute_store(
+    spark: SparkSession,
+    sf_dir: str,
+    attributes_dir: str,
+    docs: DataFrame | None = None,
+    input_sig: str | None = None,
+) -> dict:
+    """Build-or-adopt the Dolma-style attribute store: one fused tagger
+    scan (operators/text.py::document_attributes) persisted under an
+    input-signature marker. Adopts silently when the marker's fingerprint
+    matches the corpus — the store is input-keyed only (taggers are
+    parameter-free), so threshold iteration and reruns always adopt.
+
+    Shared code path between ``curate --attributes-dir`` (which builds it
+    lazily inside the quality tier) and the standalone ``tag`` CLI verb
+    (an operator pre-building the store on a schedule so the day's first
+    curate run pays no tagger scan). Returns ``{"built", "fingerprint",
+    "schema"}``."""
+    fp = _fingerprint(
+        tier="attributes",
+        input_sig=input_sig if input_sig is not None else _input_signature(sf_dir),
+    )
+    marker = _load_marker(attributes_dir, "attributes")
+    if marker and marker.get("fingerprint") == fp:
+        return {"built": False, "fingerprint": fp, "schema": marker["schema"]}
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    at = document_attributes(docs.select("doc_id", "text"))
+    at.write.mode("overwrite").parquet(os.path.join(attributes_dir, "attributes"))
+    _write_marker(attributes_dir, "attributes", fp, {}, at.schema.json())
+    return {"built": True, "fingerprint": fp, "schema": at.schema.json()}
+
+
 def _marker_path(checkpoint_dir: str, tier: str) -> str:
     return os.path.join(checkpoint_dir, f"{tier}._FINGERPRINT.json")
 
@@ -241,16 +274,10 @@ def curate(
     # pay a full corpus tagger scan + write for nothing — exactly the text
     # re-scan the checkpoint exists to skip.
     def _attrs() -> DataFrame:
-        a_fp = _fingerprint(tier="attributes", input_sig=_sig())
-        a_marker = _load_marker(attributes_dir, "attributes")
-        if not (a_marker and a_marker.get("fingerprint") == a_fp):
-            at = document_attributes(docs.select("doc_id", "text"))
-            at.write.mode("overwrite").parquet(
-                os.path.join(attributes_dir, "attributes")
-            )
-            _write_marker(attributes_dir, "attributes", a_fp, {}, at.schema.json())
-            a_marker = _load_marker(attributes_dir, "attributes")
-        return _read_tier(spark, attributes_dir, "attributes", a_marker["schema"])
+        rec = build_attribute_store(
+            spark, sf_dir, attributes_dir, docs=docs, input_sig=_sig()
+        )
+        return _read_tier(spark, attributes_dir, "attributes", rec["schema"])
 
     obs = {
         name: Observation(f"curate_{name}")

@@ -110,3 +110,35 @@ def test_ref_query_probe_runs(spark):
     bench = _bench()
     v = bench._ref_query_sec(spark)
     assert isinstance(v, float) and 0.0 < v < 60.0, v
+
+
+def test_bench_delta_normalization_rule():
+    """tools/bench_delta.py IS the BENCH_NOISE.md normalization rule: a
+    uniform machine-band shift (every query scaled by the ambient factor)
+    must classify as ambient; only a delta that survives dividing by
+    ref_new/ref_old AND exceeds the noise floor is a regression."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from bench_delta import classify
+
+    old = {
+        "ref_query_sec": 0.6,
+        "queries": {"uniform": 3.0, "real_regression": 3.0, "tiny": 0.4},
+    }
+    new = {
+        "ref_query_sec": 0.72,  # box 1.2x slower
+        "queries": {"uniform": 3.6, "real_regression": 6.0, "tiny": 0.55},
+    }
+    rep = classify(old, new)
+    assert rep["ambient_factor"] == 1.2
+    verd = {r["query"]: r["verdict"] for r in rep["rows"]}
+    assert verd["uniform"] == "ambient"  # 1.2x raw == the band, norm 1.0
+    assert verd["real_regression"] == "regressed"  # norm 1.67, delta 2.4s
+    assert verd["tiny"] == "ambient"  # sub-2s, norm < 1.5x
+    assert [r["query"] for r in rep["regressed"]] == ["real_regression"]
+
+    # pre-round-12 snapshot without the reference probe: factor 1.0
+    rep2 = classify({"queries": {"q": 1.0}}, {"queries": {"q": 1.1}, "ref_query_sec": 0.7})
+    assert rep2["ambient_factor"] == 1.0
+    assert "missing" in rep2["ambient_factor_source"]

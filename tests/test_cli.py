@@ -680,3 +680,35 @@ def test_curate_classifier_weights_persisted_and_refit_skipped(
     ids1 = {r["doc_id"] for r in spark.read.parquet(out1).select("doc_id").collect()}
     ids3 = {r["doc_id"] for r in spark.read.parquet(out3).select("doc_id").collect()}
     assert ids1 == ids3
+
+
+def test_cli_tag_prebuilds_store_curate_adopts(
+    spark, tmp_path, capsys, sf_dir, monkeypatch
+):
+    """`tag` CLI verb: standalone attribute-store build sharing curate's
+    exact build-or-adopt code path — an operator pre-builds the store on a
+    schedule, a second tag run adopts (no rebuild), and the day's first
+    curate --attributes-dir run pays NO tagger scan (document_attributes
+    forbidden)."""
+    import canvas_data_aws_spark.__main__ as cli
+    from canvas_data_aws_spark.pipelines.curate import curate
+
+    ad = str(tmp_path / "attrs")
+    assert cli.main(["tag", "--sf-dir", sf_dir, "--out", ad]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["built"] is True and out["fingerprint"]
+
+    # second run: input unchanged -> adopt, never rebuild
+    assert cli.main(["tag", "--sf-dir", sf_dir, "--out", ad]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["built"] is False and out2["fingerprint"] == out["fingerprint"]
+
+    # curate adopts the pre-built store: no text re-tag
+    _forbid(monkeypatch, "document_attributes")
+    funnel = curate(spark, sf_dir, str(tmp_path / "s1"), attributes_dir=ad)
+    assert funnel.n_clean > 0
+
+    # equivalence with the inline path (store built by tag == built by curate)
+    f_inline = curate(spark, sf_dir, str(tmp_path / "s2"))
+    assert funnel.n_quality == f_inline.n_quality
+    assert funnel.n_clean == f_inline.n_clean
