@@ -2242,3 +2242,87 @@ def corpus_classifier_topk_filter_q(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@register(
+    "corpus_classifier_reliability",
+    _classifier_gd_oracle(
+        train_pred="TRUE",
+        final_select="""
+    , sall AS (
+      SELECT d.doc_id,
+             CASE WHEN d.n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+               AS pass,
+             ROUND(1.0 / (1.0 + exp(-(COALESCE(ws.sv, 0)
+                                      + (SELECT b FROM b{T})))), 6) AS pr
+      FROM d LEFT JOIN (
+        SELECT xt.doc_id, SUM(xt.x * w{T}.w) AS sv
+        FROM xt JOIN w{T} USING (bucket) GROUP BY xt.doc_id
+      ) ws USING (doc_id)
+    ),
+    bk AS (
+      SELECT LEAST(CAST(FLOOR(pr * 10) AS BIGINT), 9) AS bucket, pass,
+             CAST(pr AS DECIMAL(18,6)) AS prd
+      FROM sall
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pass) AS BIGINT) AS n_pass,
+           ROUND(SUM(pass) * 1.0 / COUNT(*), 6) AS pass_rate,
+           CAST(SUM(prd) AS DECIMAL(38,6)) AS sum_prob
+    FROM bk GROUP BY bucket
+    """,
+    ),
+    doc="Reliability (calibration) table for the TRAINED classifier — the "
+    "companion readout to corpus_quality_calibration (which calibrates the "
+    "rule-based q_score): bucket the 3-pass GD model's predicted "
+    "probability into deciles (on the 6dp-rounded probability, the repo's "
+    "rounding-before-comparison convention — the rounding absorbs "
+    "exp() last-ulp differences before the decile floor) and report, per "
+    "bucket, the observed pass rate of the weak label plus the "
+    "DECIMAL-exact probability mass. This is the evidence behind the "
+    "keep-top-k% design choice documented in curate's stage 1c: a 3-pass "
+    "fit RANKS well (holdout AUC 0.999, corpus_classifier_holdout_auc) "
+    "long before its probabilities calibrate — visible here as mass "
+    "concentrated in the middle deciles with a monotone but uncalibrated "
+    "pass-rate curve, which is why the stage thresholds on rank, not on "
+    "an absolute probability. Exact oracle: the same unrolled-GD CTE "
+    "chain, decile math in integer FLOOR, probability mass summed as "
+    "DECIMAL(38,6). One cached feature scan + the per-pass bounded "
+    "gradient exchange + one 10-group map-side-combined agg.",
+    tags=("llm", "curation", "quality", "iterative"),
+)
+def corpus_classifier_reliability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.classifier import (
+        bias_rows,
+        hashed_bow,
+        logistic_gd,
+        logistic_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        n_words.between(50, 100000).cast("double").alias("y"),
+    )
+    feats = hashed_bow(docs).unionByName(bias_rows(docs))
+    w, b = logistic_gd(feats, labels, n_buckets=64, lr=0.5, passes=3)
+    p_r = F.round("p", 6)
+    bk = (
+        logistic_score(feats, w, b)
+        .join(labels, "id")
+        .select(
+            F.least(F.floor(p_r * 10).cast("bigint"), F.lit(9)).alias("bucket"),
+            F.col("y").cast("bigint").alias("pass"),
+            p_r.cast("decimal(18,6)").alias("prd"),
+        )
+    )
+    return bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pass").cast("bigint").alias("n_pass"),
+        F.round(F.sum("pass") / F.count(F.lit(1)), 6).alias("pass_rate"),
+        F.sum("prd").cast("decimal(38,6)").alias("sum_prob"),
+    )

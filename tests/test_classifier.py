@@ -169,3 +169,32 @@ def test_topk_filter_rank_key_is_rounded_score(spark, sf_dir):
         "rnk disagrees with the (round(s,6) desc, doc_id) order — the rank "
         "key is not the rounded score"
     )
+
+
+def test_classifier_reliability_reconciles_and_ranks(spark, sf_dir):
+    """corpus_classifier_reliability: the decile table must reconcile with
+    the corpus (bucket counts sum to the nonblank doc count, passes to the
+    weak-label positives) and show the ranking signal the keep-top-k%
+    design relies on: the highest populated decile's observed pass rate
+    exceeds the lowest's."""
+    from canvas_data_aws_spark.plans.registry import query_map
+
+    rows = sorted(
+        query_map()["corpus_classifier_reliability"](spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    docs = _docs(spark, sf_dir)
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    n_pos = _labels(docs).agg(F.sum("y")).collect()[0][0]
+    assert sum(r["n_pass"] for r in rows) == int(n_pos)
+    for r in rows:
+        assert 0.0 <= float(r["pass_rate"]) <= 1.0
+        assert 0 <= r["bucket"] <= 9
+    # the documented UNCALIBRATED shape: a 3-pass fit's probabilities
+    # concentrate in the middle deciles (never the confident 0/9 extremes)
+    # — the reason curate's stage 1c thresholds on rank, not probability
+    assert all(2 <= r["bucket"] <= 8 for r in rows), rows
+    if len(rows) > 1:
+        assert float(rows[-1]["pass_rate"]) >= float(rows[0]["pass_rate"]), (
+            "ranking signal inverted across populated deciles"
+        )
