@@ -142,3 +142,21 @@ def test_bench_delta_normalization_rule():
     rep2 = classify({"queries": {"q": 1.0}}, {"queries": {"q": 1.1}, "ref_query_sec": 0.7})
     assert rep2["ambient_factor"] == 1.0
     assert "missing" in rep2["ambient_factor_source"]
+
+
+def test_bench_delta_known_scatter_bands():
+    """Queries with documented fresh-process scatter wider than the generic
+    floor (the iterative graph/BSP family, BENCH_NOISE.md) use their own
+    band — graph_connected_components moved 3.6-5.5 s across one session on
+    identical code, so a 0.9 s swing must not read as a regression while
+    the same swing on an undocumented query still does."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from bench_delta import classify
+
+    old = {"ref_query_sec": 0.6, "queries": {"graph_connected_components": 4.3, "steady": 4.3}}
+    new = {"ref_query_sec": 0.6, "queries": {"graph_connected_components": 5.2, "steady": 5.2}}
+    verd = {r["query"]: r["verdict"] for r in classify(old, new)["rows"]}
+    assert verd["graph_connected_components"] == "ambient"
+    assert verd["steady"] == "regressed"

@@ -33,6 +33,16 @@ NOISE_FLOOR_SEC = 0.7
 #: sub-2 s queries additionally need >= this normalized ratio to count
 SMALL_QUERY_RATIO = 1.5
 SMALL_QUERY_SEC = 2.0
+#: per-query scatter bands WIDER than the generic floor, each documented
+#: with fresh-process measurements in BENCH_NOISE.md: the iterative
+#: graph/BSP family is JIT/codegen-sensitive (graph_connected_components
+#: measured 3.6-5.5 s across one session on IDENTICAL code — r7 second
+#: -session observation and the r12 settlement table)
+KNOWN_SCATTER_SEC = {
+    "graph_connected_components": 1.6,
+    "graph_label_propagation": 1.0,
+    "graph_k_core": 1.0,
+}
 
 
 def classify(old: dict, new: dict) -> dict:
@@ -49,7 +59,8 @@ def classify(old: dict, new: dict) -> dict:
         raw = qn[k] / qo[k]
         norm = raw / ambient
         delta = qn[k] - qo[k] * ambient
-        if abs(delta) <= NOISE_FLOOR_SEC or (
+        floor = max(NOISE_FLOOR_SEC, KNOWN_SCATTER_SEC.get(k, 0.0))
+        if abs(delta) <= floor or (
             qo[k] < SMALL_QUERY_SEC and norm < SMALL_QUERY_RATIO
         ):
             verdict = "ambient"
