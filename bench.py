@@ -28,6 +28,11 @@ spuriously fast). Every run now records, alongside the timings:
   I/O, no shuffle, data-independent — timed at child start and end
   (min-of-2 each). Its cost depends only on machine speed, so the ratio
   ref_now / ref_committed is the ambient slowdown factor of the box.
+- ``ref_io_sec``: the I/O-axis companion (round-12 verdict item 4 —
+  ref_query_sec is CPU-only, so I/O contention reads ~1.0 there): a
+  fixed buffered-read pass over lineitem.parquet (see _ref_io_sec for
+  the contract and its honest page-cache scope), same start/end +
+  min-of-all-samples protocol.
 
 Normalization rule (BENCH_NOISE.md states the same): a cross-round
 per-query delta is attributable to CODE only if it survives dividing by
@@ -213,7 +218,30 @@ HEADLINE = [
     "table_parquet_footer_audit",
     "events_markov_prediction_eval",
     "dedup_minhash_calibration",
+    # round 13: the iterative-tag HEADLINE gate (every `iterative`-tagged
+    # registry entry must be benched or on HEADLINE_EXCLUDED —
+    # tests/test_bench_smoke.py) pulled in the six that had silently
+    # escaped the series, including the round-12
+    # corpus_classifier_reliability (~3.6 s full GD fit, the gate's
+    # existence proof; round-12 verdict items 1-2). Measured sf0.1
+    # singles at adoption: dedup_cluster 4.0, dedup_collapse_best 3.2,
+    # corpus_soft_dedup_weights 3.1, reliability 3.6,
+    # embed_outlier_scores 1.3, embed_logistic_probe 1.5.
+    "corpus_classifier_reliability",
+    "dedup_cluster",
+    "dedup_collapse_best",
+    "corpus_soft_dedup_weights",
+    "embed_outlier_scores",
+    "embed_logistic_probe",
 ]
+
+#: The HEADLINE-membership escape hatch the gate requires to be EXPLICIT
+#: (round-12 verdict item 2): a registry entry carrying a cost-marker tag
+#: (``iterative`` — the unrolled/multi-pass plans, the only tag whose
+#: members all cost >1 s at sf0.1) may stay out of the bench series ONLY
+#: by appearing here with a stated reason. Empty today: every
+#: iterative-tagged entry is benched.
+HEADLINE_EXCLUDED: dict[str, str] = {}
 
 # The external harness that records bench output keeps only the LAST ~2000
 # characters of stdout, so the final JSON line must stay under this budget
@@ -312,7 +340,15 @@ def _ref_query_sec(spark) -> float:
     32 partitions — pure whole-stage-codegen arithmetic, no I/O, no
     shuffle beyond the final 1-row reduce, no data dependence. min-of-2.
     Constant across rounds BY CONTRACT: changing this query invalidates
-    every cross-round ambient comparison, so don't."""
+    every cross-round ambient comparison, so don't.
+
+    Reading the per-run [start, end] pairs: the START sample's first rep
+    includes codegen JIT warmup (measured ~0.81-0.83 vs 0.64 steady on an
+    idle box), which min-of-2 mostly but not always hides — a start sample
+    above the end sample is warmup, NOT mid-run contention; only the MIN
+    across all samples is the machine-speed figure the normalization rule
+    divides by. Also note the probe is CPU-only: an I/O-contended session
+    reads factor ~1.0 here — ref_io_sec below covers that axis."""
     reps = []
     for _ in range(2):
         t0 = time.perf_counter()
@@ -324,11 +360,39 @@ def _ref_query_sec(spark) -> float:
     return round(min(reps), 3)
 
 
+def _ref_io_sec(sf_dir: str) -> float:
+    """The fixed I/O-path probe (round-12 verdict item 4: ref_query_sec is
+    CPU-only, so an I/O-contended session reads ambient factor ~1.0 there
+    and any I/O-bound slowdown would present as a code regression). This
+    probe times the OS buffered-read path: lineitem.parquet read
+    end-to-end 16 passes in 4 MiB chunks, pure Python, no Spark — fixed
+    BY CONTRACT per sf dir (file, pass count, chunk size), min-of-2.
+
+    Honest scope: after the bench's warm-up scan the file is page-cache
+    resident, so this measures kernel read-path + memory-bandwidth
+    contention (which heavy co-located I/O and memory pressure DO
+    inflate), not cold-disk bandwidth — a purely disk-bandwidth-contended
+    box with a warm cache can still read ~1.0, so the
+    uniform-shift-across-families adjudication in BENCH_NOISE.md remains
+    the backstop for that residue."""
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    reps = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _pass in range(16):
+            with open(path, "rb", buffering=0) as f:
+                while f.read(4 * 1024 * 1024):
+                    pass
+        reps.append(time.perf_counter() - t0)
+    return round(min(reps), 4)
+
+
 def run_single(sf_dir: str) -> dict:
     """One fresh-process bench pass: min-of-2 reps per query in this JVM.
     Returns ``{"queries": {...}, "loadavg": [start, end],
-    "ref_query_sec": [start, end]}`` — the load/reference pairs bracket
-    the run so mid-run ambient drift is visible."""
+    "ref_query_sec": [start, end], "ref_io_sec": [start, end]}`` — the
+    load/reference pairs bracket the run so mid-run ambient drift is
+    visible on both the CPU and the I/O axis."""
     from canvas_data_aws_spark.plans.registry import all_queries
     from canvas_data_aws_spark.session import get_spark
 
@@ -340,6 +404,7 @@ def run_single(sf_dir: str) -> dict:
     # warm the JVM + parquet footers once so timings measure the engine
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     ref_start = _ref_query_sec(spark)
+    ref_io_start = _ref_io_sec(sf_dir)
 
     timings: dict[str, float] = {}
     to_time = [(name, registry[name].fn) for name in names]
@@ -362,12 +427,14 @@ def run_single(sf_dir: str) -> dict:
         except Exception:
             pass  # private-API cleanup is best-effort
     ref_end = _ref_query_sec(spark)
+    ref_io_end = _ref_io_sec(sf_dir)
     load_end = os.getloadavg()[0]
     spark.stop()
     return {
         "queries": timings,
         "loadavg": [round(load_start, 2), round(load_end, 2)],
         "ref_query_sec": [ref_start, ref_end],
+        "ref_io_sec": [ref_io_start, ref_io_end],
     }
 
 
@@ -410,6 +477,7 @@ def main() -> None:
     # the box's attainable speed this session; the per-run [start, end]
     # pairs (kept under runs[i].ref_query_sec) show mid-run drift
     ref_samples = [s for r in runs for s in r.get("ref_query_sec", [])]
+    ref_io_samples = [s for r in runs for s in r.get("ref_io_sec", [])]
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -418,6 +486,7 @@ def main() -> None:
         "sf": sf,
         "protocol": "min over 2 fresh processes x 2 reps",
         "ref_query_sec": min(ref_samples) if ref_samples else None,
+        "ref_io_sec": min(ref_io_samples) if ref_io_samples else None,
         "loadavg": [r.get("loadavg") for r in runs],
         "runs": runs,
     }
@@ -438,6 +507,7 @@ def main() -> None:
                     "queries": prev["queries"],
                     "sf": prev.get("sf"),
                     "ref_query_sec": prev.get("ref_query_sec"),
+                    "ref_io_sec": prev.get("ref_io_sec"),
                 },
             )
     except (OSError, ValueError):

@@ -197,14 +197,26 @@ def _load_marker(checkpoint_dir: str, tier: str) -> dict | None:
         return None
 
 
+def _atomic_write_json(path: str, obj: dict) -> None:
+    """Crash-safe JSON write: temp file in the SAME directory, then
+    os.replace — the repo's swap convention (see near_dedup's state swap).
+    A crash mid-dump leaves only a ``.tmp`` orphan, never a truncated
+    file at the real path, so readers need no corruption recovery beyond
+    their existing not-found branch."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, path)
+
+
 def _write_marker(
     checkpoint_dir: str, tier: str, fingerprint: str, counts: dict, schema_json: str
 ) -> None:
     os.makedirs(checkpoint_dir, exist_ok=True)
-    with open(_marker_path(checkpoint_dir, tier), "w") as fh:
-        json.dump(
-            {"fingerprint": fingerprint, "counts": counts, "schema": schema_json}, fh
-        )
+    _atomic_write_json(
+        _marker_path(checkpoint_dir, tier),
+        {"fingerprint": fingerprint, "counts": counts, "schema": schema_json},
+    )
 
 
 def _read_tier(spark: SparkSession, checkpoint_dir: str, tier: str, schema_json: str):
@@ -320,7 +332,12 @@ def curate(
         # than the other keys; omit it when None (the default) so quality/
         # clean checkpoints written BEFORE the stage existed stay adoptable
         # — a non-default value still invalidates, which is the direction
-        # that matters for correctness.
+        # that matters for correctness. Known one-time cost, accepted:
+        # checkpoints written by the ONE interim release whose default
+        # fingerprint embedded classifier_keep_frac=null no longer match
+        # and rebuild the quality tier once — correct-but-slower, the safe
+        # failure direction, so we don't also probe the legacy null-keyed
+        # fingerprint on load.
         fp_quality_params = dict(
             tier="quality",
             input_sig=sig,
@@ -463,15 +480,14 @@ def curate(
                         )
                         if w_path is not None:
                             os.makedirs(attributes_dir, exist_ok=True)
-                            with open(w_path, "w") as fh:
-                                json.dump(
-                                    {
-                                        "fingerprint": w_fp,
-                                        "weights": wgt_c,
-                                        "bias": bias_c,
-                                    },
-                                    fh,
-                                )
+                            _atomic_write_json(
+                                w_path,
+                                {
+                                    "fingerprint": w_fp,
+                                    "weights": wgt_c,
+                                    "bias": bias_c,
+                                },
+                            )
                     # materialize once: the scores feed approxQuantile AND
                     # the keep-set semi-join on the main action
                     scored_c = logistic_score(

@@ -31,6 +31,33 @@ def test_headline_names_all_registered():
     assert not missing, f"HEADLINE entries not in registry: {missing}"
 
 
+def test_costly_tagged_entries_are_benched():
+    """Round-12 verdict item 2: HEADLINE membership is itself gated. The
+    probe-coverage gate ratchets on the committed bench top-50, so a costly
+    NEW entry left off the hand-curated HEADLINE list silently escaped both
+    the bench series and that gate (round 12's corpus_classifier_reliability
+    was the existence proof). This test walks the registry: every entry
+    carrying the cost-marker tag (``iterative`` — the unrolled/multi-pass
+    plans; every member measured >1 s at sf0.1) must be in HEADLINE or on
+    the explicit, reason-bearing HEADLINE_EXCLUDED list."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    bench = _bench()
+    registry = all_queries()
+    costly = {n for n, q in registry.items() if "iterative" in q.tags}
+    assert costly, "cost-marker tag vanished from the registry"
+    missing = sorted(costly - set(bench.HEADLINE) - set(bench.HEADLINE_EXCLUDED))
+    assert not missing, (
+        f"iterative-tagged entries outside the bench series: {missing} — "
+        "add them to bench.HEADLINE (and a 100x probe row if they enter "
+        "the top-50) or to HEADLINE_EXCLUDED with a reason"
+    )
+    for name, reason in bench.HEADLINE_EXCLUDED.items():
+        assert name in registry, f"stale exclusion (not a registry entry): {name}"
+        assert name not in bench.HEADLINE, f"excluded AND benched: {name}"
+        assert reason.strip(), f"exclusion without a reason: {name}"
+
+
 def test_headline_queries_run(spark, sf_dir):
     from canvas_data_aws_spark.plans.registry import all_queries
 
@@ -112,6 +139,15 @@ def test_ref_query_probe_runs(spark):
     assert isinstance(v, float) and 0.0 < v < 60.0, v
 
 
+def test_ref_io_probe_runs(sf_dir):
+    """The I/O-axis ambient probe (round-12 verdict item 4) must run
+    without Spark and return a plausible positive figure — it rides every
+    bench child, so it shipping broken would crash the snapshot run."""
+    bench = _bench()
+    v = bench._ref_io_sec(sf_dir)
+    assert isinstance(v, float) and 0.0 < v < 60.0, v
+
+
 def test_bench_delta_normalization_rule():
     """tools/bench_delta.py IS the BENCH_NOISE.md normalization rule: a
     uniform machine-band shift (every query scaled by the ambient factor)
@@ -157,6 +193,67 @@ def test_bench_delta_known_scatter_bands():
 
     old = {"ref_query_sec": 0.6, "queries": {"graph_connected_components": 4.3, "steady": 4.3}}
     new = {"ref_query_sec": 0.6, "queries": {"graph_connected_components": 5.2, "steady": 5.2}}
-    verd = {r["query"]: r["verdict"] for r in classify(old, new)["rows"]}
+    rep = classify(old, new)
+    verd = {r["query"]: r["verdict"] for r in rep["rows"]}
     assert verd["graph_connected_components"] == "ambient"
     assert verd["steady"] == "regressed"
+    # suppression is never silent (round-12 advice): the band-absorbed
+    # mover is flagged and listed, the generic-floor ambient one is not
+    assert [r["query"] for r in rep["band_suppressed"]] == [
+        "graph_connected_components"
+    ]
+    # the band scales with the baseline (ratio, not a stale constant):
+    # the same 0.9 s swing on a 2.4 s baseline exceeds 0.35*2.4=0.84
+    rep2 = classify(
+        {"ref_query_sec": 0.6, "queries": {"graph_connected_components": 2.4}},
+        {"ref_query_sec": 0.6, "queries": {"graph_connected_components": 3.3}},
+    )
+    assert rep2["rows"][0]["verdict"] == "regressed"
+
+
+def test_bench_delta_band_escalation_rule():
+    """Round-12 verdict task 3: within-band scatter is memoryless, so a
+    band query that reads suppressed-positive in TWO consecutive committed
+    snapshot pairs must classify ``regressed`` on the second pair — the
+    band cannot hide a persistent drift forever. A one-off suppressed
+    reading followed by recovery stays ambient."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from bench_delta import classify_series, suppressed_positive
+
+    q = "graph_connected_components"
+    s0 = {"ref_query_sec": 0.6, "queries": {q: 4.0}}
+    s1 = {"ref_query_sec": 0.6, "queries": {q: 5.2}}  # +1.2s, band 1.4: suppressed
+    s2 = {"ref_query_sec": 0.6, "queries": {q: 6.7}}  # +1.5s on 5.2, band 1.82: suppressed AGAIN
+    rep = classify_series([s0, s1, s2], ["s0", "s1", "s2"])
+    row = rep["rows"][0]
+    assert row["verdict"] == "regressed" and row.get("escalated"), row
+    # recovery breaks the streak: pair 2 improves, nothing escalates
+    s2_ok = {"ref_query_sec": 0.6, "queries": {q: 4.1}}
+    rep_ok = classify_series([s0, s1, s2_ok], ["s0", "s1", "s2"])
+    assert rep_ok["rows"][0]["verdict"] == "ambient"
+    # the carried set is exactly the suppressed-POSITIVE movers
+    first = classify_series([s0, s1], ["s0", "s1"])
+    assert suppressed_positive(first) == {q}
+
+
+def test_bench_delta_missing_queries_key_is_diagnostic():
+    """A truncated/hand-edited snapshot (no 'queries' mapping) must raise a
+    clear SystemExit naming the snapshot, not a bare KeyError traceback."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "tools")
+    from bench_delta import classify
+
+    with pytest.raises(SystemExit, match="OLD.*no 'queries'"):
+        classify({"ref_query_sec": 0.6}, {"queries": {"q": 1.0}})
+    with pytest.raises(SystemExit, match="bad.json"):
+        classify(
+            {"queries": {"q": 1.0}},
+            {"queries": {}},
+            old_label="ok.json",
+            new_label="bad.json",
+        )

@@ -446,6 +446,56 @@ def test_cli_curate_classifier_stage(spark, tmp_path, capsys, sf_dir):
     assert ids_b <= kept, "every shard doc must pass the standalone classifier"
 
 
+def test_curate_classifier_stage_keep_drift_bound(spark, sf_dir):
+    """Round-12 verdict item 6: curate's classifier stage thresholds on
+    approxQuantile(p, 1-frac, eps=0.001) while corpus_classifier_topk_filter
+    is rank-exact (keeps ceil(frac*n)). The stage==operator equivalence test
+    passes at fixture scale, but nothing bounded the divergence in general —
+    this pins the Greenwald-Khanna guarantee as the repo's contract:
+
+        |kept_stage - kept_exact| <= ceil(eps*n) + ties_at_cut + 1
+
+    (approxQuantile returns a data value whose rank is within eps*n of the
+    true (1-frac) rank; the stage's >= filter additionally admits every
+    duplicate of that value, hence the ties term; +1 for the ceil grains on
+    both sides). eps is a constructor knob, so the bound scales as eps*n —
+    at 100 TB the stage drifts by at most 0.1% of the corpus plus boundary
+    ties, which is the design intent of trading the exact rank for one
+    collected float."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from canvas_data_aws_spark.operators.classifier import (
+        logistic_gd,
+        logistic_score,
+    )
+    from canvas_data_aws_spark.operators.curation import quality_filter
+    from canvas_data_aws_spark.pipelines.curate import _classifier_training_inputs
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = quality_filter(docs, min_stop_ratio=0.01).filter(F.col("keep")).select(
+        "doc_id", "text"
+    )
+    labels, feats = _classifier_training_inputs(q)
+    w, b = logistic_gd(feats, labels, n_buckets=64, lr=0.5, passes=3)
+    scored = logistic_score(feats, w, b).localCheckpoint(eager=True)
+    n = scored.count()
+    assert n > 0
+
+    frac, eps = 0.6, 0.001
+    cut = scored.approxQuantile("p", [1.0 - frac], eps)[0]
+    kept_stage = scored.filter(F.col("p") >= cut).count()
+    kept_exact = math.ceil(frac * n)  # the rank-exact op's keep count
+    ties = scored.filter(F.col("p") == cut).count()
+    bound = math.ceil(eps * n) + ties + 1
+    assert abs(kept_stage - kept_exact) <= bound, (
+        f"stage keep-set drifted past the approxQuantile contract: "
+        f"|{kept_stage} - {kept_exact}| > {bound} (n={n}, ties={ties})"
+    )
+
+
 def test_curate_classifier_stage_on_empty_survivors(spark, tmp_path, sf_dir):
     """classifier_keep_frac + an unsatisfiable rule tier: nothing survives
     to train on — curate must skip the stage and return the zero funnel
@@ -623,6 +673,33 @@ def test_cli_compact_policy_and_force(spark, tmp_path, capsys):
         for r in spark.read.parquet(cfg.out_dir).collect()
     }
     assert verd[99] is True, verd
+
+
+def test_atomic_write_json_never_leaves_truncated_file(tmp_path, monkeypatch):
+    """Round-12 advice: classifier_weights.json (and the tier markers) must
+    follow the repo's tmp+rename swap convention — a crash mid-dump leaves
+    the previous file intact at the real path, never a truncated one."""
+    import os
+
+    from canvas_data_aws_spark.pipelines.curate import _atomic_write_json
+
+    path = str(tmp_path / "weights.json")
+    _atomic_write_json(path, {"v": 1})
+    assert json.load(open(path)) == {"v": 1}
+    assert not os.path.exists(path + ".tmp"), "tmp not swapped away"
+
+    # crash injection: dump dies mid-write -> the real path still holds v1
+    def boom(obj, fh, *a, **kw):
+        fh.write('{"v": 2')  # truncated prefix
+        raise OSError("disk full")
+
+    monkeypatch.setattr(json, "dump", boom)
+    try:
+        _atomic_write_json(path, {"v": 2})
+    except OSError:
+        pass
+    monkeypatch.undo()
+    assert json.load(open(path)) == {"v": 1}, "crash corrupted the real path"
 
 
 def test_curate_classifier_weights_persisted_and_refit_skipped(
