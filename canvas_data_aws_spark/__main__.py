@@ -12,6 +12,7 @@ the named query registry:
     python -m canvas_data_aws_spark curate --sf-dir /data/sf0.1 --out /shards
     python -m canvas_data_aws_spark tag --sf-dir /data/sf0.1 --out /attrs
     python -m canvas_data_aws_spark compact --state-dir /state [--force]
+        [--verdicts-dir /verdicts --expire-verdicts-before N]
     python -m canvas_data_aws_spark bench
 
 ``sync`` resolves credentials secret-file-first/env-fallback (the
@@ -121,8 +122,20 @@ def _cmd_compact(args: argparse.Namespace) -> int:
         NearDedupConfig,
         compact_state,
         compaction_due,
+        expire_verdicts,
         recover_state,
     )
+
+    if (args.expire_verdicts_before is None) != (args.verdicts_dir is None):
+        print(
+            json.dumps(
+                {
+                    "error": "--expire-verdicts-before and --verdicts-dir "
+                    "must be given together"
+                }
+            )
+        )
+        return 2
 
     # out_dir is part of NearDedupConfig for the streaming run; compaction
     # touches only the two re-read state dirs (bands, sigs) and never the
@@ -132,17 +145,24 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     # leaves a store that looks small/absent — the early return below must
     # never skip the roll-forward (no Spark session needed)
     recover_state(cfg)
+    # verdicts retention is an explicit operator decision (the sink is
+    # append-only by default), so it runs regardless of the state-store
+    # policy outcome — filesystem-only, like the policy itself
+    retention = None
+    if args.expire_verdicts_before is not None:
+        retention = expire_verdicts(args.verdicts_dir, args.expire_verdicts_before)
     policy = compaction_due(
         cfg, max_state_files=args.max_state_files, max_batches=args.max_batches
     )
+    extra = {"verdicts_expired": retention} if retention is not None else {}
     if not (policy["due"] or args.force):
-        print(json.dumps({**policy, "compacted": False}))
+        print(json.dumps({**policy, "compacted": False, **extra}))
         return 0
     from canvas_data_aws_spark.session import get_spark
 
     spark = get_spark(app_name="cda-compact")
     stats = compact_state(spark, cfg)
-    print(json.dumps({**policy, "compacted": True, **stats}))
+    print(json.dumps({**policy, "compacted": True, **stats, **extra}))
     return 0
 
 
@@ -268,6 +288,20 @@ def main(argv: list[str] | None = None) -> int:
         "--force",
         action="store_true",
         help="compact regardless of the policy triggers",
+    )
+    pk.add_argument(
+        "--verdicts-dir",
+        help="the stream's verdicts sink (out_dir) — required with "
+        "--expire-verdicts-before",
+    )
+    pk.add_argument(
+        "--expire-verdicts-before",
+        type=int,
+        metavar="N",
+        help="retention: delete verdicts partitions with batch_id < N "
+        "(the sink is append-only by default; expire only batches every "
+        "consumer's high-water mark has passed). Runs even when the "
+        "state-store policy says not-due.",
     )
     pk.set_defaults(fn=_cmd_compact)
 

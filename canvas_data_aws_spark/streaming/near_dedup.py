@@ -484,6 +484,54 @@ def compact_state(spark: SparkSession, cfg: NearDedupConfig) -> dict:
     return stats
 
 
+def expire_verdicts(out_dir: str, before_batch_id: int) -> dict:
+    """Retention for the verdicts sink (round-12 verdict item 5): delete
+    the ``batch_id=N`` partition directories with ``N < before_batch_id``
+    from ``out_dir``. Filesystem-only — no Spark session.
+
+    The sink is append-only BY DEFAULT and stays that way: its batch_id
+    partitions are the provenance incremental consumers tail (read only
+    batches above their high-water mark), so the engine never expires
+    anything on its own. But a months-long deployment accumulates
+    ``n_salt`` files per batch forever, and this is the documented
+    answer: once every consumer's high-water mark has passed batch K,
+    ``expire_verdicts(out_dir, K)`` (or ``compact --verdicts-dir ...
+    --expire-verdicts-before K``) reclaims the tail. Live batches
+    (``>= before_batch_id``) are untouched — their verdicts re-read
+    byte-identically — and the state dirs are out of scope entirely, so
+    dedup verdicts for future batches are unaffected (the sink is never
+    re-read as state; see ``_write_by_batch``).
+
+    Expiring a batch a replay could still re-deliver is the caller's
+    contract to avoid (same offline rule as ``compact_state``): a
+    replayed batch would re-CREATE its partition via dynamic overwrite —
+    correct but surprising retention-wise. Idempotent: re-expiring an
+    already-expired range removes nothing. Returns
+    ``{"removed_batches": [...], "removed_files": n}``."""
+    import shutil
+
+    removed_batches: list[int] = []
+    removed_files = 0
+    if not os.path.isdir(out_dir):
+        return {"removed_batches": [], "removed_files": 0}
+    for entry in sorted(os.listdir(out_dir)):
+        if not entry.startswith("batch_id="):
+            continue
+        try:
+            bid = int(entry.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid >= before_batch_id:
+            continue
+        sub = os.path.join(out_dir, entry)
+        removed_files += sum(
+            f.endswith(".parquet") for _, _, fs in os.walk(sub) for f in fs
+        )
+        shutil.rmtree(sub)
+        removed_batches.append(bid)
+    return {"removed_batches": removed_batches, "removed_files": removed_files}
+
+
 def stream_near_dedup(
     spark: SparkSession,
     src_dir: str,

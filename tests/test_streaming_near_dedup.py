@@ -402,3 +402,107 @@ def test_cli_compact_recovers_mid_swap_crash_before_policy(spark, tmp_path, caps
         for r in spark.read.parquet(cfg.out_dir).collect()
     }
     assert verd[9] is True, verd
+
+
+def test_expire_verdicts_retention(spark, tmp_path):
+    """Round-12 verdict item 5: the verdicts sink grows n_salt files per
+    batch forever BY DESIGN (consumer-tailed provenance) — expire_verdicts
+    is the documented months-long-deployment answer. Expired batches'
+    partitions disappear; live batches re-read byte-identically; future
+    batches' verdict correctness vs state is unchanged (the sink is never
+    re-read as state); idempotent."""
+    import json as _json
+
+    import canvas_data_aws_spark.__main__ as cli
+    from canvas_data_aws_spark.streaming.near_dedup import (
+        NearDedupConfig,
+        expire_verdicts,
+        process_batch,
+    )
+
+    cfg = NearDedupConfig(
+        state_dir=str(tmp_path / "state"), out_dir=str(tmp_path / "verdicts")
+    )
+    for i in range(3):
+        docs = _mk_docs(
+            spark,
+            [(10 * i + j, f"retention fixture {i} doc {j} body " * 4) for j in range(3)],
+        )
+        process_batch(spark, docs, i, cfg)
+
+    live_before = sorted(
+        tuple(r) for r in spark.read.parquet(cfg.out_dir)
+        .filter(F.col("batch_id") >= 1).collect()
+    )
+
+    stats = expire_verdicts(cfg.out_dir, before_batch_id=1)
+    assert stats["removed_batches"] == [0] and stats["removed_files"] > 0
+    assert not os.path.isdir(os.path.join(cfg.out_dir, "batch_id=0"))
+    assert os.path.isdir(os.path.join(cfg.out_dir, "batch_id=1"))
+
+    # live batches re-read byte-identically
+    live_after = sorted(
+        tuple(r) for r in spark.read.parquet(cfg.out_dir).collect()
+    )
+    assert live_after == live_before
+
+    # idempotent: nothing left to remove in the expired range
+    again = expire_verdicts(cfg.out_dir, before_batch_id=1)
+    assert again == {"removed_batches": [], "removed_files": 0}
+
+    # future-batch verdict correctness unchanged: an exact re-delivery of a
+    # batch-0 doc's text (kept in STATE, which retention never touches)
+    # must still match state after expiration
+    probe = _mk_docs(spark, [(99, "retention fixture 0 doc 0 body " * 4)])
+    process_batch(spark, probe, 3, cfg)
+    verd = {
+        r["doc_id"]: r["matched_state"]
+        for r in spark.read.parquet(cfg.out_dir).filter("batch_id = 3").collect()
+    }
+    assert verd[99] is True, verd
+
+
+def test_cli_compact_expire_verdicts_flag(spark, tmp_path, capsys):
+    """`compact --verdicts-dir ... --expire-verdicts-before N` expires even
+    when the state-store policy says not-due (retention is an explicit
+    operator decision, not a compaction side effect), reports the stats in
+    the JSON line, and the flags must be given together."""
+    import json as _json
+
+    import canvas_data_aws_spark.__main__ as cli
+    from canvas_data_aws_spark.streaming.near_dedup import (
+        NearDedupConfig,
+        process_batch,
+    )
+
+    cfg = NearDedupConfig(
+        state_dir=str(tmp_path / "state"), out_dir=str(tmp_path / "verdicts")
+    )
+    for i in range(2):
+        docs = _mk_docs(
+            spark, [(10 * i + j, f"cli retention {i} {j} words " * 4) for j in range(2)]
+        )
+        process_batch(spark, docs, i, cfg)
+
+    # default thresholds: not-due -> early-return path, retention still runs
+    rc = cli.main(
+        [
+            "compact",
+            "--state-dir", cfg.state_dir,
+            "--verdicts-dir", cfg.out_dir,
+            "--expire-verdicts-before", "1",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] is False
+    assert out["verdicts_expired"]["removed_batches"] == [0]
+    assert not os.path.isdir(os.path.join(cfg.out_dir, "batch_id=0"))
+    assert os.path.isdir(os.path.join(cfg.out_dir, "batch_id=1"))
+
+    # the two flags are a pair
+    rc = cli.main(["compact", "--state-dir", cfg.state_dir,
+                   "--expire-verdicts-before", "1"])
+    assert rc == 2
+    err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "together" in err["error"]
