@@ -211,6 +211,40 @@ def test_bench_delta_known_scatter_bands():
     assert rep2["rows"][0]["verdict"] == "regressed"
 
 
+def test_bench_delta_ambient_uses_median_of_ref_samples():
+    """Round-13 observation: the ambient factor is a RATIO of reference
+    figures, and a ratio of mins has the sampling variance of extremes —
+    one fluke 0.54 sample against a 0.645-0.71 cohort biased the factor
+    17% and false-flagged a steady query. The factor must divide the
+    MEDIAN over each snapshot's bracketing samples (runs[].ref_query_sec),
+    falling back to the top-level min only when raw runs are absent."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from bench_delta import classify
+
+    old = {
+        "ref_query_sec": 0.672,
+        "runs": [{"ref_query_sec": [0.737, 0.672]}, {"ref_query_sec": [0.70, 0.686]}],
+        "queries": {"steady": 3.3},
+    }
+    # min sample is a fluke (0.54); cohort says the box speed is unchanged
+    new = {
+        "ref_query_sec": 0.54,
+        "runs": [{"ref_query_sec": [0.71, 0.54]}, {"ref_query_sec": [0.70, 0.69]}],
+        "queries": {"steady": 3.5},
+    }
+    rep = classify(old, new)
+    assert rep["ambient_factor"] == 1.003  # medians 0.693 vs 0.695 -> ~1.0
+    assert rep["rows"][0]["verdict"] == "ambient", rep["rows"][0]
+    # fallback: no runs recorded -> top-level figure still used
+    rep2 = classify(
+        {"ref_query_sec": 0.6, "queries": {"q": 3.0}},
+        {"ref_query_sec": 0.72, "queries": {"q": 3.6}},
+    )
+    assert rep2["ambient_factor"] == 1.2
+
+
 def test_bench_delta_band_escalation_rule():
     """Round-12 verdict task 3: within-band scatter is memoryless, so a
     band query that reads suppressed-positive in TWO consecutive committed

@@ -12,8 +12,9 @@ adjudication depends on hand arithmetic:
 
 For every common query it computes the raw ratio new/old, divides by the
 ambient factor ``ref_new / ref_old`` (the fixed machine-speed probe
-bench.py records as ``ref_query_sec``; snapshots predating round 12 lack
-it and fall back to factor 1.0 with a warning), and classifies:
+bench.py records as ``ref_query_sec`` — the MEDIAN over each snapshot's
+bracketing samples, see _ambient_ref; snapshots predating round 12 lack
+the probe and fall back to factor 1.0 with a warning), and classifies:
 
 - ``ambient``   — the normalized ratio is within the noise envelope
                   (|delta| <= NOISE_FLOOR_SEC or normalized ratio < 1.5x
@@ -65,6 +66,28 @@ KNOWN_SCATTER_RATIO = {
 ESCALATE_CONSECUTIVE = 2
 
 
+def _ambient_ref(snap: dict) -> float | None:
+    """The reference figure the AMBIENT FACTOR divides: the MEDIAN over
+    the snapshot's bracketing ref_query_sec samples (2 per child JVM x 2
+    children), falling back to the top-level min for snapshots whose raw
+    runs are unavailable. Why median, not the recorded min: the min is
+    the box's attainable speed (the right HUMAN-readable figure), but a
+    ratio of two mins has the sampling variance of extremes — round 13
+    observed a single 0.54 sample against a 0.645-0.71 cohort bias the
+    min-based factor by 17% and false-flag a steady query (raw 1.06x
+    classified regressed at norm 1.32x). The median over the 4 samples
+    is stable against one fluke in either direction."""
+    samples = [
+        s
+        for r in snap.get("runs", [])
+        for s in r.get("ref_query_sec", [])
+        if isinstance(s, (int, float))
+    ]
+    if samples:
+        return statistics.median(samples)
+    return snap.get("ref_query_sec")
+
+
 def _queries_of(snap: dict, label: str) -> dict:
     """The snapshot's per-query timings, with a diagnostic error (not a
     bare KeyError traceback) on a truncated or hand-edited file."""
@@ -89,8 +112,8 @@ def classify(
     PREVIOUS committed-snapshot pair — a query in that set that is
     suppressed-positive again here escalates to ``regressed``."""
     prior_suppressed = prior_suppressed or set()
-    ref_old = old.get("ref_query_sec")
-    ref_new = new.get("ref_query_sec")
+    ref_old = _ambient_ref(old)
+    ref_new = _ambient_ref(new)
     if ref_old and ref_new:
         ambient = ref_new / ref_old
     else:
