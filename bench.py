@@ -233,6 +233,15 @@ HEADLINE = [
     "corpus_soft_dedup_weights",
     "embed_outlier_scores",
     "embed_logistic_probe",
+    # round 13 session 2: record-linkage/ER family + MMR diverse top-k —
+    # all five benched from birth (three carry the iterative tag; the two
+    # cheap stages ride along so the family's cost curve is visible in
+    # one series).
+    "link_candidate_pairs",
+    "link_score_pairs",
+    "link_entity_clusters",
+    "link_survivorship",
+    "sim_search_mmr",
 ]
 
 #: The HEADLINE-membership escape hatch the gate requires to be EXPLICIT

@@ -1,0 +1,325 @@
+"""Record-linkage / entity-resolution query family (+ MMR diverse top-k).
+
+Engine-extension scope (SURVEY.md §2, training-data pipeline ops): the
+block -> score -> decide -> cluster -> merge ER pipeline over the documents
+table, each stage its own oracle-checked entry, plus the MMR re-rank over
+embeddings. The reference has no query engine of its own (it registers
+tables for Athena: sync-canvas-data-files.py:170-235); this family is part
+of the natively-implemented surface that replaces that delegation.
+
+Determinism: every similarity component is rounded to 6dp before any
+weighting/ranking decision, ties break on ids, and the DuckDB oracles
+mirror the arithmetic term-for-term (registry rules).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from canvas_data_aws_spark.operators.clustering import connected_components
+from canvas_data_aws_spark.operators.linkage import (
+    EMIT_T,
+    LEV_PREFIX,
+    MATCH_T,
+    PREFIX_TOKENS,
+    REVIEW_T,
+    TOKEN_BAND,
+    W_JACCARD,
+    W_LANG,
+    W_LEN,
+    W_LEV,
+    W_SOURCE,
+    candidate_pairs,
+    match_edges,
+    prepared,
+    score_pairs,
+    survivorship,
+)
+from canvas_data_aws_spark.plans.registry import register
+from canvas_data_aws_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments (DuckDB), mirroring operators/linkage.py
+# term-for-term. words[1:3] in DuckDB is 1-based inclusive = first 3 tokens
+# = Spark slice(words, 1, 3).
+
+_PREP = rf"""
+    prep AS (
+      SELECT doc_id AS id, norm,
+             len(words) AS n_tok,
+             array_to_string(words[1:{PREFIX_TOKENS}], ' ') AS prefix_key,
+             list_distinct([array_to_string(words[i:i+2], ' ')
+                            for i in range(1, len(words) - 1)]) AS sh3,
+             lang, source, n_chars
+      FROM (SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words,
+                   lang, source, n_chars
+            FROM documents)
+    )"""
+
+_CAND = f"""
+    cand AS (
+      SELECT id_a, id_b,
+             BOOL_OR(s) AS in_structure_block,
+             BOOL_OR(p) AS in_prefix_block
+      FROM (
+        SELECT a.id AS id_a, b.id AS id_b, TRUE AS s, FALSE AS p
+        FROM prep a JOIN prep b
+          ON a.lang = b.lang AND a.n_tok // {TOKEN_BAND} = b.n_tok // {TOKEN_BAND}
+             AND a.id < b.id
+        UNION ALL
+        SELECT a.id, b.id, FALSE, TRUE
+        FROM prep a JOIN prep b
+          ON a.prefix_key = b.prefix_key AND a.id < b.id
+      ) GROUP BY id_a, id_b
+    )"""
+
+_SCORED = f"""
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(len(list_intersect(a.sh3, b.sh3)) * 1.0
+                   / (len(a.sh3) + len(b.sh3) - len(list_intersect(a.sh3, b.sh3))), 6) AS jac3,
+             ROUND(1.0 - levenshtein(substr(a.norm, 1, {LEV_PREFIX}), substr(b.norm, 1, {LEV_PREFIX})) * 1.0
+                   / greatest(len(substr(a.norm, 1, {LEV_PREFIX})), len(substr(b.norm, 1, {LEV_PREFIX}))), 6) AS lev_sim,
+             ROUND(least(a.n_chars, b.n_chars) * 1.0 / greatest(a.n_chars, b.n_chars), 6) AS len_ratio,
+             CAST(a.lang = b.lang AS INT) AS lang_match,
+             CAST(a.source = b.source AS INT) AS source_match
+      FROM cand c JOIN prep a ON c.id_a = a.id JOIN prep b ON c.id_b = b.id
+    ),
+    fin AS (
+      -- exact DECIMAL weighted sum (not double): 6dp components x 3dp
+      -- weights hit exact x.xxxxxx5 midpoints a double sum rounds
+      -- engine-dependently; mirrors operators/linkage.py::score_pairs
+      SELECT *, ROUND(CAST({W_JACCARD} AS DECIMAL(4,3)) * CAST(jac3 AS DECIMAL(18,6))
+                      + CAST({W_LEV} AS DECIMAL(4,3)) * CAST(lev_sim AS DECIMAL(18,6))
+                      + CAST({W_LEN} AS DECIMAL(4,3)) * CAST(len_ratio AS DECIMAL(18,6))
+                      + CAST({W_LANG} AS DECIMAL(4,3)) * lang_match
+                      + CAST({W_SOURCE} AS DECIMAL(4,3)) * source_match, 6) AS score
+      FROM scored
+    ),
+    decided AS (
+      SELECT id_a, id_b, jac3, lev_sim, len_ratio, lang_match, source_match, score,
+             CASE WHEN score >= {MATCH_T} THEN 'match'
+                  WHEN score >= {REVIEW_T} THEN 'review'
+                  ELSE 'nonmatch' END AS decision
+      FROM fin WHERE score >= {EMIT_T}
+    )"""
+
+_MATCH_EDGES = f"""
+    edges AS (
+      SELECT id_a, id_b FROM decided WHERE score >= {MATCH_T}
+    )"""
+
+
+def _clusters_cte() -> str:
+    """Transitive closure by recursive label walk (same fixpoint as
+    operators/clustering.py::connected_components' min-label BSP; MIN per
+    vertex over all reachable seeds = min reachable id = component).
+
+    Recursive formulation, NOT unrolled CTE rounds: an unrolled l{k+1}
+    references l{k} twice (carry + propagate), and DuckDB inlines CTEs —
+    measured 2^rounds blowup re-evaluating the expensive score chain
+    (89.7 s unrolled vs 0.87 s recursive at sf0.01, identical rows). The
+    heavy prefixes are MATERIALIZED for the same reason."""
+    return """,
+    bidir AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM edges
+              UNION SELECT id_b, id_a FROM edges),
+    walk(v, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT b.dst, w.lab FROM walk w JOIN bidir b ON b.src = w.v
+    ),
+    clusters AS (SELECT v AS doc_id, MIN(lab) AS entity_id FROM walk GROUP BY v)"""
+
+
+def _mat(fragment: str, cte: str) -> str:
+    """Force MATERIALIZED on a named CTE inside a shared SQL fragment."""
+    return fragment.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
+
+
+@register(
+    "link_candidate_pairs",
+    "WITH" + _PREP + "," + _CAND + """
+    SELECT id_a, id_b, in_structure_block, in_prefix_block FROM cand
+    """,
+    doc="ER stage 1 — multi-pass blocking: union of a structure-key pass "
+    "(lang, token-count band) and a content-key pass (first-3-token "
+    "prefix), each a hash-partitioned equi-self-join, provenance flags "
+    "OR-folded per pair. The blocking keys are the 100 TB fan-out bound "
+    "(never all-pairs); multi-pass is the recall hedge — a record that "
+    "slips one key still pairs via the other "
+    "(operators/linkage.py::candidate_pairs).",
+    tags=("linkage",),
+)
+def link_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = prepared(load_table(spark, sf_dir, "documents"))
+    return candidate_pairs(prep)
+
+
+@register(
+    "link_score_pairs",
+    "WITH" + _PREP + "," + _CAND + "," + _SCORED + """
+    SELECT * FROM decided
+    """,
+    doc="ER stage 2 — field-similarity scoring on the bounded candidate set: "
+    "prefix-60 Levenshtein, 3-shingle Jaccard (array_intersect), length "
+    "ratio, lang/source agreement; deterministic Fellegi-Sunter-style "
+    "linear score (components rounded to 6dp before weighting) and "
+    "match/review/nonmatch decision bands. Row-local JVM built-ins after "
+    "the join-backs — no shuffle beyond the candidate join, no Python "
+    "(operators/linkage.py::score_pairs). Calibrated on the synthetic "
+    "corpus: planted near-dups >= 0.72, background <= ~0.42.",
+    tags=("linkage",),
+)
+def link_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = prepared(load_table(spark, sf_dir, "documents"))
+    return score_pairs(prep, candidate_pairs(prep))
+
+
+@register(
+    "link_entity_clusters",
+    "WITH RECURSIVE" + _mat(_PREP, "prep") + "," + _mat(_CAND, "cand") + ","
+    + _mat(_SCORED, "decided") + "," + _MATCH_EDGES + _clusters_cte()
+    + """
+    SELECT doc_id, entity_id FROM clusters
+    """,
+    doc="ER stage 3 — entity formation: connected components (min-label BSP, "
+    "operators/clustering.py) over the match-decision edges; entity_id = "
+    "min doc_id of the cluster, singletons map to themselves. The oracle "
+    "re-derives the fixpoint with a recursive label walk — the full "
+    "block->score->decide->cluster pipeline value-checked end-to-end.",
+    tags=("linkage", "iterative"),
+)
+def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    edges = match_edges(prepared(docs))
+    return connected_components(
+        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id"
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("entity_id"))
+
+
+@register(
+    "link_survivorship",
+    "WITH RECURSIVE" + _mat(_PREP, "prep") + "," + _mat(_CAND, "cand") + ","
+    + _mat(_SCORED, "decided") + "," + _MATCH_EDGES + _clusters_cte()
+    + """
+    , mem AS (
+      SELECT c.entity_id, d.doc_id, d.lang, d.n_chars
+      FROM documents d JOIN clusters c USING (doc_id)
+    ),
+    rep AS (
+      SELECT entity_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY entity_id
+                                         ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM mem) WHERE rn = 1
+    ),
+    modal AS (
+      SELECT entity_id, lang AS entity_lang
+      FROM (SELECT entity_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY entity_id
+                                      ORDER BY COUNT(*) DESC, lang ASC) AS rn
+            FROM mem GROUP BY entity_id, lang) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM mem GROUP BY entity_id
+    )
+    SELECT s.entity_id, s.n_members, s.total_chars, r.rep_doc_id,
+           r.rep_n_chars, m.entity_lang
+    FROM stats s JOIN rep r USING (entity_id) JOIN modal m USING (entity_id)
+    """,
+    doc="ER stage 4 — survivorship: the golden record per entity with "
+    "per-field merge rules (representative = longest text, tie min doc_id; "
+    "modal lang, tie lexicographic; summed chars; member count). One "
+    "groupBy + two row_number windows, all partitioned by entity_id — "
+    "entities are tiny and numerous, the skew-safe window shape "
+    "(operators/linkage.py::survivorship).",
+    tags=("linkage", "iterative"),
+)
+def link_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    edges = match_edges(prepared(docs))
+    clusters = connected_components(
+        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id"
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("entity_id"))
+    return survivorship(docs, clusters).select(
+        "entity_id", "n_members", "total_chars", "rep_doc_id", "rep_n_chars", "entity_lang"
+    )
+
+
+def _mmr_oracle(k: int = 8, pool: int = 32, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR: step i's winner via one MATERIALIZED CTE chain
+    (plain CTEs re-inline and re-evaluate the whole prefix per step —
+    measured exponential blowup; MATERIALIZED keeps it linear)."""
+    one_m_lam = round(1.0 - lam, 10)
+    sql = f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    rel AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS relevance,
+             CAST(e.embedding AS DOUBLE[]) AS v
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    pool AS MATERIALIZED (
+      SELECT vec_id, relevance, v FROM rel
+      ORDER BY relevance DESC, vec_id ASC LIMIT {pool}
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT 1 AS rank, vec_id, relevance, 0.0 AS max_sim,
+             ROUND(CAST({lam} AS DECIMAL(4,3)) * CAST(relevance AS DECIMAL(18,6)), 6) AS mmr_score, v
+      FROM pool ORDER BY relevance DESC, vec_id ASC LIMIT 1
+    ),
+    all1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    for i in range(2, k + 1):
+        p = i - 1
+        sql += f""",
+    cand{i} AS (
+      SELECT c.vec_id, c.relevance, c.v,
+             ROUND(MAX(list_cosine_similarity(c.v, s.v)), 6) AS max_sim
+      FROM pool c CROSS JOIN all{p} s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM all{p})
+      GROUP BY c.vec_id, c.relevance, c.v
+    ),
+    sel{i} AS MATERIALIZED (
+      SELECT {i} AS rank, vec_id, relevance, max_sim,
+             ROUND(CAST({lam} AS DECIMAL(4,3)) * CAST(relevance AS DECIMAL(18,6))
+                   - CAST({one_m_lam} AS DECIMAL(4,3)) * CAST(max_sim AS DECIMAL(18,6)), 6) AS mmr_score, v
+      FROM cand{i}
+      ORDER BY ROUND(CAST({lam} AS DECIMAL(4,3)) * CAST(relevance AS DECIMAL(18,6))
+                     - CAST({one_m_lam} AS DECIMAL(4,3)) * CAST(max_sim AS DECIMAL(18,6)), 6) DESC, vec_id ASC
+      LIMIT 1
+    ),
+    all{i} AS MATERIALIZED (SELECT * FROM all{p} UNION ALL SELECT * FROM sel{i})"""
+    sql += f"""
+    SELECT CAST(rank AS INT) AS rank, vec_id, relevance, max_sim,
+           CAST(mmr_score AS DOUBLE) AS mmr_score
+    FROM all{k}"""
+    return sql
+
+
+@register(
+    "sim_search_mmr",
+    _mmr_oracle(8, 32, 0.7),
+    doc="Maximal Marginal Relevance diverse top-8 (lambda=0.7) over a "
+    "top-32 relevance pool for the vec_id=0 query: one distributed corpus "
+    "scan fused to TakeOrderedAndProject builds the pool, then k-1 greedy "
+    "rounds each collect exactly ONE winner row and fold its similarity "
+    "into a running greatest() column — O(k*pool) work, driver traffic "
+    "bounded by k rows (operators/similarity.py::mmr_select). Oracle: the "
+    "same greedy unrolled as 8 MATERIALIZED-CTE steps — an iterative "
+    "argmax pipeline value-checked step-for-step.",
+    tags=("similarity", "iterative"),
+)
+def sim_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.similarity import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]
+    ]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    return mmr_select(corpus, qvec, k=8, pool_size=32, lam=0.7)

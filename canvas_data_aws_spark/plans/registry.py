@@ -88,6 +88,7 @@ def _load_all_modules() -> None:
         functions_q,
         ingest_q,
         joins_q,
+        linkage_q,
         llm_q,
         misc_q,
         quality_q,
