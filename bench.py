@@ -242,6 +242,8 @@ HEADLINE = [
     "link_entity_clusters",
     "link_survivorship",
     "sim_search_mmr",
+    "link_incremental_match",
+    "link_blocking_stats",
 ]
 
 #: The HEADLINE-membership escape hatch the gate requires to be EXPLICIT

@@ -11,8 +11,8 @@ byte-identical duplicates.
 Stage shapes, and why they survive 1000 executors:
 
 - **Blocking** (``candidate_pairs``) is the fan-out bound. Two independent
-  equi-join passes — a structure key (lang, token-count band) and a content
-  key (first-k-token prefix) — each a hash-partitioned self-join on the
+  equi-join passes — a structure key (lang, first token, token-count band)
+  and a content key (first-k-token prefix) — each a hash-partitioned self-join on the
   blocking key, never a cross product. Multi-pass blocking is the standard
   recall hedge (a typo in the prefix still pairs via the structure key and
   vice versa); the union of passes is deduplicated on (id_a, id_b) with
@@ -55,7 +55,13 @@ LEV_PREFIX = 60
 
 #: Token-count band width for the structure blocking key. Width 8 at test
 #: scale; at corpus scale narrow it (and/or add keys) to keep the largest
-#: block's pair count ~O(block^2) within a task's budget.
+#: block's pair count ~O(block^2) within a task's budget. The structure key
+#: deliberately includes the FIRST TOKEN: a key built only from bounded
+#: attributes (lang x band = fixed block count) makes pair count grow
+#: O(n^2) with the corpus — the 100x probe run that caught it was heading
+#: to ~3e9 pairs. The content component shards blocks with corpus
+#: diversity; head-heavy first tokens show up in link_blocking_stats'
+#: max_block before any candidate join is paid for.
 TOKEN_BAND = 8
 
 #: Number of leading tokens in the content blocking key.
@@ -81,6 +87,7 @@ def prepared(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         F.col(id_col).alias("id"),
         norm.alias("norm"),
         F.size(words).alias("n_tok"),
+        F.element_at(words, 1).alias("first_tok"),
         F.concat_ws(" ", F.slice(words, 1, PREFIX_TOKENS)).alias("prefix_key"),
         word_shingles(F.col(text_col), 3).alias("sh3"),
         "lang",
@@ -100,6 +107,7 @@ def candidate_pairs(prep: DataFrame) -> DataFrame:
     structure = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.first_tok") == F.col("b.first_tok"))
         & ((F.col("a.n_tok") / TOKEN_BAND).cast("long") == (F.col("b.n_tok") / TOKEN_BAND).cast("long"))
         & (F.col("a.id") < F.col("b.id")),
     ).select(
@@ -127,15 +135,19 @@ def candidate_pairs(prep: DataFrame) -> DataFrame:
     )
 
 
-def score_pairs(prep: DataFrame, cand: DataFrame) -> DataFrame:
+def score_pairs(
+    prep: DataFrame, cand: DataFrame, prep_b: DataFrame | None = None
+) -> DataFrame:
     """Field similarities + composite score + decision for candidate pairs.
 
     Row-local after the two join-backs; every component rounded to 6dp
     before the weighted sum (cross-engine determinism). Emits only pairs
-    with score >= EMIT_T.
+    with score >= EMIT_T. ``prep_b`` scores an asymmetric candidate set
+    (id_a drawn from ``prep``, id_b from ``prep_b`` — the incremental
+    delta-vs-base shape); default is the self-linkage case.
     """
     a = prep.alias("a")
-    b = prep.alias("b")
+    b = (prep_b if prep_b is not None else prep).alias("b")
     # Explicit repartition of the candidate table BEFORE the join-backs —
     # this is the parallelism fix, and its placement matters: Catalyst
     # pushes the score>=EMIT_T filter (whole Levenshtein expression
@@ -271,3 +283,74 @@ def survivorship(docs: DataFrame, clusters: DataFrame) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
     return stats.join(rep, "entity_id").join(modal_lang, "entity_id")
+
+
+def delta_candidates(delta_prep: DataFrame, base_prep: DataFrame) -> DataFrame:
+    """Blocking passes for the incremental (day-2) shape: delta records on
+    the left, the persisted base on the right — same two keys as
+    ``candidate_pairs``, but no id ordering (the sides are disjoint
+    universes by caller contract). The day's join fan-out is sized by the
+    DELTA's block memberships, not base x base: at 100 TB the base side
+    arrives pre-partitioned on its blocking keys (a write-time layout,
+    like the attribute store) and only delta-sized work shuffles."""
+    a, b = delta_prep.alias("a"), base_prep.alias("b")
+    band_a = (F.col("a.n_tok") / TOKEN_BAND).cast("long")
+    band_b = (F.col("b.n_tok") / TOKEN_BAND).cast("long")
+    structure = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.first_tok") == F.col("b.first_tok"))
+        & (band_a == band_b),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.lit(True).alias("in_structure_block"),
+        F.lit(False).alias("in_prefix_block"),
+    )
+    prefix = a.join(b, F.col("a.prefix_key") == F.col("b.prefix_key")).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.lit(False).alias("in_structure_block"),
+        F.lit(True).alias("in_prefix_block"),
+    )
+    return (
+        structure.unionAll(prefix)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max("in_structure_block").alias("in_structure_block"),
+            F.max("in_prefix_block").alias("in_prefix_block"),
+        )
+    )
+
+
+def incremental_match(
+    delta_prep: DataFrame, base_prep: DataFrame, base_clusters: DataFrame
+) -> DataFrame:
+    """Day-2 entity assignment: score delta-vs-base candidates, take each
+    delta record's best match (max score, tie -> min base id), adopt the
+    matched base record's entity_id; unmatched deltas found NEW entities
+    (entity_id = own id). The base is never rescored against itself —
+    daily cost is delta-sized (the corpus_cross_dedup lesson applied to
+    ER). ``base_clusters`` is the persisted (doc_id, entity_id) state."""
+    scored = score_pairs(delta_prep, delta_candidates(delta_prep, base_prep), prep_b=base_prep)
+    best_w = Window.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b").asc())
+    best = (
+        scored.filter(F.col("decision") == "match")
+        .withColumn("__rn", F.row_number().over(best_w))
+        .filter(F.col("__rn") == 1)
+        .select("id_a", "id_b", "score")
+    )
+    state = base_clusters.select(
+        F.col("doc_id").alias("__base_doc"), F.col("entity_id").alias("__base_entity")
+    )
+    return (
+        delta_prep.select(F.col("id").alias("doc_id"))
+        .join(best, F.col("doc_id") == best.id_a, "left")
+        .join(state, best.id_b == F.col("__base_doc"), "left")
+        .select(
+            F.col("doc_id"),
+            F.coalesce(F.col("__base_entity"), F.col("doc_id")).alias("entity_id"),
+            best.id_b.isNotNull().alias("matched"),
+            best.score.cast("double").alias("best_score"),
+        )
+    )

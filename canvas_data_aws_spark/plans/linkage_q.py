@@ -48,6 +48,7 @@ _PREP = rf"""
     prep AS (
       SELECT doc_id AS id, norm,
              len(words) AS n_tok,
+             words[1] AS first_tok,
              array_to_string(words[1:{PREFIX_TOKENS}], ' ') AS prefix_key,
              list_distinct([array_to_string(words[i:i+2], ' ')
                             for i in range(1, len(words) - 1)]) AS sh3,
@@ -67,7 +68,8 @@ _CAND = f"""
       FROM (
         SELECT a.id AS id_a, b.id AS id_b, TRUE AS s, FALSE AS p
         FROM prep a JOIN prep b
-          ON a.lang = b.lang AND a.n_tok // {TOKEN_BAND} = b.n_tok // {TOKEN_BAND}
+          ON a.lang = b.lang AND a.first_tok = b.first_tok
+             AND a.n_tok // {TOKEN_BAND} = b.n_tok // {TOKEN_BAND}
              AND a.id < b.id
         UNION ALL
         SELECT a.id, b.id, FALSE, TRUE
@@ -323,3 +325,188 @@ def sim_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     corpus = emb.filter(F.col("vec_id") != 0)
     return mmr_select(corpus, qvec, k=8, pool_size=32, lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (day-2) linkage + blocking audit (round 13, session 2).
+# Parametrized oracle builders mirroring the operators on arbitrary
+# left/right prep CTEs (the shared fragments above hardcode the
+# self-linkage shape; these keep the formulas in one place for the
+# asymmetric delta-vs-base shape).
+
+#: Deterministic day-2 split: ~20% of documents arrive as "today's delta".
+DELTA_PRED = "doc_id % 10 >= 8"
+
+
+def _cand_sql(cte: str, a: str, b: str, pred: str) -> str:
+    return f"""
+    {cte} AS MATERIALIZED (
+      SELECT id_a, id_b,
+             BOOL_OR(s) AS in_structure_block,
+             BOOL_OR(p) AS in_prefix_block
+      FROM (
+        SELECT a.id AS id_a, b.id AS id_b, TRUE AS s, FALSE AS p
+        FROM {a} a JOIN {b} b
+          ON a.lang = b.lang AND a.first_tok = b.first_tok
+             AND a.n_tok // {TOKEN_BAND} = b.n_tok // {TOKEN_BAND}
+             AND {pred}
+        UNION ALL
+        SELECT a.id, b.id, FALSE, TRUE
+        FROM {a} a JOIN {b} b
+          ON a.prefix_key = b.prefix_key AND {pred}
+      ) GROUP BY id_a, id_b
+    )"""
+
+
+def _decided_sql(cte: str, cand: str, a: str, b: str) -> str:
+    return f"""
+    {cte} AS MATERIALIZED (
+      SELECT id_a, id_b, score,
+             CASE WHEN score >= {MATCH_T} THEN 'match'
+                  WHEN score >= {REVIEW_T} THEN 'review'
+                  ELSE 'nonmatch' END AS decision
+      FROM (
+        SELECT id_a, id_b,
+               ROUND(CAST({W_JACCARD} AS DECIMAL(4,3)) * CAST(jac3 AS DECIMAL(18,6))
+                     + CAST({W_LEV} AS DECIMAL(4,3)) * CAST(lev_sim AS DECIMAL(18,6))
+                     + CAST({W_LEN} AS DECIMAL(4,3)) * CAST(len_ratio AS DECIMAL(18,6))
+                     + CAST({W_LANG} AS DECIMAL(4,3)) * lang_match
+                     + CAST({W_SOURCE} AS DECIMAL(4,3)) * source_match, 6) AS score
+        FROM (
+          SELECT c.id_a, c.id_b,
+                 ROUND(len(list_intersect(a.sh3, b.sh3)) * 1.0
+                       / (len(a.sh3) + len(b.sh3) - len(list_intersect(a.sh3, b.sh3))), 6) AS jac3,
+                 ROUND(1.0 - levenshtein(substr(a.norm, 1, {LEV_PREFIX}), substr(b.norm, 1, {LEV_PREFIX})) * 1.0
+                       / greatest(len(substr(a.norm, 1, {LEV_PREFIX})), len(substr(b.norm, 1, {LEV_PREFIX}))), 6) AS lev_sim,
+                 ROUND(least(a.n_chars, b.n_chars) * 1.0 / greatest(a.n_chars, b.n_chars), 6) AS len_ratio,
+                 CAST(a.lang = b.lang AS INT) AS lang_match,
+                 CAST(a.source = b.source AS INT) AS source_match
+          FROM {cand} c JOIN {a} a ON c.id_a = a.id JOIN {b} b ON c.id_b = b.id
+        )
+      ) WHERE score >= {EMIT_T}
+    )"""
+
+
+_INCREMENTAL_ORACLE = (
+    "WITH RECURSIVE"
+    + _mat(_PREP, "prep")
+    + f""",
+    base AS (SELECT * FROM prep WHERE NOT (id % 10 >= 8)),
+    delta AS (SELECT * FROM prep WHERE id % 10 >= 8),"""
+    + _cand_sql("cand_b", "base", "base", "a.id < b.id")
+    + ","
+    + _decided_sql("decided_b", "cand_b", "base", "base")
+    + f""",
+    edges AS (SELECT id_a, id_b FROM decided_b WHERE score >= {MATCH_T}),
+    bidir AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM edges
+              UNION SELECT id_b, id_a FROM edges),
+    walk(v, lab) AS (
+      SELECT id, id FROM base
+      UNION
+      SELECT b.dst, w.lab FROM walk w JOIN bidir b ON b.src = w.v
+    ),
+    clusters_b AS MATERIALIZED (SELECT v AS doc_id, MIN(lab) AS entity_id FROM walk GROUP BY v),"""
+    + _cand_sql("cand_d", "delta", "base", "TRUE")
+    + ","
+    + _decided_sql("decided_d", "cand_d", "delta", "base")
+    + f""",
+    best AS (
+      SELECT id_a, id_b, score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                                     ORDER BY score DESC, id_b ASC) AS rn
+        FROM decided_d WHERE score >= {MATCH_T}
+      ) WHERE rn = 1
+    )
+    SELECT d.id AS doc_id,
+           COALESCE(c.entity_id, d.id) AS entity_id,
+           (b.id_b IS NOT NULL) AS matched,
+           CAST(b.score AS DOUBLE) AS best_score
+    FROM delta d
+    LEFT JOIN best b ON b.id_a = d.id
+    LEFT JOIN clusters_b c ON c.doc_id = b.id_b
+    """
+)
+
+
+@register(
+    "link_incremental_match",
+    _INCREMENTAL_ORACLE,
+    doc="Day-2 entity resolution: today's delta (~20% of documents by a "
+    "deterministic split) is blocked and scored against the PERSISTED base "
+    "only — base x base is never rescored, so daily cost is delta-sized "
+    "(the corpus_cross_dedup lesson applied to ER). Each delta record "
+    "adopts its best match's entity (max score, tie -> min base id) or "
+    "founds a new entity. The oracle re-derives the base entity state "
+    "(recursive label walk over base-only match edges) and the asymmetric "
+    "delta-vs-base scoring with the same DECIMAL-exact arithmetic "
+    "(operators/linkage.py::incremental_match).",
+    tags=("linkage", "iterative"),
+)
+def link_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.linkage import delta_candidates, incremental_match  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_docs = docs.filter(~(F.col("doc_id") % 10 >= 8))
+    delta_docs = docs.filter(F.col("doc_id") % 10 >= 8)
+    base_prep = prepared(base_docs)
+    base_clusters = connected_components(
+        base_docs.select(F.col("doc_id").alias("id")),
+        match_edges(base_prep),
+        vertex_col="id",
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("entity_id"))
+    return incremental_match(prepared(delta_docs), base_prep, base_clusters)
+
+
+@register(
+    "link_blocking_stats",
+    "WITH" + _PREP + f""",
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sz
+      FROM prep GROUP BY lang, first_tok, n_tok // {TOKEN_BAND}
+    ),
+    p AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sz
+      FROM prep GROUP BY prefix_key
+    )
+    SELECT 'structure' AS pass_name,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(MAX(sz) AS BIGINT) AS max_block,
+           CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS candidate_pairs
+    FROM s
+    UNION ALL
+    SELECT 'prefix', CAST(COUNT(*) AS BIGINT), CAST(MAX(sz) AS BIGINT),
+           CAST(SUM(sz * (sz - 1) / 2) AS BIGINT)
+    FROM p
+    """,
+    doc="Blocking-quality audit — the readout an ER pipeline consults "
+    "BEFORE paying for scoring: per pass, block count, largest block, and "
+    "the exact pair mass sum C(g,2) the pass will generate. The largest "
+    "block bounds the worst task (pair generation is O(block^2)); at "
+    "corpus scale this one cheap groupBy decides whether the blocking "
+    "keys need narrowing (the module-doc knob) before the candidate join "
+    "is ever run.",
+    tags=("linkage",),
+)
+def link_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = prepared(load_table(spark, sf_dir, "documents"))
+    struct = (
+        prep.groupBy("lang", "first_tok", (F.col("n_tok") / TOKEN_BAND).cast("long"))
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.lit("structure").alias("pass_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.max("sz").cast("bigint").alias("max_block"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("bigint").alias("candidate_pairs"),
+        )
+    )
+    pref = (
+        prep.groupBy("prefix_key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.lit("prefix").alias("pass_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.max("sz").cast("bigint").alias("max_block"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("bigint").alias("candidate_pairs"),
+        )
+    )
+    return struct.unionAll(pref)

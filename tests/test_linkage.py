@@ -183,3 +183,69 @@ def test_mmr_k_exceeding_pool_truncates(spark, sf_dir):
     corpus = emb.filter(F.col("vec_id") != 0)
     out = mmr_select(corpus, qvec, k=10, pool_size=4, lam=0.7).collect()
     assert len(out) == 4  # pool exhausted, no crash, no duplicates
+
+
+def test_blocking_stats_bounds_candidates(spark, sf_dir, prep, cand):
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    stats = {
+        r.pass_name: r
+        for r in all_queries()["link_blocking_stats"].fn(spark, sf_dir).collect()
+    }
+    assert set(stats) == {"structure", "prefix"}
+    total_mass = sum(r.candidate_pairs for r in stats.values())
+    # the deduped union can never exceed the per-pass pair mass the audit
+    # reports — the audit is the pre-flight upper bound it claims to be
+    assert cand.count() <= total_mass
+    for r in stats.values():
+        assert r.max_block >= 1 and r.n_blocks >= 1
+
+
+def test_incremental_match_semantics(spark, sf_dir):
+    from canvas_data_aws_spark.operators.clustering import connected_components
+    from canvas_data_aws_spark.operators.linkage import (
+        delta_candidates,
+        incremental_match,
+    )
+    from canvas_data_aws_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_docs = docs.filter(~(F.col("doc_id") % 10 >= 8))
+    delta_docs = docs.filter(F.col("doc_id") % 10 >= 8)
+    base_prep = prepared(base_docs).cache()
+    delta_prep = prepared(delta_docs).cache()
+    base_clusters = connected_components(
+        base_docs.select(F.col("doc_id").alias("id")),
+        match_edges(base_prep),
+        vertex_col="id",
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("entity_id"))
+    state = {r.doc_id: r.entity_id for r in base_clusters.collect()}
+    out = incremental_match(delta_prep, base_prep, base_clusters).collect()
+
+    # exactly one verdict per delta record
+    assert len(out) == delta_docs.count()
+    assert len({r.doc_id for r in out}) == len(out)
+    matched = [r for r in out if r.matched]
+    assert matched, "fixture plants cross-split near-dups"
+    for r in out:
+        if r.matched:
+            # adopted entity must be a real base entity, score at threshold+
+            assert r.entity_id in set(state.values())
+            assert r.best_score >= MATCH_T
+        else:
+            assert r.entity_id == r.doc_id and r.best_score is None
+
+    # best-match choice agrees with a brute-force over the scored pairs
+    scored = score_pairs(
+        delta_prep, delta_candidates(delta_prep, base_prep), prep_b=base_prep
+    )
+    by_delta: dict = {}
+    for p in scored.filter(F.col("decision") == "match").collect():
+        cur = by_delta.get(p.id_a)
+        key = (-float(p.score), p.id_b)
+        if cur is None or key < cur[0]:
+            by_delta[p.id_a] = (key, p.id_b)
+    for r in matched:
+        assert state[by_delta[r.doc_id][1]] == r.entity_id
+    base_prep.unpersist()
+    delta_prep.unpersist()
