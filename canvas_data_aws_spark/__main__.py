@@ -11,6 +11,7 @@ the named query registry:
     python -m canvas_data_aws_spark sync --root /lake [--dry-run] [--additive]
     python -m canvas_data_aws_spark curate --sf-dir /data/sf0.1 --out /shards
     python -m canvas_data_aws_spark tag --sf-dir /data/sf0.1 --out /attrs
+    python -m canvas_data_aws_spark link --sf-dir /data/sf0.1 --out /entities
     python -m canvas_data_aws_spark compact --state-dir /state [--force]
         [--verdicts-dir /verdicts --expire-verdicts-before N]
     python -m canvas_data_aws_spark bench
@@ -166,6 +167,16 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_link(args: argparse.Namespace) -> int:
+    from canvas_data_aws_spark.pipelines.link import run_link
+    from canvas_data_aws_spark.session import get_spark
+
+    spark = get_spark(app_name="cda-link")
+    summary = run_link(spark, args.sf_dir, args.out, where=args.where)
+    print(json.dumps(summary))
+    return 0
+
+
 def _cmd_bench(_args: argparse.Namespace) -> int:
     import importlib
 
@@ -304,6 +315,21 @@ def main(argv: list[str] | None = None) -> int:
         "state-store policy says not-due.",
     )
     pk.set_defaults(fn=_cmd_compact)
+
+    pe = sub.add_parser(
+        "link",
+        help="entity resolution over documents: batch ER on first run, "
+        "delta-vs-state incremental on re-runs (pipelines/link.py)",
+    )
+    pe.add_argument("--sf-dir", required=True)
+    pe.add_argument("--out", required=True, help="state dir (marker + versioned outputs)")
+    pe.add_argument(
+        "--where",
+        default=None,
+        help="SQL predicate scoping which documents this run ingests "
+        "(e.g. 'doc_id %% 10 < 8'); omit for the full table",
+    )
+    pe.set_defaults(fn=_cmd_link)
 
     pb = sub.add_parser("bench", help="run the headline bench (bench.py)")
     pb.set_defaults(fn=_cmd_bench)

@@ -324,15 +324,23 @@ def delta_candidates(delta_prep: DataFrame, base_prep: DataFrame) -> DataFrame:
 
 
 def incremental_match(
-    delta_prep: DataFrame, base_prep: DataFrame, base_clusters: DataFrame
+    delta_prep: DataFrame,
+    base_prep: DataFrame,
+    base_clusters: DataFrame,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Day-2 entity assignment: score delta-vs-base candidates, take each
     delta record's best match (max score, tie -> min base id), adopt the
     matched base record's entity_id; unmatched deltas found NEW entities
     (entity_id = own id). The base is never rescored against itself —
     daily cost is delta-sized (the corpus_cross_dedup lesson applied to
-    ER). ``base_clusters`` is the persisted (doc_id, entity_id) state."""
-    scored = score_pairs(delta_prep, delta_candidates(delta_prep, base_prep), prep_b=base_prep)
+    ER). ``base_clusters`` is the persisted (doc_id, entity_id) state;
+    pass a precomputed ``scored`` table to share one scoring pass between
+    assignment and the review queue (pipelines/link.py does)."""
+    if scored is None:
+        scored = score_pairs(
+            delta_prep, delta_candidates(delta_prep, base_prep), prep_b=base_prep
+        )
     best_w = Window.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b").asc())
     best = (
         scored.filter(F.col("decision") == "match")
