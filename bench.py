@@ -244,6 +244,7 @@ HEADLINE = [
     "sim_search_mmr",
     "link_incremental_match",
     "link_blocking_stats",
+    "link_eval_truth",
 ]
 
 #: The HEADLINE-membership escape hatch the gate requires to be EXPLICIT

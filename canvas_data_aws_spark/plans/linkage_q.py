@@ -510,3 +510,81 @@ def link_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return struct.unionAll(pref)
+
+
+_EVAL_TRUTH_T = 0.8
+
+_EVAL_ORACLE = (
+    "WITH" + _mat(_PREP, "prep") + "," + _mat(_CAND, "cand") + "," + _SCORED
+    + f""",
+    predicted AS (SELECT id_a, id_b FROM decided WHERE score >= {MATCH_T}),
+    ex AS (SELECT id, len(sh3) AS n_sh, unnest(sh3) AS shingle FROM prep),
+    truth AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING ROUND(COUNT(*) * 1.0 / (ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*)), 6)
+             >= {_EVAL_TRUTH_T}
+    ),
+    j AS (
+      SELECT COALESCE(t.id_a, p.id_a) AS id_a,
+             (t.id_a IS NOT NULL) AS is_true,
+             (p.id_a IS NOT NULL) AS is_pred
+      FROM truth t FULL OUTER JOIN predicted p
+        ON t.id_a = p.id_a AND t.id_b = p.id_b
+    )
+    SELECT CAST(COUNT(*) FILTER (is_true AND is_pred) AS BIGINT) AS tp,
+           CAST(COUNT(*) FILTER (is_pred AND NOT is_true) AS BIGINT) AS fp,
+           CAST(COUNT(*) FILTER (is_true AND NOT is_pred) AS BIGINT) AS fn,
+           ROUND(COUNT(*) FILTER (is_true AND is_pred) * 1.0
+                 / NULLIF(COUNT(*) FILTER (is_pred), 0), 6) AS precision,
+           ROUND(COUNT(*) FILTER (is_true AND is_pred) * 1.0
+                 / NULLIF(COUNT(*) FILTER (is_true), 0), 6) AS recall
+    FROM j
+    """
+)
+
+
+@register(
+    "link_eval_truth",
+    _EVAL_ORACLE,
+    doc="ER evaluation harness: precision/recall of the match decision rule "
+    "against an INDEPENDENT ground truth — exact 3-shingle Jaccard >= 0.8 "
+    "pairs found by the inverted-index join (operators/dedup.py::"
+    "ngram_jaccard_pairs, exact mode: a pair at that similarity must share "
+    "shingles, so the index finds ALL of them — no all-pairs scan). A "
+    "missed truth pair counts against recall whether blocking dropped it "
+    "or scoring under-called it: this is the joint number an ER deployment "
+    "reports, and the regression canary for any future blocking-key or "
+    "weight change. One row: tp/fp/fn/precision/recall.",
+    tags=("linkage",),
+)
+def link_eval_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canvas_data_aws_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, k=3, threshold=_EVAL_TRUTH_T).select(
+        "id_a", "id_b", F.lit(True).alias("is_true")
+    )
+    prep = prepared(docs)
+    predicted = (
+        score_pairs(prep, candidate_pairs(prep))
+        .filter(F.col("decision") == "match")
+        .select("id_a", "id_b", F.lit(True).alias("is_pred"))
+    )
+    j = truth.join(predicted, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("is_true", F.lit(False)).alias("is_true"),
+        F.coalesce("is_pred", F.lit(False)).alias("is_pred"),
+    )
+    tp = F.sum((F.col("is_true") & F.col("is_pred")).cast("long"))
+    fp = F.sum((F.col("is_pred") & ~F.col("is_true")).cast("long"))
+    fn = F.sum((F.col("is_true") & ~F.col("is_pred")).cast("long"))
+    npred = F.sum(F.col("is_pred").cast("long"))
+    ntrue = F.sum(F.col("is_true").cast("long"))
+    return j.agg(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        F.round(tp / F.nullif(npred, F.lit(0)), 6).alias("precision"),
+        F.round(tp / F.nullif(ntrue, F.lit(0)), 6).alias("recall"),
+    )

@@ -249,3 +249,16 @@ def test_incremental_match_semantics(spark, sf_dir):
         assert state[by_delta[r.doc_id][1]] == r.entity_id
     base_prep.unpersist()
     delta_prep.unpersist()
+
+
+def test_eval_truth_is_perfect_on_fixture(spark, sf_dir):
+    """Regression canary: on the synthetic corpus the decision rule must
+    recover the 0.8-Jaccard truth EXACTLY (fp == fn == 0). Any future
+    blocking-key or weight change that drops a planted pair turns this
+    red before it ships."""
+    from canvas_data_aws_spark.plans.registry import all_queries
+
+    row = all_queries()["link_eval_truth"].fn(spark, sf_dir).head()
+    assert row.tp > 0
+    assert row.fp == 0 and row.fn == 0
+    assert row.precision == 1.0 and row.recall == 1.0
