@@ -245,6 +245,12 @@ HEADLINE = [
     "link_incremental_match",
     "link_blocking_stats",
     "link_eval_truth",
+    # round 13 session 3: training-set assembly family — benched from
+    # birth (the composed manifest is the costly one; the two audits ride
+    # along so the family's cost curve is visible in one series).
+    "corpus_assemble_manifest",
+    "corpus_curriculum_schedule",
+    "corpus_length_grouped_batches",
 ]
 
 #: The HEADLINE-membership escape hatch the gate requires to be EXPLICIT

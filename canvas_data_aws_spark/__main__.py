@@ -177,6 +177,27 @@ def _cmd_link(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_assemble(args: argparse.Namespace) -> int:
+    from canvas_data_aws_spark.pipelines.assemble import run_assemble
+    from canvas_data_aws_spark.session import get_spark
+
+    spark = get_spark(app_name="cda-assemble")
+    summary = run_assemble(
+        spark,
+        args.sf_dir,
+        args.out,
+        epoch=args.epoch,
+        alpha=args.alpha,
+        token_budget=args.token_budget or None,
+        seq_len=args.seq_len,
+        shards=args.shards,
+        where=args.where,
+        keep_from=args.keep_from,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
 def _cmd_bench(_args: argparse.Namespace) -> int:
     import importlib
 
@@ -330,6 +351,49 @@ def main(argv: list[str] | None = None) -> int:
         "(e.g. 'doc_id %% 10 < 8'); omit for the full table",
     )
     pe.set_defaults(fn=_cmd_link)
+
+    pa = sub.add_parser(
+        "assemble",
+        help="assemble a training epoch: budgeted temperature mixture with "
+        "fractional-epoch upsampling -> deterministic shuffle -> shard -> "
+        "sequence packing, written as a shard-partitioned manifest "
+        "(pipelines/assemble.py). Re-running an unchanged (recipe, epoch) "
+        "is a no-op; a new --epoch re-shuffles the same instances.",
+    )
+    pa.add_argument("--sf-dir", required=True)
+    pa.add_argument(
+        "--out", required=True, help="state dir (marker + versioned manifests)"
+    )
+    pa.add_argument("--epoch", type=int, default=1, help="shuffle epoch seed")
+    pa.add_argument(
+        "--alpha",
+        type=float,
+        default=0.5,
+        help="mixture temperature (rate ~ n_tokens^alpha; 1 = proportional)",
+    )
+    pa.add_argument(
+        "--token-budget",
+        type=float,
+        default=100_000.0,
+        help="total token allocation the mixture honors exactly via "
+        "fractional-epoch upsampling; pass 0 to disable rebalancing "
+        "(every source at 1 epoch)",
+    )
+    pa.add_argument("--seq-len", type=int, default=512)
+    pa.add_argument("--shards", type=int, default=16)
+    pa.add_argument(
+        "--where",
+        default=None,
+        help="SQL predicate scoping which documents this recipe ingests",
+    )
+    pa.add_argument(
+        "--keep-from",
+        default=None,
+        help="curated export dir (any parquet with doc_id, e.g. a "
+        "`curate --out`): assemble only its survivors — the curate -> "
+        "assemble chain",
+    )
+    pa.set_defaults(fn=_cmd_assemble)
 
     pb = sub.add_parser("bench", help="run the headline bench (bench.py)")
     pb.set_defaults(fn=_cmd_bench)

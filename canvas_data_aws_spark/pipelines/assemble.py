@@ -1,0 +1,160 @@
+"""Operable training-set assembly: ``python -m canvas_data_aws_spark assemble``.
+
+The registry entries (plans/assembly_q.py) are the oracle-checked query
+surface; this module is the DEPLOYMENT shape — mixture -> epoch
+upsampling -> deterministic shuffle -> shard -> sequence packing, writing
+the sharded sequence manifest a dataloader consumes, with the versioned
+dirs + one-atomic-marker state layout the repo's other pipelines use
+(curate checkpoints, link state):
+
+    _assemble_state.json          <- atomic marker: per-epoch version map
+    sequences_v{N}.parquet/       <- shard=K/... partitioned instance rows
+                                     (pos, doc_id, rep, n_tokens, batch_id)
+
+Semantics (stated, test-pinned):
+
+- **Deterministic**: the same (recipe, epoch) produces a byte-identical
+  manifest — no RNG anywhere (Knuth-hash mixture draw, md5 shuffle key).
+- **Idempotent**: re-running an epoch whose recipe fingerprint matches
+  the marker is a no-op (readers keep their version); a CHANGED recipe
+  rebuilds that epoch under a new version dir, never mutating in place.
+- **Epochs differ only in order**: the mixture draw is epoch-independent
+  (the sampled/upsampled multiset is a property of the recipe), the
+  shuffle seed is `epoch{N}`, so every epoch holds the same instances in
+  a different deterministic order — the property training reproducibility
+  audits check.
+
+A crash mid-run leaves the marker untouched (the new version's dirs are
+orphans, overwritten on retry).
+
+Scale shape (100 TB): one per-source rollup (broadcast back), a row-local
+explode, ONE hash exchange on shard whose sort serves the rank and the
+packing window, then the partitionBy(shard) write that exchange already
+laid out. The shard count is the parallelism/file-size knob.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from canvas_data_aws_spark.operators.assembly import (
+    epoch_instances,
+    mixture_epochs,
+    shuffle_shard_pack,
+)
+from canvas_data_aws_spark.pipelines.curate import (
+    _atomic_write_json,
+    _fingerprint,
+)
+from canvas_data_aws_spark.sources.parquet import load_table
+
+MARKER = "_assemble_state.json"
+
+
+def _read_marker(out_dir: str) -> dict:
+    path = os.path.join(out_dir, MARKER)
+    if not os.path.exists(path):
+        return {"next_version": 1, "epochs": {}}
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except ValueError:
+        # writes are atomic, so a truncated marker can only be hand-edited;
+        # treat as no-state rather than crash
+        return {"next_version": 1, "epochs": {}}
+
+
+def run_assemble(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    epoch: int = 1,
+    alpha: float = 0.5,
+    token_budget: float | None = 100_000.0,
+    seq_len: int = 512,
+    shards: int = 16,
+    where: str | None = None,
+    keep_from: str | None = None,
+) -> dict:
+    """Assemble one training epoch. Returns the run summary (also embedded
+    in the marker). No-op when this epoch was already built with the same
+    recipe fingerprint.
+
+    ``keep_from``: path to a curated export (any parquet with a ``doc_id``
+    column — e.g. a `curate --out` dir) scoping assembly to its SURVIVORS
+    via a left-semi join, with mixture metadata (source, text) still read
+    from the source table. This is the curate -> assemble chain: curate
+    decides WHICH documents, assemble decides the recipe over them."""
+    os.makedirs(out_dir, exist_ok=True)
+    fp = _fingerprint(
+        sf_dir=sf_dir,
+        epoch=int(epoch),
+        alpha=float(alpha),
+        token_budget=None if token_budget is None else float(token_budget),
+        seq_len=int(seq_len),
+        shards=int(shards),
+        where=where,
+        keep_from=keep_from,
+    )
+    marker = _read_marker(out_dir)
+    prev = marker["epochs"].get(str(epoch))
+    if prev and prev["fingerprint"] == fp:
+        return {"mode": "noop", "epoch": int(epoch), **prev["summary"]}
+
+    docs = load_table(spark, sf_dir, "documents")
+    scope = docs.filter(where) if where else docs
+    if keep_from is not None:
+        survivors = spark.read.parquet(keep_from).select("doc_id")
+        scope = scope.join(survivors, "doc_id", "left_semi")
+    eps = mixture_epochs(scope, alpha=alpha, token_budget=token_budget)
+    inst = epoch_instances(scope, eps)
+    packed = shuffle_shard_pack(
+        inst, seed=f"epoch{int(epoch)}", seq_len=seq_len, n_shards=shards
+    )
+
+    version = int(marker["next_version"])
+    name = f"sequences_v{version}.parquet"
+    dest = os.path.join(out_dir, name)
+    packed.write.mode("overwrite").partitionBy("shard").parquet(dest)
+
+    summary = _summarize(spark.read.parquet(dest), seq_len)
+    summary.update(
+        {
+            "version": version,
+            "dir": name,
+            "seq_len": int(seq_len),
+            "shards": int(shards),
+        }
+    )
+    marker["epochs"][str(epoch)] = {
+        "fingerprint": fp,
+        "dir": name,
+        "summary": summary,
+    }
+    marker["next_version"] = version + 1
+    _atomic_write_json(os.path.join(out_dir, MARKER), marker)
+    return {"mode": "built", "epoch": int(epoch), **summary}
+
+
+def _summarize(packed: DataFrame, seq_len: int) -> dict:
+    """Manifest totals from the WRITTEN dataset (validates the export,
+    not just the plan): instances, distinct docs, tokens, sequences, and
+    the mean batch fill — one small aggregate job."""
+    row = packed.agg(
+        F.count(F.lit(1)).alias("n_instances"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct("shard", "batch_id").alias("n_seqs"),
+    ).collect()[0]
+    n_seqs = int(row["n_seqs"]) or 1
+    return {
+        "n_instances": int(row["n_instances"]),
+        "n_docs": int(row["n_docs"]),
+        "n_tokens": int(row["n_tokens"]),
+        "n_seqs": int(row["n_seqs"]),
+        "mean_fill": round(int(row["n_tokens"]) / (n_seqs * seq_len), 4),
+    }

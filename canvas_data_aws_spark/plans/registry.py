@@ -81,6 +81,7 @@ def _load_all_modules() -> None:
     # Import side-effect: each module registers its queries.
     from canvas_data_aws_spark.plans import (  # noqa: F401
         aggregates,
+        assembly_q,
         corpus_q,
         curation_q,
         events_q,

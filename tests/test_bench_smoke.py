@@ -272,6 +272,45 @@ def test_bench_delta_band_escalation_rule():
     assert suppressed_positive(first) == {q}
 
 
+def test_bench_delta_io_suspect_attribution():
+    """A REGRESSED mover whose delta the I/O ambient factor alone places
+    within the floor is flagged io_suspect — attribution, not suppression:
+    the verdict stays regressed (fail-loud), and the flag never appears
+    when the I/O factor does not explain the move or the I/O probe is
+    absent (pre-round-13 snapshot)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from bench_delta import classify
+
+    old = {
+        "runs": [{"ref_query_sec": [0.6, 0.6], "ref_io_sec": [0.5, 0.5]}],
+        "queries": {"io_bound": 3.0, "cpu_regression": 3.0},
+    }
+    new = {
+        # CPU probe steady (factor 1.0) but the I/O probe 1.5x slower —
+        # the io_bound query's 1.5x move is exactly what the I/O axis
+        # predicts; the other mover's 2.5x exceeds it
+        "runs": [{"ref_query_sec": [0.6, 0.6], "ref_io_sec": [0.75, 0.75]}],
+        "queries": {"io_bound": 4.5, "cpu_regression": 7.5},
+    }
+    rep = classify(old, new)
+    assert rep["ambient_io_factor"] == 1.5
+    rows = {r["query"]: r for r in rep["rows"]}
+    assert rows["io_bound"]["verdict"] == "regressed"  # fail-loud kept
+    assert rows["io_bound"].get("io_suspect") is True
+    assert rows["cpu_regression"]["verdict"] == "regressed"
+    assert "io_suspect" not in rows["cpu_regression"]
+
+    # no I/O probe on either side: no flag, report says None
+    rep2 = classify(
+        {"ref_query_sec": 0.6, "queries": {"q": 3.0}},
+        {"ref_query_sec": 0.6, "queries": {"q": 4.5}},
+    )
+    assert rep2["ambient_io_factor"] is None
+    assert "io_suspect" not in rep2["rows"][0]
+
+
 def test_bench_delta_missing_queries_key_is_diagnostic():
     """A truncated/hand-edited snapshot (no 'queries' mapping) must raise a
     clear SystemExit naming the snapshot, not a bare KeyError traceback."""

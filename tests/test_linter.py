@@ -128,6 +128,11 @@ _ALLOW: dict[str, set[str]] = {
     # the day-over-day LAG runs over the ONE-ROW-PER-DAY p50 table
     # (days-bounded monitor output, never event rows)
     "dq_quantile_drift": {"single-partition-window"},
+    # the cumulative-token window runs over the group-reduced STAGE table
+    # (<= 3 rows by construction: the stage domain is the fixed q_score
+    # bands); the document-sized input only ever sees a row-local scan +
+    # map-side-combined agg
+    "corpus_curriculum_schedule": {"single-partition-window"},
 }
 
 

@@ -27,6 +27,14 @@ band alone absorbed is flagged ``band_suppressed`` and listed separately,
 and the three-snapshot escalation rule converts two consecutive
 suppressed-positive readings into ``regressed``.
 
+The I/O axis (``ref_io_sec``, recorded since round 13) is consulted for
+ATTRIBUTION only: a regressed mover whose delta the I/O ambient factor
+alone would place within the floor carries ``io_suspect`` — it stays
+``regressed`` (fail-loud), but the adjudicator sees which axis to
+investigate first. The flag is never applied in the suppressing
+direction (a CPU-bound query normalized by a noisy I/O factor would
+hide real regressions).
+
 Exit code is 0 always (reporting, not a gate — the probe-coverage gate in
 tests/test_probe_ledger.py is the committed-snapshot gate); the output is
 one JSON line with the median band, the ambient factor, and the survivor
@@ -88,6 +96,23 @@ def _ambient_ref(snap: dict) -> float | None:
     return snap.get("ref_query_sec")
 
 
+def _ambient_io_ref(snap: dict) -> float | None:
+    """The I/O-axis companion to _ambient_ref: median over the snapshot's
+    bracketing ref_io_sec samples (post-r13 snapshots), top-level min as
+    the fallback. Used for ATTRIBUTION only (io_suspect flag), never to
+    auto-suppress a mover — a CPU-bound query normalized by a noisy I/O
+    factor would hide real regressions."""
+    samples = [
+        s
+        for r in snap.get("runs", [])
+        for s in r.get("ref_io_sec", [])
+        if isinstance(s, (int, float))
+    ]
+    if samples:
+        return statistics.median(samples)
+    return snap.get("ref_io_sec")
+
+
 def _queries_of(snap: dict, label: str) -> dict:
     """The snapshot's per-query timings, with a diagnostic error (not a
     bare KeyError traceback) on a truncated or hand-edited file."""
@@ -118,6 +143,9 @@ def classify(
         ambient = ref_new / ref_old
     else:
         ambient = 1.0
+    io_old = _ambient_io_ref(old)
+    io_new = _ambient_io_ref(new)
+    ambient_io = (io_new / io_old) if io_old and io_new else None
     qo = _queries_of(old, old_label)
     qn = _queries_of(new, new_label)
     common = sorted(k for k in qn if k in qo and qo[k] > 0.05)
@@ -144,6 +172,17 @@ def classify(
             escalated = True
         else:
             escalated = False
+        # attribution (BENCH_NOISE.md round-13 item 4): a REGRESSED mover
+        # whose delta the I/O ambient factor alone would place within the
+        # floor gets io_suspect — it stays regressed (fail-loud), but the
+        # adjudicator sees which axis to investigate first. Never applied
+        # in the suppressing direction.
+        io_suspect = False
+        if verdict == "regressed" and ambient_io:
+            io_delta = qn[k] - qo[k] * ambient_io
+            io_suspect = abs(io_delta) <= max(NOISE_FLOOR_SEC, band) or (
+                qo[k] < SMALL_QUERY_SEC and raw / ambient_io < SMALL_QUERY_RATIO
+            )
         rows.append(
             {
                 "query": k,
@@ -154,6 +193,7 @@ def classify(
                 "verdict": verdict,
                 **({"band_suppressed": True} if suppressed else {}),
                 **({"escalated": True} if escalated else {}),
+                **({"io_suspect": True} if io_suspect else {}),
             }
         )
     med = statistics.median(r["raw_ratio"] for r in rows) if rows else None
@@ -162,6 +202,7 @@ def classify(
         "ambient_factor_source": "ref_query_sec"
         if ref_old and ref_new
         else "missing (pre-round-12 snapshot) — factor 1.0",
+        "ambient_io_factor": round(ambient_io, 3) if ambient_io else None,
         "n_common": len(rows),
         "median_raw_ratio": round(med, 3) if med is not None else None,
         "regressed": [r for r in rows if r["verdict"] == "regressed"],
@@ -230,7 +271,9 @@ def main(argv: list[str]) -> int:
           f"({rep['ambient_factor_source']}); worst normalized movers:")
     for r in worst:
         flags = "".join(
-            f" +{f}" for f in ("band_suppressed", "escalated") if r.get(f)
+            f" +{f}"
+            for f in ("band_suppressed", "escalated", "io_suspect")
+            if r.get(f)
         )
         print(
             f"  {r['query']:42s} {r['old']:7.2f} -> {r['new']:7.2f} "
