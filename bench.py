@@ -251,6 +251,7 @@ HEADLINE = [
     "corpus_assemble_manifest",
     "corpus_curriculum_schedule",
     "corpus_length_grouped_batches",
+    "corpus_pack_boundary_split",
 ]
 
 #: The HEADLINE-membership escape hatch the gate requires to be EXPLICIT

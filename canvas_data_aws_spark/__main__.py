@@ -193,6 +193,7 @@ def _cmd_assemble(args: argparse.Namespace) -> int:
         shards=args.shards,
         where=args.where,
         keep_from=args.keep_from,
+        split=args.split,
     )
     print(json.dumps(summary))
     return 0
@@ -392,6 +393,13 @@ def main(argv: list[str] | None = None) -> int:
         help="curated export dir (any parquet with doc_id, e.g. a "
         "`curate --out`): assemble only its survivors — the curate -> "
         "assemble chain",
+    )
+    pa.add_argument(
+        "--split",
+        action="store_true",
+        help="write the zero-padding layout: document FRAGMENTS split at "
+        "exact seq-len boundaries (offset_in_doc re-assembles them); "
+        "default keeps whole documents (no-split batch packing)",
     )
     pa.set_defaults(fn=_cmd_assemble)
 

@@ -209,6 +209,132 @@ def _key_rank_pack(
     )
 
 
+def pack_boundary_split(
+    docs: DataFrame,
+    capacity: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TRUE pretraining packing — documents concatenated in deterministic
+    order and split EXACTLY at ``capacity``-token boundaries (zero
+    padding; a document may span sequences): per (group, seq_id) the
+    contributing doc count, the exact token fill (== capacity except each
+    stream's final sequence), and whether the sequence starts mid-document
+    (a continuation the dataloader must not treat as a document start).
+
+    The complement of pack_sequences' no-split relaxation: that one never
+    splits a document and pays fragmentation; this one never pads and
+    pays boundary-crossing documents.
+
+    Plan: one window per group for the exclusive prefix sum (the same
+    exchange the grouped write pays), a bounded explode (each doc lands in
+    ceil(n_tok/capacity)+1 sequences at most), then a map-side-combined
+    (group, seq_id) aggregate. No global sort; the group is the
+    parallelism unit."""
+    n_tok = _whitespace_tokens(text_col)
+    base = docs.filter(F.length(F.trim(text_col)) > 0).select(
+        F.col(group_col), F.col(order_col), n_tok.alias("n_tok")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # the window expression must be materialized as a column before it can
+    # feed the generator — Spark rejects a window function nested inside
+    # explode()'s argument as an unresolved operator
+    offs = base.select(
+        group_col,
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("bigint")).alias("st"),
+        "n_tok",
+    )
+    spanned = offs.select(
+        group_col,
+        "st",
+        (F.col("st") + F.col("n_tok")).alias("en"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col("st") / capacity).cast("bigint"),
+                F.floor((F.col("st") + F.col("n_tok") - 1) / capacity).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("seq_id"),
+    )
+    cap = F.lit(int(capacity)).cast("bigint")
+    lo = F.col("seq_id") * cap
+    hi = (F.col("seq_id") + 1) * cap
+    return spanned.groupBy(group_col, "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.least(F.col("en"), hi) - F.greatest(F.col("st"), lo)
+        ).cast("bigint").alias("n_tokens"),
+        F.bool_or(F.col("st") < lo).alias("starts_mid_doc"),
+    )
+
+
+def fragment_boundary_split(
+    instances_pos: DataFrame, seq_len: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Turn a positioned instance stream (the shuffle_shard_pack output:
+    ``shard, pos, doc_id, rep, n_tokens``) into the TRUE zero-padding
+    training layout: one row per (instance x spanned sequence) fragment —
+    ``(shard, seq_id, pos, doc_id, rep, offset_in_doc, n_tokens)`` where
+    offset_in_doc is the fragment's start inside its document and
+    n_tokens its length. Every sequence fills to exactly seq_len except
+    each shard's last; a document crossing a boundary appears as two
+    fragments with contiguous offsets — exactly what a dataloader
+    re-assembles.
+
+    One more window over the SAME (shard, pos) sort the positioning
+    used (no new exchange), then a bounded explode."""
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = instances_pos.select(
+        "shard",
+        "pos",
+        id_col,
+        "rep",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint")).alias(
+            "st"
+        ),
+    )
+    spanned = offs.select(
+        "shard",
+        "pos",
+        id_col,
+        "rep",
+        "st",
+        (F.col("st") + F.col("n_tokens")).alias("en"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col("st") / seq_len).cast("bigint"),
+                F.floor((F.col("st") + F.col("n_tokens") - 1) / seq_len).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("seq_id"),
+    )
+    cap = F.lit(int(seq_len)).cast("bigint")
+    lo = F.col("seq_id") * cap
+    hi = (F.col("seq_id") + 1) * cap
+    frag_start = F.greatest(F.col("st"), lo)
+    return spanned.select(
+        "shard",
+        "seq_id",
+        "pos",
+        id_col,
+        "rep",
+        (frag_start - F.col("st")).cast("bigint").alias("offset_in_doc"),
+        (F.least(F.col("en"), hi) - frag_start).cast("bigint").alias("n_tokens"),
+    )
+
+
 def _whitespace_tokens(text_col: str):
     """Whitespace token count matching the oracle arithmetic
     ``len(list_filter(regexp_split_to_array(trim(text),'\\s+'), x ->

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from canvas_data_aws_spark.operators.assembly import (
     epoch_instances,
+    fragment_boundary_split,
     mixture_epochs,
     shuffle_shard_pack,
 )
@@ -79,6 +80,7 @@ def run_assemble(
     shards: int = 16,
     where: str | None = None,
     keep_from: str | None = None,
+    split: bool = False,
 ) -> dict:
     """Assemble one training epoch. Returns the run summary (also embedded
     in the marker). No-op when this epoch was already built with the same
@@ -88,7 +90,14 @@ def run_assemble(
     column — e.g. a `curate --out` dir) scoping assembly to its SURVIVORS
     via a left-semi join, with mixture metadata (source, text) still read
     from the source table. This is the curate -> assemble chain: curate
-    decides WHICH documents, assemble decides the recipe over them."""
+    decides WHICH documents, assemble decides the recipe over them.
+
+    ``split``: write the TRUE zero-padding layout — one row per
+    (instance x spanned sequence) fragment, every sequence filled to
+    exactly seq_len except each shard's last (document rows carry
+    offset_in_doc so the dataloader re-assembles boundary-crossing
+    docs). Default (False) keeps whole documents and emits the
+    no-split batch_id relaxation."""
     os.makedirs(out_dir, exist_ok=True)
     fp = _fingerprint(
         sf_dir=sf_dir,
@@ -99,6 +108,7 @@ def run_assemble(
         shards=int(shards),
         where=where,
         keep_from=keep_from,
+        split=bool(split),
     )
     marker = _read_marker(out_dir)
     prev = marker["epochs"].get(str(epoch))
@@ -115,13 +125,15 @@ def run_assemble(
     packed = shuffle_shard_pack(
         inst, seed=f"epoch{int(epoch)}", seq_len=seq_len, n_shards=shards
     )
+    if split:
+        packed = fragment_boundary_split(packed, seq_len=seq_len)
 
     version = int(marker["next_version"])
     name = f"sequences_v{version}.parquet"
     dest = os.path.join(out_dir, name)
     packed.write.mode("overwrite").partitionBy("shard").parquet(dest)
 
-    summary = _summarize(spark.read.parquet(dest), seq_len)
+    summary = _summarize(spark.read.parquet(dest), seq_len, split=split)
     summary.update(
         {
             "version": version,
@@ -140,15 +152,21 @@ def run_assemble(
     return {"mode": "built", "epoch": int(epoch), **summary}
 
 
-def _summarize(packed: DataFrame, seq_len: int) -> dict:
+def _summarize(packed: DataFrame, seq_len: int, split: bool = False) -> dict:
     """Manifest totals from the WRITTEN dataset (validates the export,
     not just the plan): instances, distinct docs, tokens, sequences, and
-    the mean batch fill — one small aggregate job."""
+    the mean batch fill — one small aggregate job. In split mode rows are
+    fragments: instances count distinct (pos within shard is unique per
+    instance), and the sequence key is seq_id."""
+    seq_col = "seq_id" if split else "batch_id"
+    inst_expr = (
+        F.countDistinct("shard", "pos") if split else F.count(F.lit(1))
+    )
     row = packed.agg(
-        F.count(F.lit(1)).alias("n_instances"),
+        inst_expr.alias("n_instances"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
-        F.countDistinct("shard", "batch_id").alias("n_seqs"),
+        F.countDistinct("shard", seq_col).alias("n_seqs"),
     ).collect()[0]
     n_seqs = int(row["n_seqs"]) or 1
     return {

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from canvas_data_aws_spark.operators.assembly import (
     epoch_instances,
     mixture_epochs,
+    pack_boundary_split,
     shuffle_shard_pack_nibble,
 )
 from canvas_data_aws_spark.plans.registry import register
@@ -126,6 +127,56 @@ def corpus_assemble_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_instances"),
         F.countDistinct("batch_id").cast("bigint").alias("n_seqs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+@register(
+    "corpus_pack_boundary_split",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> length(x) > 0)) AS BIGINT) AS n_tok
+      FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS st
+      FROM toks
+    ),
+    spans AS (
+      SELECT source, st, st + n_tok AS en, CAST(s AS BIGINT) AS seq_id
+      FROM c, UNNEST(range(st // 256, (st + n_tok - 1) // 256 + 1)) AS t(s)
+    )
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(en, (seq_id + 1) * 256)
+                    - GREATEST(st, seq_id * 256)) AS BIGINT) AS n_tokens,
+           BOOL_OR(st < seq_id * 256) AS starts_mid_doc
+    FROM spans
+    GROUP BY source, seq_id
+    """,
+    doc="TRUE pretraining packing (the zero-padding layout trainers "
+    "actually consume): per-source document streams concatenated in "
+    "deterministic doc_id order and split EXACTLY at 256-token "
+    "boundaries — a document may span sequences; every sequence fills to "
+    "capacity except each stream's last. Per (source, seq_id): doc "
+    "count, exact token fill, and the starts_mid_doc continuation flag a "
+    "dataloader needs to mask document starts. The complement of "
+    "corpus_pack_batches' no-split relaxation (that one never splits and "
+    "pays fragmentation; this one never pads and pays boundary-crossing "
+    "docs). Plan: one per-source prefix-sum window (the exchange a "
+    "grouped write pays anyway), a bounded explode (<= ceil(n_tok/256)+1 "
+    "sequences per doc), one map-side-combined agg — no global sort at "
+    "any corpus size (operators/assembly.py::pack_boundary_split).",
+    tags=("llm", "curation"),
+)
+def corpus_pack_boundary_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_boundary_split(
+        load_table(spark, sf_dir, "documents"), capacity=256
     )
 
 

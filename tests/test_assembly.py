@@ -17,6 +17,7 @@ import pyspark.sql.functions as F
 from canvas_data_aws_spark.operators.assembly import (
     epoch_instances,
     mixture_epochs,
+    pack_boundary_split,
     shuffle_shard_pack,
 )
 from canvas_data_aws_spark.sources.parquet import load_table
@@ -100,6 +101,47 @@ def test_epochs_share_instances_but_not_order(spark, sf_dir):
     assert order1 != order2
 
 
+def test_pack_boundary_split_invariants(spark, sf_dir):
+    """Zero-padding packing: per source, every sequence fills to EXACTLY
+    capacity except the stream's last; token totals conserve; sequence ids
+    are dense from 0; and starts_mid_doc is true iff the previous
+    sequence's boundary fell inside a document (cross-checked against the
+    n_docs/fill arithmetic: a sequence starting mid-doc shares its first
+    doc with its predecessor)."""
+    cap = 64
+    docs = _docs(spark, sf_dir)
+    packed = pack_boundary_split(docs, capacity=cap).collect()
+    n_tok_by_source = {
+        r["source"]: r["t"]
+        for r in docs.filter(F.length(F.trim("text")) > 0)
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.size(
+                    F.filter(
+                        F.split(F.trim("text"), r"\s+"),
+                        lambda x: F.length(x) > 0,
+                    )
+                )
+            ).alias("t")
+        )
+        .collect()
+    }
+    by_source: dict[str, list] = {}
+    for r in packed:
+        by_source.setdefault(r["source"], []).append(r)
+    assert set(by_source) == set(n_tok_by_source)
+    for src, rows in by_source.items():
+        rows.sort(key=lambda r: r["seq_id"])
+        assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+        assert sum(r["n_tokens"] for r in rows) == n_tok_by_source[src]
+        for r in rows[:-1]:
+            assert r["n_tokens"] == cap, (src, r["seq_id"])
+        assert 0 < rows[-1]["n_tokens"] <= cap
+        # first sequence of a stream can never be a continuation
+        assert rows[0]["starts_mid_doc"] is False
+
+
 def test_cli_assemble_build_noop_and_recipe_change(spark, sf_dir, tmp_path):
     """E2E through the CLI: first run builds v1; an identical re-run is a
     no-op (marker fingerprint); a changed recipe (seq_len) rebuilds the
@@ -167,6 +209,59 @@ def test_cli_curate_then_assemble_chain(spark, sf_dir, tmp_path):
     assert cli.main(["assemble", "--sf-dir", sf_dir, "--out", out]) == 0
     marker = json.load(open(os.path.join(out, "_assemble_state.json")))
     assert marker["epochs"]["1"]["dir"] == "sequences_v2.parquet"
+
+
+def test_cli_assemble_split_mode(spark, sf_dir, tmp_path):
+    """--split writes the zero-padding layout: per shard every sequence
+    fills to EXACTLY seq_len except the last; fragments of one instance
+    carry contiguous offsets summing to the doc's token count; and total
+    tokens equal the non-split run's (same recipe, same instances — only
+    the layout differs)."""
+    import canvas_data_aws_spark.__main__ as cli
+
+    out = str(tmp_path / "asm")
+    assert cli.main(
+        ["assemble", "--sf-dir", sf_dir, "--out", out, "--seq-len", "128",
+         "--split"]
+    ) == 0
+    frags = spark.read.parquet(os.path.join(out, "sequences_v1.parquet"))
+    rows = frags.collect()
+
+    # per-(shard, seq) fill: exactly 128 except each shard's max seq_id
+    fill: dict[tuple, int] = {}
+    for r in rows:
+        fill[(r["shard"], r["seq_id"])] = (
+            fill.get((r["shard"], r["seq_id"]), 0) + r["n_tokens"]
+        )
+    last = {}
+    for (shard, seq), _t in fill.items():
+        last[shard] = max(last.get(shard, -1), seq)
+    for (shard, seq), t in fill.items():
+        if seq != last[shard]:
+            assert t == 128, (shard, seq, t)
+        else:
+            assert 0 < t <= 128
+
+    # fragment contiguity per instance
+    by_inst: dict[tuple, list] = {}
+    for r in rows:
+        by_inst.setdefault((r["shard"], r["pos"]), []).append(r)
+    for frag_list in by_inst.values():
+        frag_list.sort(key=lambda r: r["offset_in_doc"])
+        assert frag_list[0]["offset_in_doc"] == 0
+        for a, b in zip(frag_list, frag_list[1:]):
+            assert b["offset_in_doc"] == a["offset_in_doc"] + a["n_tokens"]
+
+    # token total matches the non-split run of the same recipe
+    out2 = str(tmp_path / "asm_nosplit")
+    assert cli.main(
+        ["assemble", "--sf-dir", sf_dir, "--out", out2, "--seq-len", "128"]
+    ) == 0
+    whole = spark.read.parquet(os.path.join(out2, "sequences_v1.parquet"))
+    assert (
+        frags.agg(F.sum("n_tokens")).collect()[0][0]
+        == whole.agg(F.sum("n_tokens")).collect()[0][0]
+    )
 
 
 def test_cli_assemble_truncated_marker_is_no_state(spark, sf_dir, tmp_path):
