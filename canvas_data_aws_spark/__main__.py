@@ -178,10 +178,20 @@ def _cmd_link(args: argparse.Namespace) -> int:
 
 
 def _cmd_assemble(args: argparse.Namespace) -> int:
-    from canvas_data_aws_spark.pipelines.assemble import run_assemble
+    from canvas_data_aws_spark.pipelines.assemble import (
+        run_assemble,
+        verify_assemble,
+    )
     from canvas_data_aws_spark.session import get_spark
 
     spark = get_spark(app_name="cda-assemble")
+    if args.verify:
+        report = verify_assemble(spark, args.out)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
+    if not args.sf_dir:
+        print("assemble: --sf-dir is required unless --verify", file=sys.stderr)
+        return 2
     summary = run_assemble(
         spark,
         args.sf_dir,
@@ -361,9 +371,19 @@ def main(argv: list[str] | None = None) -> int:
         "(pipelines/assemble.py). Re-running an unchanged (recipe, epoch) "
         "is a no-op; a new --epoch re-shuffles the same instances.",
     )
-    pa.add_argument("--sf-dir", required=True)
+    pa.add_argument(
+        "--sf-dir", default=None, help="source tables (required unless --verify)"
+    )
     pa.add_argument(
         "--out", required=True, help="state dir (marker + versioned manifests)"
+    )
+    pa.add_argument(
+        "--verify",
+        action="store_true",
+        help="audit an existing state dir instead of building: recompute "
+        "every epoch's manifest summary against the marker and (split "
+        "layouts) the exact-fill + fragment-tiling invariants; exit 1 on "
+        "any mismatch",
     )
     pa.add_argument("--epoch", type=int, default=1, help="shuffle epoch seed")
     pa.add_argument(

@@ -52,6 +52,29 @@ _KNUTH_MOD = 4294967296
 _MIX_C = 48271
 
 
+def knuth_uniform(id_col, c: int):
+    """The portable Knuth-hash uniform ``((id*A + c) mod 2^32 + 1) /
+    (2^32 + 1)`` computed WITHOUT a 64-bit overflow: a direct ``id * A``
+    overflows long once id exceeds ~3.47e9 (Long.MAX / A) — found by the
+    1000x probe, whose replica shift puts doc_id at ~1e10, exactly where
+    a year of 100 TB ingest puts a production id space. Split multiply:
+    with x = id mod 2^32 = h*2^16 + l,
+
+        (x*A) mod 2^32 = ((h*A mod 2^32) * 2^16 + l*A) mod 2^32
+
+    and every intermediate stays under 2^49. Mathematically identical to
+    the naive form for ALL ids (multiplication mod m distributes), so the
+    DuckDB oracles — which compute the naive expression in overflow-free
+    HUGEINT — keep matching bit-for-bit."""
+    m = F.lit(_KNUTH_MOD)
+    x = F.pmod(id_col, m)
+    h = F.floor(x / F.lit(65536))
+    lo = x % F.lit(65536)
+    hi = F.pmod(h * F.lit(_KNUTH_A), m) * F.lit(65536)
+    u_int = F.pmod(hi + lo * F.lit(_KNUTH_A) + F.lit(int(c)), m)
+    return (u_int + 1) / F.lit(float(_KNUTH_MOD + 1))
+
+
 def mixture_epochs(
     docs: DataFrame,
     alpha: float = 0.5,
@@ -114,9 +137,7 @@ def epoch_instances(
     e6 = F.round(F.col("epochs"), 6)
     rep_full = F.floor(e6).cast("bigint")
     frac = F.round(e6 - F.floor(e6), 6)
-    u = (
-        (F.col(id_col) * F.lit(_KNUTH_A) + F.lit(_MIX_C)) % F.lit(_KNUTH_MOD) + 1
-    ) / F.lit(float(_KNUTH_MOD + 1))
+    u = knuth_uniform(F.col(id_col), _MIX_C)
     joined = base.join(
         F.broadcast(epochs_by_source.select(source_col, "epochs")), source_col
     )

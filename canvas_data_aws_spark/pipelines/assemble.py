@@ -152,6 +152,75 @@ def run_assemble(
     return {"mode": "built", "epoch": int(epoch), **summary}
 
 
+def verify_assemble(spark: SparkSession, out_dir: str) -> dict:
+    """Audit an existing assembly state dir: for every epoch in the
+    marker, re-read the written dataset, recompute the manifest summary,
+    and check the layout invariants — the restore/copy/bitrot check a
+    training launch runs before trusting a manifest.
+
+    Checks per epoch (all distributed aggregates, no driver-sized
+    collect):
+
+    - ``summary_match``: recomputed totals equal the marker's summary
+      (instances, docs, tokens, sequences).
+    - split layouts only (detected by the ``offset_in_doc`` column):
+      ``fill_exact`` — every (shard, seq) sums to exactly seq_len except
+      each shard's last; ``tiling_exact`` — per instance, fragments tile
+      the document exactly (min offset 0, token sum == max fragment end;
+      an overlap inflates the sum past the covered span, a gap leaves it
+      short, so the pair of aggregates is equivalent to per-row
+      contiguity).
+
+    Returns ``{"ok": bool, "epochs": {epoch: {...per-check booleans}}}``;
+    a missing dataset dir reads as ``ok: False`` with the error string
+    rather than raising (the audit must report, not crash)."""
+    marker = _read_marker(out_dir)
+    report: dict = {"ok": True, "epochs": {}}
+    for ep, rec in sorted(marker["epochs"].items()):
+        entry: dict = {}
+        want = rec["summary"]
+        seq_len = int(want["seq_len"])
+        try:
+            ds = spark.read.parquet(os.path.join(out_dir, rec["dir"]))
+        except Exception as exc:  # missing/corrupt dir: report, don't crash
+            report["epochs"][ep] = {"ok": False, "error": str(exc)[:200]}
+            report["ok"] = False
+            continue
+        split = "offset_in_doc" in ds.columns
+        got = _summarize(ds, seq_len, split=split)
+        entry["summary_match"] = all(
+            got[k] == want[k]
+            for k in ("n_instances", "n_docs", "n_tokens", "n_seqs")
+        )
+        if split:
+            per_seq = ds.groupBy("shard", "seq_id").agg(
+                F.sum("n_tokens").alias("fill")
+            )
+            last = per_seq.groupBy("shard").agg(F.max("seq_id").alias("last_seq"))
+            bad_fill = (
+                per_seq.join(last, "shard")
+                .filter(
+                    (F.col("seq_id") != F.col("last_seq"))
+                    & (F.col("fill") != seq_len)
+                )
+                .count()
+            )
+            entry["fill_exact"] = bad_fill == 0
+            per_inst = ds.groupBy("shard", "pos").agg(
+                F.min("offset_in_doc").alias("off0"),
+                F.sum("n_tokens").alias("tok"),
+                F.max(F.col("offset_in_doc") + F.col("n_tokens")).alias("end"),
+            )
+            bad_tiling = per_inst.filter(
+                (F.col("off0") != 0) | (F.col("tok") != F.col("end"))
+            ).count()
+            entry["tiling_exact"] = bad_tiling == 0
+        entry["ok"] = all(v for k, v in entry.items() if k != "ok")
+        report["epochs"][ep] = entry
+        report["ok"] = report["ok"] and entry["ok"]
+    return report
+
+
 def _summarize(packed: DataFrame, seq_len: int, split: bool = False) -> dict:
     """Manifest totals from the WRITTEN dataset (validates the export,
     not just the plan): instances, distinct docs, tokens, sequences, and

@@ -828,11 +828,14 @@ def corpus_dedup_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation", "llm"),
 )
 def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # overflow-safe split multiply (identical mod-2^32 result; the naive
+    # doc_id * A overflows long past id ~3.47e9 — operators/assembly.py::
+    # knuth_uniform, the 1000x-probe finding)
+    from canvas_data_aws_spark.operators.assembly import knuth_uniform
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     keyed = d.filter(F.col("n_chars") > 0).withColumn(
-        "u",
-        ((F.col("doc_id") * F.lit(2654435761) + F.lit(40503)) % F.lit(4294967296) + 1)
-        / F.lit(4294967297.0),
+        "u", knuth_uniform(F.col("doc_id"), 40503)
     )
     pri = keyed.withColumn("pri", F.pow(F.col("u"), F.lit(1.0) / F.col("n_chars")))
     return (

@@ -69,6 +69,27 @@ def test_epoch_instances_exact_expansion(spark, sf_dir):
         assert got.get(r["doc_id"], 0) == want, f"doc {r['doc_id']}"
 
 
+def test_knuth_uniform_no_overflow_at_production_ids(spark):
+    """The split-multiply uniform matches the naive Python arithmetic
+    (exact big ints) INCLUDING ids past Long.MAX/A ~ 3.47e9, where the
+    naive Spark expression throws ARITHMETIC_OVERFLOW under ANSI — the
+    1000x-probe finding (replica-shifted doc_id ~1e10, i.e. a year of
+    production ingest)."""
+    from canvas_data_aws_spark.operators.assembly import knuth_uniform
+
+    ids = [0, 1, 499, 3_470_000_000, 9_999_999_999, 2**40 + 17]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r["doc_id"]: r["u"]
+        for r in df.select(
+            "doc_id", knuth_uniform(F.col("doc_id"), 48271).alias("u")
+        ).collect()
+    }
+    for i in ids:
+        want = ((i * 2654435761 + 48271) % 4294967296 + 1) / 4294967297.0
+        assert got[i] == want, i
+
+
 def test_shuffle_shard_pack_batch_arithmetic(spark, sf_dir):
     """batch_id = floor(tokens-before / seq_len) within each shard's key
     order, recomputed independently from the emitted (pos, n_tokens) —
@@ -262,6 +283,44 @@ def test_cli_assemble_split_mode(spark, sf_dir, tmp_path):
         frags.agg(F.sum("n_tokens")).collect()[0][0]
         == whole.agg(F.sum("n_tokens")).collect()[0][0]
     )
+
+
+def test_cli_assemble_verify_mode(spark, sf_dir, tmp_path):
+    """--verify audits an existing state dir: a freshly built pair of
+    epochs (one split, one not) passes every check and exits 0; deleting
+    a shard partition from one dataset flips summary_match for that epoch
+    only and the exit code to 1; a marker pointing at a missing dir
+    reports the error instead of crashing."""
+    import shutil
+
+    import canvas_data_aws_spark.__main__ as cli
+
+    out = str(tmp_path / "asm")
+    base = ["assemble", "--sf-dir", sf_dir, "--out", out, "--seq-len", "128"]
+    assert cli.main(base) == 0
+    assert cli.main(base + ["--epoch", "2", "--split"]) == 0
+    assert cli.main(["assemble", "--out", out, "--verify"]) == 0
+
+    # corrupt epoch 2: drop one written shard partition
+    v2 = os.path.join(out, "sequences_v2.parquet")
+    shard_dir = next(
+        d for d in sorted(os.listdir(v2)) if d.startswith("shard=")
+    )
+    shutil.rmtree(os.path.join(v2, shard_dir))
+    assert cli.main(["assemble", "--out", out, "--verify"]) == 1
+
+    from canvas_data_aws_spark.pipelines.assemble import verify_assemble
+
+    report = verify_assemble(spark, out)
+    assert report["epochs"]["1"]["ok"] is True
+    assert report["epochs"]["2"]["summary_match"] is False
+    assert report["ok"] is False
+
+    # marker pointing at a missing dir: reported, not raised
+    shutil.rmtree(v2)
+    report2 = verify_assemble(spark, out)
+    assert report2["epochs"]["2"]["ok"] is False
+    assert "error" in report2["epochs"]["2"]
 
 
 def test_cli_assemble_truncated_marker_is_no_state(spark, sf_dir, tmp_path):
