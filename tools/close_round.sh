@@ -13,7 +13,7 @@ echo "== render generated blocks"
 python tools/render_probes.py || exit 1
 python tools/render_rows_only.py || exit 1
 
-echo "== full contract gate (325 entries vs DuckDB at sf0.01)"
+echo "== full contract gate (every registry entry vs DuckDB at sf0.01)"
 # stderr is Spark progress-bar noise whose \r can glue onto the RESULT
 # line — discard it and match RESULT anywhere, not just line-start
 CONTRACT_OUT=$(python tools/drive_contract.py 2>/dev/null | tail -20)
