@@ -110,6 +110,17 @@ def build(names: list[str] | None = None) -> dict[str, dict[str, int]]:
     out: dict[str, dict[str, int]] = {}
     for n in names or fingerprint_names():
         out[n] = signature(registry[n].fn(spark, SF_DIR))
+        # Per-query cache isolation (same discipline as bench.py): a query
+        # that persists an intermediate would otherwise leak it into the
+        # CacheManager, and LATER queries whose analyzed plans contain the
+        # same subtree get cache-substituted — their recorded fingerprint
+        # would then depend on run ORDER, not on their own plan.
+        spark.catalog.clearCache()
+        try:
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(False)
+        except Exception:
+            pass  # private-API cleanup is best-effort
     return out
 
 
