@@ -1131,18 +1131,25 @@ def mmr_select(
       TakeOrderedAndProject for the top ``pool_size`` re-rank window.
       Re-ranking a bounded pool is the standard IR contract (the pool is
       the tunable recall/latency knob); only this pass touches the corpus.
-    - **greedy loop** — k-1 rounds over the pool DataFrame. Each round
-      collects exactly ONE winning row (id + vector: bounded by
-      construction, the same class as the classifier's 65-double gradient
-      collect), then folds the winner's similarity into a running
-      ``max_sim`` column via ``greatest`` — so round i does O(pool) work
-      and the loop never materializes the pool driver-side. Lineage is
-      truncated per round (localCheckpoint on pool_size rows).
+    - **greedy loop** — runs DRIVER-LOCAL over the collected pool: one
+      collect of ``pool_size`` rows (bounded by construction — the same
+      class as the classifier's 65-double gradient collect), then k-1
+      greedy rounds of pure-Python arithmetic that replays the engine's
+      numerics EXACTLY: cosine as the same sequential left-fold
+      ``F.aggregate`` evaluates, 6dp rounding via shortest-repr decimal
+      HALF_UP (what Spark's ``round``/double->decimal cast do), and the
+      DECIMAL(4,3)-weighted combination in exact ``decimal`` arithmetic.
+      A previous formulation ran each round as a Spark job collecting one
+      winner row — k-1 scheduler round-trips over a 32-row table for the
+      same O(k*pool) arithmetic (measured ~60% of the operator's wall).
 
     Determinism (oracle rule): relevance and max_sim are rounded to 6dp
     before the mmr arithmetic, score rounded again, ties broken by id
     ascending — mirrored exactly by the unrolled-CTE DuckDB oracle.
     """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
     rel = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.round(cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in query_vec])), 6).alias(
@@ -1150,55 +1157,64 @@ def mmr_select(
         ),
         _as_double(F.col(vec_col)).alias("__v"),
     )
-    pool = (
+    pool_rows = (
         rel.orderBy(F.col("relevance").desc(), F.col("vec_id").asc())
         .limit(pool_size)
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    # raw (unrounded) running max of cosine-to-selected; rounded at use so
-    # the fold order can't leak into the 6dp value the decision reads.
-    remaining = pool.withColumn("__max_raw", F.lit(None).cast("double"))
+
+    SIX = Decimal("0.000001")
+    # CAST(x AS DECIMAL(4,3)) on the 1-digit literals used here is exact
+    lam_d = Decimal(str(lam))
+    one_m_lam_d = Decimal(str(round(1.0 - lam, 10)))
+
+    def _d6(x: float) -> Decimal:
+        # Spark's round(double, 6) / double->decimal(18,6) cast both go
+        # through the SHORTEST decimal representation (BigDecimal.valueOf
+        # semantics) before HALF_UP scaling — repr() is Python's shortest
+        # round-trip form, so this is the identical value.
+        return Decimal(repr(x)).quantize(SIX, ROUND_HALF_UP)
+
+    def _cos(u: list, v: list) -> float:
+        # same sequential left-fold as F.aggregate(zip_with(u,v,*), 0.0, +)
+        s = 0.0
+        for x, y in zip(u, v):
+            s += x * y
+        nu = 0.0
+        for x in u:
+            nu += x * x
+        nv = 0.0
+        for y in v:
+            nv += y * y
+        return s / (math.sqrt(nu) * math.sqrt(nv))
+
+    # candidate state: [id, relevance(double), vec, max_raw(double|None)]
+    cand = [[r["vec_id"], float(r["relevance"]), list(r["__v"]), None] for r in pool_rows]
     selected: list[tuple] = []  # (rank, vec_id, relevance, max_sim, mmr_score)
-    sel_ids: list = []
-    lam_d = F.expr(f"CAST({lam} AS DECIMAL(4,3))")
-    one_m_lam_d = F.expr(f"CAST({round(1.0 - lam, 10)} AS DECIMAL(4,3))")
     for rank in range(1, k + 1):
-        max_sim = F.coalesce(F.round(F.col("__max_raw"), 6), F.lit(0.0))
-        # exact DECIMAL combination (same midpoint hazard as the linkage
-        # score: 6dp inputs x 3dp weights land on exact 7dp midpoints a
-        # double sum rounds engine-dependently)
-        mmr = F.round(
-            lam_d * F.col("relevance").cast("decimal(18,6)")
-            - one_m_lam_d * max_sim.cast("decimal(18,6)"),
-            6,
-        )
-        step = remaining.select(
-            "vec_id", "relevance", max_sim.alias("__ms"), mmr.alias("__mmr"), "__v"
-        )
-        if rank == 1:
-            step = step.orderBy(F.col("relevance").desc(), F.col("vec_id").asc())
-        else:
-            step = step.orderBy(F.col("__mmr").desc(), F.col("vec_id").asc())
-        win = step.limit(1).collect()
-        if not win:
+        if not cand:
             break  # pool exhausted before k
-        row = win[0]
-        selected.append(
-            (rank, row["vec_id"], float(row["relevance"]), float(row["__ms"]), float(row["__mmr"]))
-        )
-        sel_ids.append(row["vec_id"])
-        win_vec = F.array(*[F.lit(float(x)) for x in row["__v"]])
-        # no per-round checkpoint: the chain re-evaluates from the
-        # pool-sized checkpoint each round (i nested greatest() folds over
-        # pool_size rows — trivial), while a checkpoint per round costs a
-        # full job each (measured ~40% of the operator's wall)
-        remaining = remaining.filter(F.col("vec_id") != F.lit(row["vec_id"])).withColumn(
-            "__max_raw",
-            F.greatest(
-                F.coalesce(F.col("__max_raw"), F.lit(-1.0)),
-                cosine(F.col("__v"), win_vec),
-            ),
-        )
+        best = None
+        for c in cand:
+            # max_sim = coalesce(round(__max_raw, 6), 0.0)
+            ms = 0.0 if c[3] is None else float(_d6(c[3]))
+            # exact DECIMAL combination (same midpoint hazard as the
+            # linkage score: 6dp inputs x 3dp weights land on exact 7dp
+            # midpoints a double sum rounds engine-dependently)
+            mmr = (lam_d * _d6(c[1]) - one_m_lam_d * _d6(ms)).quantize(
+                SIX, ROUND_HALF_UP
+            )
+            # round 1 orders by relevance, later rounds by mmr; vec_id asc
+            key = (-c[1], c[0]) if rank == 1 else (-mmr, c[0])
+            if best is None or key < best[0]:
+                best = (key, c, ms, mmr)
+        _, row, ms, mmr = best
+        selected.append((rank, row[0], row[1], ms, float(mmr)))
+        cand = [c for c in cand if c[0] != row[0]]
+        for c in cand:
+            # __max_raw = greatest(coalesce(__max_raw, -1.0), cosine(v, win))
+            prev = -1.0 if c[3] is None else c[3]
+            c[3] = max(prev, _cos(c[2], row[2]))
     spark = corpus.sparkSession
     out = spark.createDataFrame(
         selected, "rank int, vec_id bigint, relevance double, max_sim double, mmr_score double"
