@@ -115,12 +115,24 @@ def _doc_scores(features: DataFrame, weights: dict[int, float]) -> DataFrame:
     )
 
 
+def materialize_features(features: DataFrame) -> DataFrame:
+    """Hash-partition the feature table by doc and persist it — the layout
+    every GD pass AND the final scoring pass reuse (groupBy('id') plans
+    exchange-free off the cached partitioning). Callers that both fit and
+    score should materialize once and pass ``materialized=True`` to
+    :func:`logistic_gd`, so the explode + hash + aggregate feature build
+    runs a single time instead of once for the fit and again for the
+    score (the cache is released by the session's bench/driver cleanup)."""
+    return features.repartition("id").persist()
+
+
 def logistic_gd(
     features: DataFrame,
     labels: DataFrame,
     n_buckets: int = 64,
     lr: float = 0.5,
     passes: int = 3,
+    materialized: bool = False,
 ) -> tuple[list[float], float]:
     """Full-batch logistic GD over long-form sparse features.
 
@@ -129,8 +141,13 @@ def logistic_gd(
     bias). Deterministic: zero init, fixed pass count, no sampling. Each
     pass is one job collecting B+1 doubles — bounded by the model
     dimension, never by the data (the embed_kmeans convention).
+
+    ``materialized=True``: caller already ran :func:`materialize_features`
+    and keeps using the table after the fit — skip the internal
+    repartition/persist AND the unpersist (ownership stays with the
+    caller).
     """
-    feats = features.repartition("id").persist()
+    feats = features if materialized else features.repartition("id").persist()
     labs = labels.select(F.col("id"), F.col("y").cast("double"))
     n = labs.count()
     if n == 0:
@@ -158,7 +175,8 @@ def logistic_gd(
         )
         for row in grad_rows:
             w[int(row["bucket"])] -= lr * float(row["g"])
-    feats.unpersist()
+    if not materialized:
+        feats.unpersist()
     return [w[b] for b in range(n_buckets)], w[BIAS_BUCKET]
 
 

@@ -2066,6 +2066,7 @@ def corpus_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_bow,
         logistic_gd,
         logistic_score,
+        materialize_features,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -2076,8 +2077,11 @@ def corpus_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         n_words.between(50, 100000).cast("double").alias("y"),
     )
-    feats = hashed_bow(docs).unionByName(bias_rows(docs))
-    w, b = logistic_gd(feats, labels, n_buckets=64, lr=0.5, passes=3)
+    # one feature build feeds the fit AND the final scoring pass:
+    # materialize (id-partitioned + persisted) once instead of paying the
+    # explode + md5 + aggregate twice
+    feats = materialize_features(hashed_bow(docs).unionByName(bias_rows(docs)))
+    w, b = logistic_gd(feats, labels, n_buckets=64, lr=0.5, passes=3, materialized=True)
     scored = logistic_score(feats, w, b)
     return scored.join(labels, "id").select(
         F.col("id").alias("doc_id"),
@@ -2132,6 +2136,7 @@ def corpus_classifier_holdout_auc_q(spark: SparkSession, sf_dir: str) -> DataFra
         hashed_bow,
         logistic_gd,
         logistic_score,
+        materialize_features,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -2142,9 +2147,12 @@ def corpus_classifier_holdout_auc_q(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("doc_id").alias("id"),
         n_words.between(50, 100000).cast("double").alias("y"),
     )
-    feats = hashed_bow(docs).unionByName(bias_rows(docs))
+    # one feature build feeds the fit AND the final scoring pass:
+    # materialize (id-partitioned + persisted) once instead of paying the
+    # explode + md5 + aggregate twice
+    feats = materialize_features(hashed_bow(docs).unionByName(bias_rows(docs)))
     train = labels.filter(F.col("id") % 5 != 0)
-    w, b = logistic_gd(feats, train, n_buckets=64, lr=0.5, passes=3)
+    w, b = logistic_gd(feats, train, n_buckets=64, lr=0.5, passes=3, materialized=True)
     test = (
         logistic_score(feats, w, b)
         .join(labels.filter(F.col("id") % 5 == 0), "id")
@@ -2212,6 +2220,7 @@ def corpus_classifier_topk_filter_q(spark: SparkSession, sf_dir: str) -> DataFra
         hashed_bow,
         logistic_gd,
         logistic_score,
+        materialize_features,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -2222,8 +2231,11 @@ def corpus_classifier_topk_filter_q(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("doc_id").alias("id"),
         n_words.between(50, 100000).cast("double").alias("y"),
     )
-    feats = hashed_bow(docs).unionByName(bias_rows(docs))
-    w, b = logistic_gd(feats, labels, n_buckets=64, lr=0.5, passes=3)
+    # one feature build feeds the fit AND the final scoring pass:
+    # materialize (id-partitioned + persisted) once instead of paying the
+    # explode + md5 + aggregate twice
+    feats = materialize_features(hashed_bow(docs).unionByName(bias_rows(docs)))
+    w, b = logistic_gd(feats, labels, n_buckets=64, lr=0.5, passes=3, materialized=True)
     # Rank on the ROUNDED score (6dp, the repo's rounding-before-comparison
     # convention) so the (score desc, doc_id) tie-break absorbs last-ulp
     # aggregation-merge-order differences between engines/runs — two
@@ -2301,6 +2313,7 @@ def corpus_classifier_reliability_q(spark: SparkSession, sf_dir: str) -> DataFra
         hashed_bow,
         logistic_gd,
         logistic_score,
+        materialize_features,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -2311,8 +2324,11 @@ def corpus_classifier_reliability_q(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("doc_id").alias("id"),
         n_words.between(50, 100000).cast("double").alias("y"),
     )
-    feats = hashed_bow(docs).unionByName(bias_rows(docs))
-    w, b = logistic_gd(feats, labels, n_buckets=64, lr=0.5, passes=3)
+    # one feature build feeds the fit AND the final scoring pass:
+    # materialize (id-partitioned + persisted) once instead of paying the
+    # explode + md5 + aggregate twice
+    feats = materialize_features(hashed_bow(docs).unionByName(bias_rows(docs)))
+    w, b = logistic_gd(feats, labels, n_buckets=64, lr=0.5, passes=3, materialized=True)
     p_r = F.round("p", 6)
     bk = (
         logistic_score(feats, w, b)
