@@ -62,7 +62,9 @@ def connected_components(
         bidir.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("component", F.col("v"))
-        .localCheckpoint()
+        # lazy: round 1's count materializes the seed together with its
+        # own checkpoint — no standalone seed job
+        .localCheckpoint(eager=False)
     )
     # Frontier (delta) propagation, the Pregel voteToHalt shape: labels
     # decrease monotonically, so a vertex needs re-propagation ONLY in the
@@ -88,18 +90,16 @@ def connected_components(
         )
         # The convergence flag rides the checkpointed frame, so both the
         # fixpoint probe and the next frontier are cached-scan filters —
-        # no old-vs-new join, no recompute.
-        new_labels = (
-            labels.join(nbr_min.hint("shuffle_hash"), "v", "left")
-            .select(
-                "v",
-                F.least("component", F.coalesce("nmin", "component")).alias("component"),
-                (F.coalesce("nmin", "component") < F.col("component")).alias("__changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        # no old-vs-new join, no recompute. The checkpoint is LAZY and the
+        # frontier count is the materializing action: one job per round
+        # does both (an eager checkpoint + separate count pays two).
+        new_labels = labels.join(nbr_min.hint("shuffle_hash"), "v", "left").select(
+            "v",
+            F.least("component", F.coalesce("nmin", "component")).alias("component"),
+            (F.coalesce("nmin", "component") < F.col("component")).alias("__changed"),
+        ).localCheckpoint(eager=False)
         frontier = new_labels.filter(F.col("__changed")).drop("__changed")
-        changed = frontier.count()
+        changed = frontier.count()  # materializes the round's checkpoint
         labels = new_labels.drop("__changed")
         if changed == 0:  # fixpoint: propagation converged
             break
@@ -157,7 +157,7 @@ def pagerank(
     )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iterations):
+    for it in range(iterations):
         # ranks comes off a localCheckpoint (no reliable size stats): pin
         # the hash build so the node-sized rank table is never chosen as a
         # compile-time broadcast (same hazard class as connected_components).
@@ -168,16 +168,21 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contribs, "id", "left")
-            .select(
-                "id",
-                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                "rank"
+            ),
         )
+        # ranks(k) is consumed once (round k+1): linear lineage — run the
+        # bounded loop as one job; checkpoint every 4th round only to
+        # bound plan depth for large budgets (the per-round eager
+        # checkpoint this replaces cost one driver job per round).
+        if (it + 1) % 4 == 0 and (it + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    # materialize ONCE at the end (the loop's only job), so the cached
+    # edge/degree tables can be released before the caller consumes ranks
+    ranks = ranks.localCheckpoint(eager=True)
     e.unpersist()
     out_deg.unpersist()
     return ranks
@@ -223,7 +228,7 @@ def label_propagation(
         nodes = nodes.unionAll(e.select(F.col("dst").alias("id")))
     nodes = nodes.distinct().persist()
     labels = nodes.withColumn("lab", F.col("id"))
-    for _ in range(iterations):
+    for it in range(iterations):
         cand = (
             e.join(labels.hint("shuffle_hash"), e.src == labels.id)
             .groupBy(F.col("dst").alias("nid"), "lab")
@@ -234,11 +239,20 @@ def label_propagation(
             .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("neg_lab"))).alias("s"))
             .select(F.col("nid").alias("id"), (-F.col("s.neg_lab")).alias("new_lab"))
         )
-        labels = (
-            nodes.join(pick, "id", "left")
-            .select("id", F.coalesce("new_lab", F.col("id")).alias("lab"))
-            .localCheckpoint(eager=True)
+        labels = nodes.join(pick, "id", "left").select(
+            "id", F.coalesce("new_lab", F.col("id")).alias("lab")
         )
+        # labels(k) is consumed exactly once (by round k+1), so lineage
+        # grows LINEARLY — no per-round materialization needed; the whole
+        # bounded loop executes as one job at the consumer's action. A
+        # checkpoint every 4th round still bounds plan depth for large
+        # budgets (the per-round eager checkpoint this replaces cost one
+        # driver job per round).
+        if (it + 1) % 4 == 0 and (it + 1) < iterations:
+            labels = labels.localCheckpoint(eager=True)
+    # materialize ONCE at the end (the loop's only job), so the cached
+    # edge/node tables can be released before the caller consumes labels
+    labels = labels.localCheckpoint(eager=True)
     e.unpersist()
     nodes.unpersist()
     return labels
@@ -287,9 +301,11 @@ def k_core(
             e.join(alive, src_col)
             .join(alive.withColumnRenamed(src_col, dst_col), dst_col)
             .select(src_col, dst_col)
-            .localCheckpoint(eager=True)
+            # lazy: the count below is the materializing action — one job
+            # per round checkpoints AND counts (eager + count pays two)
+            .localCheckpoint(eager=False)
         )
-        n_edges = e.count()  # cheap: scans the fresh checkpoint blocks
+        n_edges = e.count()
         if n_edges == prev_edges:
             converged = True
             break

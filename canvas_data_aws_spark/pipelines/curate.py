@@ -538,7 +538,10 @@ def curate(
             "id_a", "id_b"
         )
         comp = connected_components(
-            e.select(F.col("doc_id").alias("id")), pairs, vertex_col="id"
+            # LSH pairs are dropDuplicates'd on (id_a, id_b) with id_a <
+            # id_b: unique after symmetrization, skip the defensive distinct
+            e.select(F.col("doc_id").alias("id")), pairs, vertex_col="id",
+            assume_unique=True,
         ).select(F.col("id").alias("doc_id"), "component")
         wbest = Window.partitionBy("component").orderBy(
             F.length("text").desc(), F.col("doc_id")

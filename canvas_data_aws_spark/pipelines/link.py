@@ -106,7 +106,9 @@ def run_link(
         scored = score_pairs(prep, cand).localCheckpoint(eager=True)
         edges = scored.filter(F.col("decision") == "match").select("id_a", "id_b")
         clusters = connected_components(
-            scope.select(F.col("doc_id").alias("id")), edges, vertex_col="id"
+            # unique id_a < id_b match pairs: skip the defensive distinct
+            scope.select(F.col("doc_id").alias("id")), edges, vertex_col="id",
+            assume_unique=True,
         ).select(F.col("id").alias("doc_id"), F.col("component").alias("entity_id"))
         from pyspark.sql import Window
 

@@ -60,7 +60,11 @@ def dedup_cluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(docs, k=3, threshold=0.2).select("id_a", "id_b")
     return connected_components(
-        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id"
+        # the pair graph is unique (id_a < id_b, one row per pair from the
+        # candidate groupBy) and stays so after symmetrization — skip the
+        # operator's defensive full-edge-list distinct shuffle
+        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id",
+        assume_unique=True,
     ).select(F.col("id").alias("doc_id"), "component")
 
 
@@ -289,7 +293,11 @@ def dedup_collapse_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(docs, k=3, threshold=0.2).select("id_a", "id_b")
     comp = connected_components(
-        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id"
+        # the pair graph is unique (id_a < id_b, one row per pair from the
+        # candidate groupBy) and stays so after symmetrization — skip the
+        # operator's defensive full-edge-list distinct shuffle
+        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id",
+        assume_unique=True,
     ).select(F.col("id").alias("doc_id"), "component")
     scored = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("component")
@@ -598,7 +606,11 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(docs, k=3, threshold=0.2).select("id_a", "id_b")
     comp = connected_components(
-        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id"
+        # the pair graph is unique (id_a < id_b, one row per pair from the
+        # candidate groupBy) and stays so after symmetrization — skip the
+        # operator's defensive full-edge-list distinct shuffle
+        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id",
+        assume_unique=True,
     )
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
@@ -647,7 +659,11 @@ def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(docs, k=3, threshold=0.2).select("id_a", "id_b")
     comp = connected_components(
-        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id"
+        # the pair graph is unique (id_a < id_b, one row per pair from the
+        # candidate groupBy) and stays so after symmetrization — skip the
+        # operator's defensive full-edge-list distinct shuffle
+        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id",
+        assume_unique=True,
     ).select(F.col("id").alias("doc_id"), "component")
     size = F.count(F.lit(1)).over(Window.partitionBy("component"))
     return comp.select(
