@@ -196,9 +196,12 @@ def link_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    edges = match_edges(prepared(docs))
+    edges = match_edges(prepared(docs).persist())
     return connected_components(
-        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id"
+        # match edges are unique (id_a < id_b, one row per pair) and stay
+        # so after symmetrization — skip the defensive distinct shuffle
+        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id",
+        assume_unique=True,
     ).select(F.col("id").alias("doc_id"), F.col("component").alias("entity_id"))
 
 
@@ -243,9 +246,12 @@ def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def link_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    edges = match_edges(prepared(docs))
+    edges = match_edges(prepared(docs).persist())
     clusters = connected_components(
-        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id"
+        # match edges are unique (id_a < id_b, one row per pair) and stay
+        # so after symmetrization — skip the defensive distinct shuffle
+        docs.select(F.col("doc_id").alias("id")), edges, vertex_col="id",
+        assume_unique=True,
     ).select(F.col("id").alias("doc_id"), F.col("component").alias("entity_id"))
     return survivorship(docs, clusters).select(
         "entity_id", "n_members", "total_chars", "rep_doc_id", "rep_n_chars", "entity_lang"
@@ -448,13 +454,14 @@ def link_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base_docs = docs.filter(~(F.col("doc_id") % 10 >= 8))
     delta_docs = docs.filter(F.col("doc_id") % 10 >= 8)
-    base_prep = prepared(base_docs)
+    base_prep = prepared(base_docs).persist()  # feeds base x base AND delta x base
     base_clusters = connected_components(
         base_docs.select(F.col("doc_id").alias("id")),
         match_edges(base_prep),
         vertex_col="id",
+        assume_unique=True,  # unique id_a < id_b match pairs
     ).select(F.col("id").alias("doc_id"), F.col("component").alias("entity_id"))
-    return incremental_match(prepared(delta_docs), base_prep, base_clusters)
+    return incremental_match(prepared(delta_docs).persist(), base_prep, base_clusters)
 
 
 @register(
