@@ -1108,6 +1108,43 @@ def pq_query(
     )
 
 
+def _quantize6(d):
+    """HALF_UP to 6dp — the semantics of Spark's round() on DECIMAL."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return d.quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+
+def _round6_exact(x: float):
+    """EXACT replay of Spark's ``round(double, 6)`` / double->decimal(18,6)
+    cast: both go through the SHORTEST decimal representation of the double
+    (BigDecimal.valueOf semantics) before HALF_UP scaling — ``repr()`` is
+    Python's shortest round-trip form, so the value is identical.
+    Equivalence is pinned by tests/test_linkage.py::
+    test_mmr_local_arithmetic_matches_engine."""
+    from decimal import Decimal
+
+    return _quantize6(Decimal(repr(x)))
+
+
+def _fold_cosine(u: list, v: list) -> float:
+    """EXACT replay of :func:`cosine` (dot / (||u||*||v||)) as the engine
+    evaluates it: ``F.aggregate`` is a sequential left fold, so the Python
+    loop below performs the identical IEEE operation sequence."""
+    import math
+
+    s = 0.0
+    for x, y in zip(u, v):
+        s += x * y
+    nu = 0.0
+    for x in u:
+        nu += x * x
+    nv = 0.0
+    for y in v:
+        nv += y * y
+    return s / (math.sqrt(nu) * math.sqrt(nv))
+
+
 def mmr_select(
     corpus: DataFrame,
     query_vec: list[float],
@@ -1147,9 +1184,6 @@ def mmr_select(
     before the mmr arithmetic, score rounded again, ties broken by id
     ascending — mirrored exactly by the unrolled-CTE DuckDB oracle.
     """
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
     rel = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.round(cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in query_vec])), 6).alias(
@@ -1163,30 +1197,12 @@ def mmr_select(
         .collect()
     )
 
-    SIX = Decimal("0.000001")
+    from decimal import Decimal
+
     # CAST(x AS DECIMAL(4,3)) on the 1-digit literals used here is exact
     lam_d = Decimal(str(lam))
     one_m_lam_d = Decimal(str(round(1.0 - lam, 10)))
-
-    def _d6(x: float) -> Decimal:
-        # Spark's round(double, 6) / double->decimal(18,6) cast both go
-        # through the SHORTEST decimal representation (BigDecimal.valueOf
-        # semantics) before HALF_UP scaling — repr() is Python's shortest
-        # round-trip form, so this is the identical value.
-        return Decimal(repr(x)).quantize(SIX, ROUND_HALF_UP)
-
-    def _cos(u: list, v: list) -> float:
-        # same sequential left-fold as F.aggregate(zip_with(u,v,*), 0.0, +)
-        s = 0.0
-        for x, y in zip(u, v):
-            s += x * y
-        nu = 0.0
-        for x in u:
-            nu += x * x
-        nv = 0.0
-        for y in v:
-            nv += y * y
-        return s / (math.sqrt(nu) * math.sqrt(nv))
+    _d6, _cos = _round6_exact, _fold_cosine
 
     # candidate state: [id, relevance(double), vec, max_raw(double|None)]
     cand = [[r["vec_id"], float(r["relevance"]), list(r["__v"]), None] for r in pool_rows]
@@ -1201,9 +1217,7 @@ def mmr_select(
             # exact DECIMAL combination (same midpoint hazard as the
             # linkage score: 6dp inputs x 3dp weights land on exact 7dp
             # midpoints a double sum rounds engine-dependently)
-            mmr = (lam_d * _d6(c[1]) - one_m_lam_d * _d6(ms)).quantize(
-                SIX, ROUND_HALF_UP
-            )
+            mmr = _quantize6(lam_d * _d6(c[1]) - one_m_lam_d * _d6(ms))
             # round 1 orders by relevance, later rounds by mmr; vec_id asc
             key = (-c[1], c[0]) if rank == 1 else (-mmr, c[0])
             if best is None or key < best[0]:

@@ -198,3 +198,23 @@ def test_classifier_reliability_reconciles_and_ranks(spark, sf_dir):
         assert float(rows[-1]["pass_rate"]) >= float(rows[0]["pass_rate"]), (
             "ranking signal inverted across populated deciles"
         )
+
+
+def test_logistic_gd_materialized_path_is_bit_identical(spark, sf_dir):
+    """materialize_features + materialized=True (round 13: one feature
+    build shared between fit and score) must be bit-identical to the
+    operator's internal persist path — weights, bias, and scores."""
+    from canvas_data_aws_spark.operators.classifier import materialize_features
+
+    docs = _docs(spark, sf_dir)
+    labels = _labels(docs)
+    feats = hashed_bow(docs).unionByName(bias_rows(docs))
+    w0, b0 = logistic_gd(feats, labels, n_buckets=N_BUCKETS, lr=0.5, passes=3)
+    mat = materialize_features(feats)
+    w1, b1 = logistic_gd(mat, labels, n_buckets=N_BUCKETS, lr=0.5, passes=3,
+                         materialized=True)
+    assert w0 == w1 and b0 == b1  # bit-identical, not allclose
+    s0 = {r["id"]: r["s"] for r in logistic_score(feats, w0, b0).collect()}
+    s1 = {r["id"]: r["s"] for r in logistic_score(mat, w1, b1).collect()}
+    assert s0 == s1
+    mat.unpersist()

@@ -262,3 +262,41 @@ def test_eval_truth_is_perfect_on_fixture(spark, sf_dir):
     assert row.tp > 0
     assert row.fp == 0 and row.fn == 0
     assert row.precision == 1.0 and row.recall == 1.0
+
+
+def test_mmr_local_arithmetic_matches_engine(spark):
+    """The driver-local greedy (round 13 optimization) replays engine
+    numerics EXACTLY: shortest-repr HALF_UP 6dp rounding == Spark's
+    round(double, 6) / decimal(18,6) cast, and the sequential-fold cosine
+    == F.aggregate's left fold — checked value-by-value on adversarial
+    inputs (exact 7dp midpoints, ulp-offset doubles, random draws)."""
+    import random
+
+    from canvas_data_aws_spark.operators.similarity import (
+        _fold_cosine,
+        _round6_exact,
+        cosine,
+    )
+
+    rng = random.Random(13)
+    vals = [0.1234565, -0.1234565, 0.0000005, 1.9999995, 0.5275835, 0.1]
+    vals += [v + 1e-16 for v in vals] + [rng.uniform(-2, 2) for _ in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        "x",
+        F.round("x", 6).alias("r6"),
+        F.col("x").cast("decimal(18,6)").alias("d6"),
+    )
+    for row in df.collect():
+        local = _round6_exact(row["x"])
+        assert float(local) == row["r6"], (row["x"], float(local), row["r6"])
+        assert local == row["d6"], (row["x"], local, row["d6"])
+
+    vecs = [
+        ([rng.uniform(-1, 1) for _ in range(64)], [rng.uniform(-1, 1) for _ in range(64)])
+        for _ in range(25)
+    ]
+    vdf = spark.createDataFrame(vecs, "u array<double>, v array<double>").select(
+        "u", "v", cosine(F.col("u"), F.col("v")).alias("c")
+    )
+    for row in vdf.collect():
+        assert _fold_cosine(list(row["u"]), list(row["v"])) == row["c"]
