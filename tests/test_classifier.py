@@ -218,3 +218,32 @@ def test_logistic_gd_materialized_path_is_bit_identical(spark, sf_dir):
     s1 = {r["id"]: r["s"] for r in logistic_score(mat, w1, b1).collect()}
     assert s0 == s1
     mat.unpersist()
+
+
+def test_weights_map_expr_matches_lit_form(spark, sf_dir):
+    """_weights_map (round 13: ONE parsed SQL map literal instead of
+    2*(B+1) py4j F.lit round trips per GD pass) must be value- AND
+    type-identical to the create_map(*lits) form it replaced, including
+    exponent-notation, negative, zero, and last-ulp doubles."""
+    from canvas_data_aws_spark.operators.classifier import _weights_map
+
+    w = {b: (b - 32) * 1.23456789e-7 for b in range(N_BUCKETS)}
+    w[-1] = -3.0
+    w[7] = 0.0
+    w[11] = 5e-324          # smallest subnormal round-trips through repr
+    w[13] = 0.1 + 0.2       # 0.30000000000000004 — shortest-repr exactness
+    lit_pairs = []
+    for b in sorted(w):
+        lit_pairs.append(F.lit(int(b)))
+        lit_pairs.append(F.lit(float(w[b])))
+    lit_map = F.create_map(*lit_pairs)
+    expr_map = _weights_map(w)
+    df = spark.range(0, N_BUCKETS + 2).select((F.col("id") - 1).cast("int").alias("b"))
+    got = df.select(
+        lit_map[F.col("b")].alias("a"), expr_map[F.col("b")].alias("e")
+    )
+    assert dict(got.dtypes) == {"a": "double", "e": "double"}
+    rows = got.collect()
+    assert all(r["a"] == r["e"] for r in rows), [
+        (r["a"], r["e"]) for r in rows if r["a"] != r["e"]
+    ]
