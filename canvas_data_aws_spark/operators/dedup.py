@@ -321,10 +321,9 @@ def ngram_jaccard_pairs(
         # join-back: the join-back formulation shuffles the exploded index
         # twice more (the one-exchange lesson the repeated-passages plan
         # recorded in SCALE.md; the 100x probe of the join-back form cost
-        # dedup_containment_bounded 2.7x the exact mode's wall), and the
-        # window's hash partitioning on shingle is exactly what the
-        # self-join below needs anyway. Shingles are distinct per doc
-        # (word_shingles distinct=True), so count(*) == doc frequency.
+        # dedup_containment_bounded 2.7x the exact mode's wall). Shingles
+        # are distinct per doc (word_shingles distinct=True), so count(*)
+        # == doc frequency.
         exploded = (
             exploded.withColumn(
                 "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
@@ -332,6 +331,37 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_doc_freq)
             .drop("_df")
         )
+        # Bounded mode generates candidate pairs ROW-LOCALLY from per-
+        # shingle posting lists (the triangle_count / market_basket pair
+        # idiom) instead of the self-join below: groupBy(shingle) reuses
+        # the window's hash partitioning (no new exchange), every posting
+        # list is <= max_doc_freq entries BY THE FILTER ABOVE (bounded agg
+        # buffers — the cap must stay upstream of collect_list: capping by
+        # list size instead would build an unbounded hot-shingle list
+        # before dropping it), and the double explode emits exactly the
+        # id_a < id_b pairs the join produced. Drops the second index
+        # read, the join, and the MEMORY_AND_DISK cache fill (measured
+        # ABBA at sf0.1: 2.1-2.3 s vs 2.1-2.6 s, set-equal output for
+        # jaccard AND containment). Exact mode keeps the self-join: an
+        # uncapped hot shingle there would make a single collect_list
+        # buffer the OOM hazard, while the join form gets AQE skew
+        # splitting.
+        postings = (
+            exploded.groupBy("shingle")
+            .agg(F.collect_list(F.struct("id", "n_sh")).alias("ps"))
+            .filter(F.size("ps") >= 2)
+        )
+        pair_rows = postings.select(F.explode("ps").alias("a"), "ps").select(
+            "a",
+            F.explode(F.filter("ps", lambda x: x["id"] > F.col("a.id"))).alias("b"),
+        )
+        pairs = pair_rows.groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        ).agg(F.count(F.lit(1)).alias("inter"))
+        return _score_pairs_result(pairs, score, threshold)
 
     # the self-join reads the inverted index twice; persist it so shingling
     # and normalization run once (measured ~25% at sf0.1). MEMORY_AND_DISK:
@@ -351,24 +381,29 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    result = _score_pairs_result(pairs, score, threshold)
+    exploded.unpersist(blocking=False)
+    return result
+
+
+def _score_pairs_result(pairs: DataFrame, score: str, threshold: float) -> DataFrame:
+    """Shared tail of ngram_jaccard_pairs: score, threshold, and eagerly
+    materialize the (small, thresholded) pair set so any cached inverted
+    index can be released by the caller — localCheckpoint also truncates
+    the candidate-generation lineage, so downstream reuse never
+    re-explodes shingles."""
     if score == "containment":
         score_col = F.col("inter") / F.least(F.col("n_a"), F.col("n_b"))
     elif score == "jaccard":
         score_col = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     else:
         raise ValueError(f"score must be 'jaccard' or 'containment', got {score!r}")
-    result = (
+    return (
         pairs.withColumn(score, F.round(score_col, 6))
         .filter(F.col(score) >= threshold)
         .select("id_a", "id_b", score)
+        .localCheckpoint(eager=True)
     )
-    # Materialize the (small, thresholded) pair set eagerly so the cached
-    # inverted index can be released now — otherwise repeated calls leak
-    # cached blocks for the session lifetime. localCheckpoint also truncates
-    # the self-join lineage, so downstream reuse never re-explodes shingles.
-    result = result.localCheckpoint(eager=True)
-    exploded.unpersist(blocking=False)
-    return result
 
 
 def _simhash_from_hashes():

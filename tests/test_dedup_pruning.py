@@ -172,3 +172,30 @@ def test_line_dedup_newline_mode(spark):
     # doc 3: nothing dropped -> exact round-trip
     assert out[3]["n_dropped"] == 0
     assert out[3]["text_clean"] == "Gamma standalone document\n"
+
+
+def test_bounded_pair_generation_matches_self_join_path(spark, sf_dir):
+    """Round 13: bounded mode generates candidates via per-shingle posting
+    lists + row-local double explode instead of the inverted-index
+    self-join. With a cap no shingle reaches, bounded output must be
+    SET-IDENTICAL to exact mode (which still uses the join) — pinning the
+    new pair-generation path against the join path it replaced, for both
+    scores."""
+    from canvas_data_aws_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    for score in ("jaccard", "containment"):
+        exact = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                docs, k=3, threshold=0.2, score=score
+            ).collect()
+        }
+        bounded = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                docs, k=3, threshold=0.2, max_doc_freq=n + 1, score=score
+            ).collect()
+        }
+        assert exact == bounded and len(exact) > 0
