@@ -44,6 +44,13 @@ def connected_components(
     shuffle. Correctness is unaffected by duplicates (min is idempotent);
     the distinct only bounds join fan-out, so only skip it when uniqueness
     genuinely holds.
+
+    Pointer-jumping (label(v) <- min(..., label(label(v))) per round) was
+    measured and REJECTED for this operator: every call-site graph is
+    shallow — even the hub-heavy purchase graph's min-label fixpoint lands
+    in 4 rounds + 1 detection round, and the jump cut zero rounds while
+    adding one node-sized join per round (jobs 28 -> 36, wall a wash);
+    see OPTIMIZATION_r13.md.
     """
     bidir = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -76,7 +83,7 @@ def connected_components(
     # an unchanged neighbor's label was already folded in the round it last
     # changed.
     frontier = labels  # round 0: everything just "changed" to its seed
-    for _ in range(max_iterations):
+    for _it in range(max_iterations):
         # frontier comes off a localCheckpoint, whose RDD scan carries no
         # reliable size stats — without a hint the compile-time planner may
         # pick the (data-sized) side as a broadcast build (the 8 GiB abort
@@ -101,6 +108,9 @@ def connected_components(
         frontier = new_labels.filter(F.col("__changed")).drop("__changed")
         changed = frontier.count()  # materializes the round's checkpoint
         labels = new_labels.drop("__changed")
+        logging.getLogger(__name__).debug(
+            "connected_components round %d: changed=%d", _it + 1, changed
+        )
         if changed == 0:  # fixpoint: propagation converged
             break
     bidir.unpersist()

@@ -480,7 +480,21 @@ def simhash_near_dup_pairs(
             f"need bands >= max_hamming + 1 (a pair can dirty {max_hamming} bands)"
         )
     band_bits = 64 // bands
-    fp = spread(df).select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    # Materialize the fingerprint table (id, fp — 16 bytes/row) ONCE.
+    # Without this the plan evaluates the Arrow-vectorized voting UDF per
+    # consumer — the hot-bucket count and EACH leg of the band self-join —
+    # and the join keys' IsNotNull constraints additionally push a derived
+    # isnotnull(fp) filter below spread()'s repartition, re-running the
+    # UDF again under it (guide §4.4's duplication, measured: 6
+    # ArrowEvalPython nodes over 3 full text scans in one query). The
+    # eager localCheckpoint is the same narrow-signature-table pattern the
+    # minhash tier uses; banding/cap/join re-derive from checkpointed
+    # longs with JVM bit ops only.
+    fp = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+        .localCheckpoint(eager=True)
+    )
     banded = fp.select(
         "id",
         "fp",
