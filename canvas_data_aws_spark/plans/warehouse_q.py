@@ -315,42 +315,48 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY pair_cnt DESC, brand_a, brand_b LIMIT 50
     """,
     doc="Market-basket co-occurrence with lift (association mining over "
-    "order baskets): dedupe to (basket, brand), self-join co-partitioned "
-    "on the basket key — per-basket fan-out is bounded by the distinct "
-    "brands per order (<=7 in TPC-H), never all-pairs across baskets — "
-    "then lift = P(a,b)/(P(a)P(b)) against the brand marginals (25 rows, "
-    "AQE-broadcast at runtime) and a fused top-50. The deduped basket is "
-    "eagerly localCheckpointed (the ngram_jaccard/triangle pattern): four "
-    "consumers (n, marginals, both self-join sides) read it from "
-    "checkpoint blocks instead of re-running the scan+join+distinct five "
-    "times; the self-join's hash build is pinned (shuffle_hash) because "
-    "checkpoint scans carry no reliable size stats for the compile-time "
-    "planner. Skew is bounded because basket width, not popularity, "
-    "drives fan-out.",
+    "order baskets): per-basket brand SETS built in one basket-keyed "
+    "aggregate (collect_set dedups (basket, brand) in the same exchange a "
+    "separate distinct would cost), pairs generated ROW-LOCALLY from each "
+    "set with the double-explode a<b idiom (graph_triangle_count's "
+    "pattern) — per-basket fan-out is bounded by the distinct brands per "
+    "order (<=7 in TPC-H), never all-pairs across baskets, and the set "
+    "itself is bounded by basket width so the aggregation buffer is O(1) "
+    "per order — then lift = P(a,b)/(P(a)P(b)) against the brand "
+    "marginals (25 rows, AQE-broadcast at runtime) and a fused top-50. "
+    "The basket-set table is eagerly localCheckpointed (the "
+    "ngram_jaccard/triangle pattern): three consumers (n, marginals, "
+    "pairs) read it from checkpoint blocks instead of re-running the "
+    "scan+join+aggregate each. The former basket self-join (two pinned "
+    "shuffle_hash exchanges + join probe) is gone; skew stays bounded "
+    "because basket width, not popularity, drives fan-out.",
     tags=("warehouse",),
 )
 def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    basket = (
+    basket_sets = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("__brands"))
         .localCheckpoint(eager=True)
     )
-    n = basket.select(
-        F.count_distinct("l_orderkey").alias("n_baskets")
-    )
-    brand_count = basket.groupBy("p_brand").agg(F.count("*").alias("cnt"))
-    b = basket.select(
-        F.col("l_orderkey").alias("b_orderkey"), F.col("p_brand").alias("brand_b")
+    # one row per distinct basket by construction of the groupBy
+    n = basket_sets.select(F.count(F.lit(1)).alias("n_baskets"))
+    brand_count = (
+        basket_sets.select(F.explode("__brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"))
     )
     pair = (
-        basket.join(
-            b.hint("shuffle_hash"),
-            (basket.l_orderkey == b.b_orderkey) & (basket.p_brand < b.brand_b),
+        basket_sets.select(F.explode("__brands").alias("brand_a"), "__brands")
+        .select(
+            "brand_a",
+            F.explode(F.filter("__brands", lambda x: x > F.col("brand_a"))).alias(
+                "brand_b"
+            ),
         )
-        .groupBy(F.col("p_brand").alias("brand_a"), "brand_b")
+        .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("pair_cnt"))
     )
     ca = brand_count.select(

@@ -290,12 +290,20 @@ def test_snapshot_diff_is_one_key_shuffle(registry, spark, sf_dir):
 
 
 def test_market_basket_no_cross_basket_pairing(registry, spark, sf_dir):
-    """market_basket_lift: pair generation must stay an equi-join on the
-    basket key (fan-out bounded by basket width). The only nested-loop
-    allowed is the 1-row basket-count scalar's crossJoin."""
+    """market_basket_lift: pair generation must be ROW-LOCAL over the
+    per-basket brand set (the a<b double-explode; fan-out bounded by
+    basket width) — no pairing join at all, so no cross-basket pairing is
+    even expressible. The only nested-loop allowed is the 1-row
+    basket-count scalar's crossJoin; the only hash joins are the two
+    marginal joins on the pair table."""
     simple = explain_str(registry["market_basket_lift"].fn(spark, sf_dir), mode="simple")
     assert "CartesianProduct" not in simple, simple[:2000]
     assert simple.count("BroadcastNestedLoopJoin") <= 1, simple[:2000]
+    # the former basket self-join is gone: pairs come from Generate
+    # (explode) nodes, never a ShuffledHashJoin/SortMergeJoin on the
+    # checkpointed basket table itself
+    assert "ShuffledHashJoin" not in simple, simple[:2000]
+    assert "Generate explode" in simple, simple[:2000]
 
 
 def test_funnel_windowed_single_user_exchange_no_join(registry, spark, sf_dir):
