@@ -1265,7 +1265,13 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     toks = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("tok"))
-    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    # vocabulary-sized, two consumers (scalar total + probe join):
+    # checkpoint once so neither re-runs the corpus explode+count
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     tot = freq.agg(F.sum("n").alias("total"))
     # per-token -ln(p) quantized ONCE to a 1e-9-grain integer, summed
     # exactly (long addition commutes), then one deterministic double
@@ -1286,6 +1292,11 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "score"
             ),
         )
+        # doc-sized but 3 narrow columns, and TWO consumers (the
+        # percentile-cut scalar and the final bucket projection): without
+        # this the whole score pipeline — explode, freq join, per-doc sum
+        # — runs twice end-to-end
+        .localCheckpoint(eager=True)
     )
     cuts = scored.agg(
         F.expr("percentile_disc(0.3333) WITHIN GROUP (ORDER BY score)").alias("c_head"),
@@ -1480,7 +1491,17 @@ def corpus_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("doc_id", F.lag("tok").over(w).alias("w1"), F.col("tok").alias("w2"))
         .filter(F.col("w1").isNotNull())
     )
-    bigf = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # bigram-type-sized aggregate with FOUR consumers (context rollup,
+    # continuation rollup, the n_types scalar, and the probe join) — each
+    # would otherwise re-run the corpus posexplode + per-doc lag window +
+    # bigram count underneath it: 5 corpus passes where 2 suffice.
+    # Checkpoint the narrow type table once (the simhash/triangle
+    # pattern); the probe side re-derives `pairs` exactly once.
+    bigf = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     ctx = bigf.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count("*").alias("n_succ")
     )

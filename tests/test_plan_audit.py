@@ -580,6 +580,22 @@ def test_perplexity_buckets_no_global_window(registry, spark, sf_dir):
     assert "percentile_disc" in plan
 
 
+def test_kneser_ney_one_corpus_pass_in_action_plan(registry, spark, sf_dir):
+    """corpus_kneser_ney_logprob: the bigram-type table is checkpointed
+    once, so the action plan re-derives the corpus posexplode + per-doc
+    lag window exactly ONCE (the probe side); the four bigf consumers
+    read checkpoint scans. Before the checkpoint the same plan carried
+    five FileScan+Window evaluations of the identical subtree."""
+    plan = explain_str(
+        registry["corpus_kneser_ney_logprob"].fn(spark, sf_dir), mode="simple"
+    )
+    n_scans = plan.count("FileScan")
+    n_windows = plan.count("Window")
+    assert n_scans <= 1, f"expected <=1 corpus FileScan, saw {n_scans}: " + plan[:2000]
+    assert n_windows <= 1, f"expected <=1 lag window, saw {n_windows}: " + plan[:2000]
+    assert "ExistingRDD" in plan or "Scan" in plan, plan[:2000]
+
+
 def test_q2_shipped_takeordered_and_broadcasts(registry, spark, sf_dir):
     plan = explain_str(registry["tpch_q2_shipped"].fn(spark, sf_dir), mode="simple")
     assert "TakeOrderedAndProject" in plan, plan[:2000]
