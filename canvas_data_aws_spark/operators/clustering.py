@@ -52,6 +52,8 @@ def connected_components(
     adding one node-sized join per round (jobs 28 -> 36, wall a wash);
     see OPTIMIZATION_r13.md.
     """
+    if max_iterations < 1:
+        raise ValueError("connected_components needs max_iterations >= 1")
     bidir = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionAll(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
@@ -65,13 +67,30 @@ def connected_components(
     # that's a tiny fraction of the corpus. Singletons (component = self)
     # join back in one final pass, so the per-iteration shuffle is sized by
     # the duplicate population, not the corpus.
-    labels = (
-        bidir.select(F.col("src").alias("v"))
-        .distinct()
-        .withColumn("component", F.col("v"))
-        # lazy: round 1's count materializes the seed together with its
-        # own checkpoint — no standalone seed job
+    #
+    # Round 1 runs against IDENTITY seed labels (label(v) = v), so its
+    # neighbor-min needs no label table and no join at all:
+    #     nbr_min(v) = min over in-edges (src -> v) of src
+    # and because bidir is symmetrized its dst set IS the full edge-vertex
+    # set, so the seed table (a distinct over srcs) is redundant too. One
+    # edge-partitioned aggregate replaces the seed distinct exchange, the
+    # seed checkpoint, and round 1's edge x frontier join — the round where
+    # the frontier is |V|-sized and the join is at its most expensive.
+    new_labels = (
+        bidir.groupBy(F.col("dst").alias("v"))
+        .agg(F.min("src").alias("nmin"))
+        .select(
+            "v",
+            F.least(F.col("v"), F.col("nmin")).alias("component"),
+            (F.col("nmin") < F.col("v")).alias("__changed"),
+        )
         .localCheckpoint(eager=False)
+    )
+    frontier = new_labels.filter(F.col("__changed")).drop("__changed")
+    changed = frontier.count()  # materializes round 1's checkpoint
+    labels = new_labels.drop("__changed")
+    logging.getLogger(__name__).debug(
+        "connected_components round 1: changed=%d", changed
     )
     # Frontier (delta) propagation, the Pregel voteToHalt shape: labels
     # decrease monotonically, so a vertex needs re-propagation ONLY in the
@@ -82,8 +101,9 @@ def connected_components(
     # whose label changed) equals min(self, min over ALL neighbors) because
     # an unchanged neighbor's label was already folded in the round it last
     # changed.
-    frontier = labels  # round 0: everything just "changed" to its seed
-    for _it in range(max_iterations):
+    for _it in range(1, max_iterations):
+        if changed == 0:  # fixpoint: propagation converged
+            break
         # frontier comes off a localCheckpoint, whose RDD scan carries no
         # reliable size stats — without a hint the compile-time planner may
         # pick the (data-sized) side as a broadcast build (the 8 GiB abort
@@ -111,8 +131,6 @@ def connected_components(
         logging.getLogger(__name__).debug(
             "connected_components round %d: changed=%d", _it + 1, changed
         )
-        if changed == 0:  # fixpoint: propagation converged
-            break
     bidir.unpersist()
     lab = labels.select(F.col("v").alias(vertex_col), "component")
     if vertices is None:
@@ -239,16 +257,28 @@ def label_propagation(
     nodes = nodes.distinct().persist()
     labels = nodes.withColumn("lab", F.col("id"))
     for it in range(iterations):
-        cand = (
-            e.join(labels.hint("shuffle_hash"), e.src == labels.id)
-            .groupBy(F.col("dst").alias("nid"), "lab")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        pick = (
-            cand.groupBy("nid")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("neg_lab"))).alias("s"))
-            .select(F.col("nid").alias("id"), (-F.col("s.neg_lab")).alias("new_lab"))
-        )
+        if it == 0:
+            # Round 1 runs against IDENTITY seed labels over a
+            # duplicate-free edge list: every (dst, src-as-label) candidate
+            # count is exactly 1, so "most frequent label, ties -> smallest"
+            # collapses to min over in-neighbors of src — no edge x label
+            # join, no (dst, lab)-keyed count exchange, no argmax; just the
+            # node-sized min aggregate every round pays anyway.
+            pick = (
+                e.groupBy(F.col("dst").alias("id"))
+                .agg(F.min("src").alias("new_lab"))
+            )
+        else:
+            cand = (
+                e.join(labels.hint("shuffle_hash"), e.src == labels.id)
+                .groupBy(F.col("dst").alias("nid"), "lab")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            pick = (
+                cand.groupBy("nid")
+                .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("neg_lab"))).alias("s"))
+                .select(F.col("nid").alias("id"), (-F.col("s.neg_lab")).alias("new_lab"))
+            )
         labels = nodes.join(pick, "id", "left").select(
             "id", F.coalesce("new_lab", F.col("id")).alias("lab")
         )

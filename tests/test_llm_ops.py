@@ -755,6 +755,60 @@ def test_clustering_fast_path_flags_equal_defensive_path(spark):
     assert lpa_def == lpa_fast and len(lpa_def) == 7
 
 
+def test_clustering_identity_seed_round_one_semantics(spark):
+    """Round 1 of both BSP loops is special-cased (identity seed labels ->
+    plain min-over-neighbors aggregate, no join): with a budget of exactly
+    ONE round the result must still equal the brute-force definition of one
+    synchronous update, and a path graph that NEEDS later rounds must still
+    converge through them."""
+    import pyspark.sql.functions as F
+
+    from canvas_data_aws_spark.operators.clustering import (
+        connected_components,
+        label_propagation,
+    )
+
+    # path 5-4-3-2-1 plus isolated vertex 9: one round of min-label gives
+    # label(v) = min(v, neighbors(v)); full convergence collapses all of
+    # the path to 1.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 9)], ["id"])
+    one_round = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            verts, edges, vertex_col="id", max_iterations=1, src_col="src",
+            dst_col="dst",
+        ).collect()
+    }
+    # min(self, min over neighbors) after exactly one synchronous round
+    assert one_round == {(1, 1), (2, 1), (3, 2), (4, 3), (5, 4), (9, 9)}
+    converged = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            verts, edges, vertex_col="id", src_col="src", dst_col="dst"
+        ).collect()
+    }
+    assert converged == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (9, 9)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_iterations"):
+        connected_components(verts, edges, vertex_col="id", max_iterations=0)
+
+    # LPA round 1 over identity labels: every in-neighbor label is distinct
+    # (count 1 each), so the argmax tie-break picks min(src); nodes with no
+    # in-edges keep their own id.
+    bidir = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lpa_one = {
+        (r["id"], r["lab"]) for r in label_propagation(bidir, iterations=1).collect()
+    }
+    assert lpa_one == {(1, 2), (2, 1), (3, 2), (4, 3), (5, 4)}
+
+
 def test_ivf_nprobe_sweep_monotone(spark, sf_dir):
     """The sweep's recall must be non-decreasing in nprobe and reach the
     single-report setting's floor at nprobe=4."""
