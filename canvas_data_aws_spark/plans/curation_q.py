@@ -1636,6 +1636,11 @@ def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # the vocab rollup is the only corpus-sized pass and it feeds FIVE
+        # consumers (the total + four top-k branches); it is type-bounded
+        # (word, cnt), so materialize it once — the same narrow-derived-
+        # table checkpoint the LM family uses (§10). Corpus passes 5 -> 1.
+        .localCheckpoint(eager=True)
     )
     total = vocab.agg(F.sum("cnt").cast("bigint").alias("total_tokens"))
     outs = []

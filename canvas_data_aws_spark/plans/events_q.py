@@ -108,10 +108,17 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # Each stage is a narrow user-grain rollup consumed by SEVERAL
+    # downstream branches (s1 by s2/conv/counts, s2 by s3/counts, s3 by
+    # conv/counts); unmaterialized, the scalar-subquery fan-out replayed
+    # the events scan 10x. Checkpointing the three stage tables (§10
+    # narrow-derived-table pattern) brings the corpus passes down to the
+    # algorithm's floor of 3 — one per stage predicate.
     s1 = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     s2 = (
         e.filter(F.col("event_type") == "click")
@@ -119,6 +126,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     s3 = (
         e.filter(F.col("event_type") == "purchase")
@@ -126,6 +134,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
+        .localCheckpoint(eager=True)
     )
     conv = s1.join(s3, "user_id").agg(
         F.round(F.avg(F.col("t3").cast("long") - F.col("t1").cast("long")), 4).alias(
@@ -1662,7 +1671,17 @@ def events_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y")
     )
     w = Window.partitionBy("event_type").orderBy("hour_ts").rowsBetween(-11, 12)
-    trended = hourly.withColumn("trend", F.avg("y").over(w))
+    # trended is the only corpus-sized pass (events scan -> hourly rollup ->
+    # trend window) and the join tree below consumes it through FOUR paths
+    # (seasonal, and resid via rmed/dev/rmad) — unmaterialized, the census
+    # showed the full scan+window subtree evaluated 8x. The rollup is
+    # (event_type x hour)-bounded, so checkpointing it is the same
+    # narrow-derived-table materialization the LM family uses (§10): the
+    # corpus is scanned ONCE, every statistic re-derives from the tiny
+    # checkpoint.
+    trended = hourly.withColumn("trend", F.avg("y").over(w)).localCheckpoint(
+        eager=True
+    )
     seasonal = trended.withColumn("__d", F.col("y") - F.col("trend")).groupBy(
         F.col("event_type").alias("s_event_type"),
         F.hour("hour_ts").cast("int").alias("hod"),
@@ -1682,9 +1701,14 @@ def events_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
     rmed = resid.groupBy(F.col("event_type").alias("m_event_type")).agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)").alias("med")
     )
-    dev = resid.join(
-        F.broadcast(rmed), F.col("event_type") == F.col("m_event_type")
-    ).withColumn("adev", F.abs(F.col("r") - F.col("med")))
+    # dev feeds both rmad and the final aggregate; it is the same bounded
+    # (event_type x hour) grain as trended, so one more checkpoint stops the
+    # resid join tree being evaluated once per consumer.
+    dev = (
+        resid.join(F.broadcast(rmed), F.col("event_type") == F.col("m_event_type"))
+        .withColumn("adev", F.abs(F.col("r") - F.col("med")))
+        .localCheckpoint(eager=True)
+    )
     rmad = dev.groupBy(F.col("event_type").alias("a_event_type")).agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
     )
@@ -1850,6 +1874,12 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
         .withColumn("variant", F.col("user_id") % 2)
+        # per_user feeds BOTH moment aggregates (glob, pv), and each
+        # unmaterialized evaluation replays the events scan twice (cutoff
+        # scalar + main pass) — 4 corpus scans where 2 is the floor.
+        # Checkpointing the narrow user-grain table makes the doc's "the
+        # per-user table shuffles once" claim literally true (§10 pattern).
+        .localCheckpoint(eager=True)
     )
     # Second moments as scaled-integer products summed exactly in
     # DECIMAL(38,0): DuckDB's DECIMAL multiply does not widen past 18
@@ -2143,6 +2173,11 @@ def events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", F.min("ts")).cast("date").alias("first_day"),
             F.date_trunc("day", F.max("ts")).cast("date").alias("last_day"),
         )
+        # p is the only corpus-sized pass and feeds TWO consumers (the
+        # end-day scalar and the lifetimes projection); it is a narrow
+        # user-grain rollup, far smaller than the events it aggregates, so
+        # materialize it once (§10 pattern) — the corpus is scanned ONCE.
+        .localCheckpoint(eager=True)
     )
     g = p.agg(F.max("last_day").alias("end_day"))
     lifetimes = p.crossJoin(F.broadcast(g)).select(
@@ -2151,11 +2186,15 @@ def events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("churned"),
     )
+    # by_dur (duration-spine-bounded, a few hundred rows) feeds THREE
+    # consumers (the self theta-join's both sides and the final join);
+    # checkpoint it so each reads the tiny table instead of replaying the
+    # user rollup.
     by_dur = lifetimes.groupBy("dur").agg(
         F.sum("churned").cast("bigint").alias("n_churned"),
         (F.count(F.lit(1)) - F.sum("churned")).cast("bigint").alias("n_censored"),
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
-    )
+    ).localCheckpoint(eager=True)
     other = by_dur.select(
         F.col("dur").alias("dur2"), F.col("n_total").alias("n_total2")
     )

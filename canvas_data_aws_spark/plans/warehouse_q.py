@@ -459,6 +459,11 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_exact",
         )
+        # rfm feeds BOTH the cutpoint aggregate and the final projection,
+        # and each unmaterialized evaluation replays the orders scan twice
+        # (anchor scalar + rollup) — 4 scans where 2 is the floor. The
+        # rollup is narrow customer-grain: checkpoint it once (§10 pattern).
+        .localCheckpoint(eager=True)
     )
     # Nine exact discrete cutpoints in ONE scalar aggregate (percentile_disc
     # returns an element of the multiset — no interpolation, so the value
