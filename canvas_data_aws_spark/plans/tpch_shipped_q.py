@@ -104,6 +104,12 @@ def tpch_q2_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("psx_partkey", "psx_supplycost", "s_acctbal", "s_name", "n_name")
+        # eligible feeds BOTH the per-part MIN and the final join-back; the
+        # bridge inside it is a full lineitem aggregate, so unmaterialized
+        # the fact table is aggregated twice per query. The table is
+        # (part,supplier)-grain and narrow: checkpoint it once (§10/§12
+        # pattern) — join topology unchanged, lineitem passes 2 -> 1.
+        .localCheckpoint(eager=True)
     )
     mn = (
         eligible.groupBy("psx_partkey")
@@ -237,6 +243,11 @@ def tpch_q11_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("psx_supplycost") * F.col("psx_shipqty").cast("decimal(18,4)")
             ).alias("value_")
         )
+        # g feeds BOTH the global total and the share filter; the bridge
+        # inside it is a full lineitem aggregate, so unmaterialized the
+        # fact table is aggregated twice per query. Part-grain and two
+        # columns wide: checkpoint it once — lineitem passes 2 -> 1.
+        .localCheckpoint(eager=True)
     )
     tot = g.agg(F.sum("value_").alias("t"))
     return (
@@ -328,28 +339,29 @@ def tpch_q20_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
     )
-    qty97 = (
-        li.filter(
-            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum("l_quantity").alias("q97"))
+    # ONE aggregate yields both the 1997 quantity and the all-time quantity
+    # per (part, supplier): the conditional sum is NULL for pairs with no
+    # 1997 line, so the q97 > 0.5*qa filter drops exactly the pairs the old
+    # qty97-inner-join-qall shape dropped — same rows, one lineitem pass
+    # and one (part,supp) exchange instead of two of each plus a join.
+    # l_quantity is integral doubles, so the sums are order-exact.
+    both = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") >= "1997-01-01")
+                & (F.col("l_shipdate") < "1998-01-01"),
+                F.col("l_quantity"),
+            )
+        ).alias("q97"),
+        F.sum("l_quantity").alias("qa"),
     )
-    qall = li.groupBy(
-        F.col("l_partkey").alias("a_partkey"), F.col("l_suppkey").alias("a_suppkey")
-    ).agg(F.sum("l_quantity").alias("qa"))
     pp = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("small%"))
         .select("p_partkey")
     )
     excess = (
-        qty97.join(
-            qall,
-            (F.col("a_partkey") == F.col("l_partkey"))
-            & (F.col("a_suppkey") == F.col("l_suppkey")),
-        )
-        .join(pp, pp.p_partkey == F.col("l_partkey"))
+        both.join(pp, pp.p_partkey == F.col("l_partkey"))
         .filter(F.col("q97") > 0.5 * F.col("qa"))
         .select("l_suppkey")
         .distinct()
