@@ -565,31 +565,44 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash signatures as pure DataFrame ops: the i-th component is
-    min over shingles of xxhash64(shingle, seed, i). One explode + one
-    grouped aggregation (64 mins fused in a single partial+final pass);
-    no model fit, no driver state — scales as a single shuffle of
-    (id, 64 longs).
+    min over shingles of xxhash64(shingle, seed, i), computed ROW-LOCALLY
+    over the shingle array (one hashing transform + num_hashes array_min
+    folds) — no explode, no exchange, no aggregation state; the signature
+    pass is a pure map and only downstream consumers (banding, rejoin)
+    ever shuffle the (id, 64 longs) table.
     """
     # Carter-Wegman family: hash_i(s) = (h1 + i*h2) mod p from two base
     # xxhash64 draws — hashing each shingle twice instead of num_hashes
-    # times, and keeping the 64 MIN aggregates as trivial arithmetic
-    # (compiling 64 distinct xxhash64 aggregate trees measured ~7s of
-    # one-off codegen latency). p = 2^31-1 keeps i*h2 far from BIGINT
-    # overflow (ANSI mode would raise).
+    # times. p = 2^31-1 keeps i*h2 far from BIGINT overflow (ANSI mode
+    # would raise). Row-local array folds replaced the previous
+    # explode + 64-fused-MIN groupBy: signatures are bit-identical
+    # (pinned by test), the exploded-row materialization and its
+    # id-keyed exchange disappear, and the 64 array transforms compile
+    # markedly cheaper than 64 aggregate trees (cold-codegen rep measured
+    # 2.7 s -> 1.5 s; warm exec 1.4 -> 1.1-1.3 s at sf0.1).
     p = (1 << 31) - 1
     sh = spread(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k_shingle).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    exploded = sh.select("id", F.explode("shingles").alias("shingle")).select(
+    hp = sh.select(
         "id",
-        F.pmod(F.xxhash64(F.col("shingle"), F.lit(seed)), F.lit(p)).alias("h1"),
-        F.pmod(F.xxhash64(F.col("shingle"), F.lit(seed + 1)), F.lit(p)).alias("h2"),
+        F.transform(
+            "shingles",
+            lambda s: F.struct(
+                F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(p)).alias("h1"),
+                F.pmod(F.xxhash64(s, F.lit(seed + 1)), F.lit(p)).alias("h2"),
+            ),
+        ).alias("hp"),
     )
-    mins = [
-        F.min((F.col("h1") + i * F.col("h2")) % p).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    sig = exploded.groupBy("id").agg(*mins)
-    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+    return hp.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(F.transform("hp", lambda s: (s["h1"] + i * s["h2"]) % p))
+                for i in range(num_hashes)
+            ]
+        ).alias("signature"),
+    )
 
 
 def minhash_lsh_pairs(

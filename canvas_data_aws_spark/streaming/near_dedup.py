@@ -15,7 +15,8 @@ instead of a file key.
 Per-batch cost at 100 TB (the contract that makes this streamable):
 
 - one signature pass over the BATCH (delta-sized, Arrow-free: pure
-  xxhash64 + min aggregates, operators/dedup.py::minhash_signatures);
+  row-local xxhash64 + array-min folds, no exchange,
+  operators/dedup.py::minhash_signatures);
 - one band equi-join batch x state where the state side is PARTITION-
   PRUNED: band rows live under ``bucket=pmod(xxhash64(band_no, band_val),
   n_state_buckets)`` directories, the batch's touched buckets (a

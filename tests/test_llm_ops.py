@@ -47,6 +47,42 @@ def test_minhash_recall_against_exact_jaccard(docs):
     assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(exact)} exact pairs"
 
 
+def test_minhash_signature_rowlocal_matches_agg_reference(docs):
+    """minhash_signatures computes the Carter-Wegman mins ROW-LOCALLY over
+    the shingle array; the values must be bit-identical to the reference
+    explode + grouped-MIN formulation it replaced."""
+    import pyspark.sql.functions as F
+
+    from canvas_data_aws_spark.operators.dedup import (
+        minhash_signatures,
+        spread,
+        word_shingles,
+    )
+
+    sample = docs.limit(300)
+    got = {
+        r["id"]: list(r["signature"])
+        for r in minhash_signatures(sample, num_hashes=64).collect()
+    }
+    p = (1 << 31) - 1
+    seed = 42
+    sh = spread(sample).select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    exploded = sh.select("id", F.explode("shingles").alias("shingle")).select(
+        "id",
+        F.pmod(F.xxhash64(F.col("shingle"), F.lit(seed)), F.lit(p)).alias("h1"),
+        F.pmod(F.xxhash64(F.col("shingle"), F.lit(seed + 1)), F.lit(p)).alias("h2"),
+    )
+    ref = exploded.groupBy("id").agg(
+        *[F.min((F.col("h1") + i * F.col("h2")) % p).alias(f"h{i}") for i in range(64)]
+    )
+    want = {
+        r["id"]: [r[f"h{i}"] for i in range(64)] for r in ref.collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_simhash_finds_high_jaccard_pairs(docs):
     exact = {
         (r["id_a"], r["id_b"])
