@@ -101,35 +101,59 @@ def connected_components(
     # whose label changed) equals min(self, min over ALL neighbors) because
     # an unchanged neighbor's label was already folded in the round it last
     # changed.
-    for _it in range(1, max_iterations):
-        if changed == 0:  # fixpoint: propagation converged
-            break
-        # frontier comes off a localCheckpoint, whose RDD scan carries no
-        # reliable size stats — without a hint the compile-time planner may
-        # pick the (data-sized) side as a broadcast build (the 8 GiB abort
-        # class found in graph_triangle_count's 10x probe). Pin the hash
-        # build explicitly; AQE still upgrades to broadcast at runtime when
-        # the measured shuffle is genuinely small.
-        nbr_min = (
-            bidir.join(frontier.hint("shuffle_hash"), bidir.src == frontier.v)
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.min("component").alias("nmin"))
-        )
-        # The convergence flag rides the checkpointed frame, so both the
-        # fixpoint probe and the next frontier are cached-scan filters —
-        # no old-vs-new join, no recompute. The checkpoint is LAZY and the
-        # frontier count is the materializing action: one job per round
-        # does both (an eager checkpoint + separate count pays two).
-        new_labels = labels.join(nbr_min.hint("shuffle_hash"), "v", "left").select(
-            "v",
-            F.least("component", F.coalesce("nmin", "component")).alias("component"),
-            (F.coalesce("nmin", "component") < F.col("component")).alias("__changed"),
-        ).localCheckpoint(eager=False)
-        frontier = new_labels.filter(F.col("__changed")).drop("__changed")
-        changed = frontier.count()  # materializes the round's checkpoint
-        labels = new_labels.drop("__changed")
+    it = 1
+    while it < max_iterations and changed != 0:
+        # Fixpoint probe (and checkpoint materializer) every SECOND round:
+        # the per-round count() is a driver barrier — one whole-cluster
+        # sync per round — while the probe's only job is deciding when to
+        # stop. Probing at round boundaries 1,3,5,... halves the barriers;
+        # the worst case is ONE round executed past the fixpoint, whose
+        # frontier is EMPTY — AQE's runtime empty-relation propagation
+        # collapses that round's edge x frontier join (empty build side)
+        # and the left join-back (empty right side) to a node-sized
+        # pass-through, so the coarser probe never costs an edge scan.
+        # Lineage between materializations is 2 rounds deep — still bounded.
+        steps = min(2, max_iterations - it)
+        for _ in range(steps):
+            prev_labels = labels
+            # frontier comes off a localCheckpoint (or a lazy chain over
+            # one), whose RDD scan carries no reliable size stats — without
+            # a hint the compile-time planner may pick the (data-sized)
+            # side as a broadcast build (the 8 GiB abort class found in
+            # graph_triangle_count's 10x probe). Pin the hash build
+            # explicitly; AQE still upgrades to broadcast at runtime when
+            # the measured shuffle is genuinely small.
+            nbr_min = (
+                bidir.join(frontier.hint("shuffle_hash"), bidir.src == frontier.v)
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.min("component").alias("nmin"))
+            )
+            # The convergence flag rides the checkpointed frame, so both
+            # the fixpoint probe and the next frontier are cached-scan
+            # filters — no old-vs-new join, no recompute. The checkpoint is
+            # LAZY and the batch-boundary frontier count is the
+            # materializing action for every round in the batch.
+            new_labels = labels.join(nbr_min.hint("shuffle_hash"), "v", "left").select(
+                "v",
+                F.least("component", F.coalesce("nmin", "component")).alias("component"),
+                (F.coalesce("nmin", "component") < F.col("component")).alias("__changed"),
+            ).localCheckpoint(eager=False)
+            frontier = new_labels.filter(F.col("__changed")).drop("__changed")
+            labels = new_labels.drop("__changed")
+            it += 1
+        changed = frontier.count()  # materializes the batch's checkpoints
+        if changed == 0:
+            # The batch's last round was a NO-OP (changed counts strict
+            # label improvements, and labels decrease monotonically), so
+            # its output is row-identical to the round before it. Return
+            # the earlier frame: one join layer shallower, which keeps the
+            # checkpoint's carried size estimate small enough that the
+            # singleton join-back still compiles to a broadcast join (the
+            # round-13 BHJ flip) instead of drifting to SMJ as estimate
+            # layers stack up.
+            labels = prev_labels
         logging.getLogger(__name__).debug(
-            "connected_components round %d: changed=%d", _it + 1, changed
+            "connected_components round %d: changed=%d", it, changed
         )
     bidir.unpersist()
     lab = labels.select(F.col("v").alias(vertex_col), "component")
@@ -244,18 +268,25 @@ def label_propagation(
     skips the defensive distinct (duplicates would inflate label counts,
     changing the vote, so only pass it when uniqueness genuinely holds).
     ``symmetric``: caller guarantees every edge appears in both
-    directions — the node set is then src alone (skips half the
-    node-derivation union).
+    directions — then every node is both a src and a dst, so (a) the node
+    set is src alone (skips half the node-derivation union) and (b) each
+    round's vote covers EVERY node, making the per-round join-back
+    against the node table (whose coalesce only fires for nodes with no
+    in-neighbors) the identity — the node table and its distinct shuffle,
+    cache fill, and per-round join are skipped entirely.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if not assume_unique:
         e = e.distinct()
     e = e.repartition("src").persist()
-    nodes = e.select(F.col("src").alias("id"))
-    if not symmetric:
-        nodes = nodes.unionAll(e.select(F.col("dst").alias("id")))
-    nodes = nodes.distinct().persist()
-    labels = nodes.withColumn("lab", F.col("id"))
+    if symmetric and iterations >= 1:
+        nodes = None  # vote output IS the node set each round (see above)
+    else:
+        nodes = e.select(F.col("src").alias("id"))
+        if not symmetric:
+            nodes = nodes.unionAll(e.select(F.col("dst").alias("id")))
+        nodes = nodes.distinct().persist()
+    labels = nodes.withColumn("lab", F.col("id")) if nodes is not None else None
     for it in range(iterations):
         if it == 0:
             # Round 1 runs against IDENTITY seed labels over a
@@ -279,9 +310,13 @@ def label_propagation(
                 .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("neg_lab"))).alias("s"))
                 .select(F.col("nid").alias("id"), (-F.col("s.neg_lab")).alias("new_lab"))
             )
-        labels = nodes.join(pick, "id", "left").select(
-            "id", F.coalesce("new_lab", F.col("id")).alias("lab")
-        )
+        if nodes is None:
+            # symmetric: pick's id set IS the node set — no join-back
+            labels = pick.select("id", F.col("new_lab").alias("lab"))
+        else:
+            labels = nodes.join(pick, "id", "left").select(
+                "id", F.coalesce("new_lab", F.col("id")).alias("lab")
+            )
         # labels(k) is consumed exactly once (by round k+1), so lineage
         # grows LINEARLY — no per-round materialization needed; the whole
         # bounded loop executes as one job at the consumer's action. A
@@ -294,7 +329,8 @@ def label_propagation(
     # edge/node tables can be released before the caller consumes labels
     labels = labels.localCheckpoint(eager=True)
     e.unpersist()
-    nodes.unpersist()
+    if nodes is not None:
+        nodes.unpersist()
     return labels
 
 

@@ -734,6 +734,51 @@ def test_ivf_upsert_rejects_duplicate_ids(spark, sf_dir):
         sim.ivf_upsert(idx, emb.limit(3))
 
 
+def test_clustering_batched_probe_and_symmetric_loop(spark):
+    """r14 internals pins: (a) connected_components probes the fixpoint at
+    every SECOND round — a graph converging at an even round runs one
+    no-op round past the fixpoint and must return the earlier (identical)
+    frame; (b) label_propagation's symmetric fast path drops the per-round
+    node join-back — results must match the defensive path, including the
+    iterations=0 identity edge case."""
+    import pyspark.sql.functions as F
+
+    from canvas_data_aws_spark.operators.clustering import (
+        connected_components,
+        label_propagation,
+    )
+
+    # path 9-8-7-6-5: min-label needs 4 rounds to pull 5 across to 9's end
+    # (fixpoint detected at the round-5 boundary, i.e. mid-batch)
+    edges = spark.createDataFrame(
+        [(9, 8), (8, 7), (7, 6), (6, 5)], ["src", "dst"]
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            None, edges, vertex_col="id", src_col="src", dst_col="dst",
+            assume_unique=True,
+        ).collect()
+    }
+    assert got == {(5, 5), (6, 5), (7, 5), (8, 5), (9, 5)}
+
+    bidir = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    for iters in (0, 2, 4):
+        lpa_def = {
+            (r["id"], r["lab"])
+            for r in label_propagation(bidir, iterations=iters).collect()
+        }
+        lpa_sym = {
+            (r["id"], r["lab"])
+            for r in label_propagation(
+                bidir, iterations=iters, assume_unique=True, symmetric=True
+            ).collect()
+        }
+        assert lpa_def == lpa_sym, f"iterations={iters}"
+
+
 def test_clustering_fast_path_flags_equal_defensive_path(spark):
     """assume_unique/symmetric/vertices=None fast paths must give the same
     answers as the defensive path on a graph that satisfies the contracts,
