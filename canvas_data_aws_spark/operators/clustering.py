@@ -38,6 +38,8 @@ def connected_components(
     ``None`` when every vertex is an edge endpoint by construction — the
     final singleton join-back (one vertex-sized shuffle join) is skipped.
     ``edges`` is undirected (both directions are propagated each round).
+    ``max_iterations`` must be >= 1 (raises ``ValueError`` otherwise; the
+    pre-r13 behavior of returning identity labels at 0 is gone).
     ``assume_unique``: caller guarantees the edge list is duplicate-free
     AND stays so after symmetrization (e.g. a deduped bipartite graph with
     disjoint src/dst key ranges) — skips one full-edge-list distinct
@@ -267,6 +269,12 @@ def label_propagation(
     ``assume_unique``: caller guarantees a duplicate-free edge list —
     skips the defensive distinct (duplicates would inflate label counts,
     changing the vote, so only pass it when uniqueness genuinely holds).
+    NOTE the round-1 identity-seed fast path (min over in-neighbors) is
+    equivalent to the frequency vote ONLY on a duplicate-free edge list:
+    with ``assume_unique=True`` and a caller that violates the contract,
+    round 1 silently diverges from the vote the later rounds compute —
+    the defensive path (``assume_unique=False``) distincts first and is
+    immune.
     ``symmetric``: caller guarantees every edge appears in both
     directions — then every node is both a src and a dst, so (a) the node
     set is src alone (skips half the node-derivation union) and (b) each

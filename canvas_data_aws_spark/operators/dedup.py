@@ -308,11 +308,32 @@ def ngram_jaccard_pairs(
     count still use the pruned universe, so jaccard becomes a lower-bound
     estimate). None = exact (oracle-checked mode).
     """
-    from pyspark import StorageLevel
-
     sh = spread(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
+    )
+    return ngram_jaccard_pairs_from_shingles(
+        sh, threshold=threshold, max_doc_freq=max_doc_freq, score=score
+    )
+
+
+def ngram_jaccard_pairs_from_shingles(
+    shingled: DataFrame,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    score: str = "jaccard",
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` over a PRECOMPUTED ``(id, shingles)``
+    table — the sharing hook for callers that already materialized the
+    per-doc shingle arrays for another leg of the same query (e.g. the ER
+    evaluation harness, whose blocking features include the identical
+    ``word_shingles(text, 3)`` column): one shingling pass feeds both
+    legs instead of each recomputing normalize+split+shingle from text.
+    Same candidate generation, scoring, thresholds, and skew story as the
+    text-input form; ``shingles`` must be per-doc DISTINCT (word_shingles'
+    default) for the doc-frequency window to count correctly."""
+    from pyspark import StorageLevel
+
+    sh = shingled.select("id", "shingles").withColumn("n_sh", F.size("shingles"))
     exploded = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
     if max_doc_freq is not None:
         from pyspark.sql import Window
@@ -570,6 +591,12 @@ def minhash_signatures(
     folds) — no explode, no exchange, no aggregation state; the signature
     pass is a pure map and only downstream consumers (banding, rejoin)
     ever shuffle the (id, 64 longs) table.
+
+    Precondition: ``id_col`` values are UNIQUE (the usual doc-id
+    contract). The row-local form emits one signature row per INPUT ROW;
+    the pre-r13 explode+groupBy(id) form would instead have merged the
+    shingle sets of duplicate-id rows into one signature. Callers here
+    all feed primary-key ids; pass deduplicated input if yours are not.
     """
     # Carter-Wegman family: hash_i(s) = (h1 + i*h2) mod p from two base
     # xxhash64 draws — hashing each shingle twice instead of num_hashes

@@ -1142,14 +1142,14 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "'Deduplicating Training Data Makes Language Models Better'): every "
     "8-word shingle occurring more than once ANYWHERE in the corpus marks "
     "its 8-token span as duplicated; overlapping spans merge (classic "
-    "island detection: a span opens a new island when its start exceeds "
-    "the running max of previous ends — one doc_id-partitioned window), "
+    "island detection — expressed as ONE row-local aggregate fold over "
+    "each doc's sorted span starts rather than doc-partitioned windows), "
     "and the report is each doc's duplicated-token count and fraction — "
     "the filter signal for memorization-prone boilerplate. Scale shape: "
     "shingles cross the exchange as 16-byte md5 digests (identical "
     "strings in both engines — never raw text), the duplicate-shingle "
-    "set is HAVING-reduced before the start-position join, and the "
-    "interval merge is windowed per doc. The fraction ships UNROUNDED: "
+    "set is HAVING-reduced before it is collected, and the interval "
+    "merge is a linear sweep inside the row. The fraction ships UNROUNDED: "
     "it is a quotient of exact integers, bit-identical in both engines, "
     "where a 4dp ROUND could straddle a binary half.",
     tags=("llm", "curation", "dedup"),
@@ -1179,24 +1179,46 @@ def corpus_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window shuffles the same rows by h exactly once and keeps them.
     # (h is high-cardinality — never a single-partition window.)
     wdup = Window.partitionBy("h")
-    starts = (
+    # Island merge ROW-LOCALLY (r14): collect each doc's duplicate-span
+    # starts (sorted), then one aggregate fold sweeps the sorted starts
+    # merging overlapping [st, st+K-1] intervals — the exact algebra the
+    # previous shape spread over two doc-partitioned windows and two
+    # groupBys (3 doc-keyed exchanges + 2 within-partition sorts). Now
+    # ONE doc-keyed aggregate; the fold state is (total, cur_start,
+    # cur_end) and the -1/-2 sentinel makes the first interval's close
+    # contribute length 0, so no special-casing. Only duplicate-only
+    # span starts cross the exchange, same as before.
+    sorted_starts = (
         sh.withColumn("c", F.count(F.lit(1)).over(wdup))
         .filter(F.col("c") > 1)
-        .select("doc_id", F.col("pos").alias("st"), (F.col("pos") + K - 1).alias("en"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("sts"))
     )
-    w = Window.partitionBy("doc_id").orderBy("st")
-    prev_max_en = F.max("en").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = starts.withColumn(
-        "new_island",
-        (F.col("st") > F.coalesce(prev_max_en, F.lit(-1))).cast("int"),
+    zero = F.lit(0).cast("long")
+    fold = F.aggregate(
+        "sts",
+        F.struct(
+            zero.alias("tot"),
+            F.lit(-1).alias("cur_st"),
+            F.lit(-2).alias("cur_en"),
+        ),
+        lambda acc, st: F.when(
+            st > acc["cur_en"],
+            F.struct(
+                (acc["tot"] + acc["cur_en"] - acc["cur_st"] + 1).alias("tot"),
+                st.alias("cur_st"),
+                (st + K - 1).alias("cur_en"),
+            ),
+        ).otherwise(
+            F.struct(
+                acc["tot"].alias("tot"),
+                acc["cur_st"].alias("cur_st"),
+                F.greatest(acc["cur_en"], st + K - 1).alias("cur_en"),
+            )
+        ),
+        lambda acc: acc["tot"] + acc["cur_en"] - acc["cur_st"] + 1,
     )
-    islands = flagged.withColumn(
-        "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    cov = islands.groupBy("doc_id", "island").agg(
-        (F.max("en") - F.min("st") + 1).alias("covered")
-    )
-    per_doc = cov.groupBy("doc_id").agg(F.sum("covered").alias("dup_tokens"))
+    per_doc = sorted_starts.select("doc_id", fold.alias("dup_tokens"))
     return (
         base.join(per_doc, "doc_id", "left")
         .select(
@@ -1363,14 +1385,17 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cleaned text with every corpus-duplicated 8-gram span REMOVED — the "
     "boilerplate-stripping rewrite of exact-substring deduplication (Lee "
     "et al. remove duplicated spans rather than whole documents, "
-    "preserving the unique remainder). Covered token positions come "
-    "straight from the duplicate span starts (an 8-wide sequence "
-    "explode + distinct — overlap handling is set union, no island "
-    "merge needed), kept tokens anti-join on (doc, pos), and the text "
-    "reassembles per doc via an ordered array sort — deterministic "
-    "strings, engine-exact. Scale shape identical to the report query: "
-    "16-byte digests cross the exchange, never shingle text; the "
-    "reassembly state is one document per group.",
+    "preserving the unique remainder). Duplicate span STARTS are "
+    "collected per doc (one doc-keyed aggregate of duplicate-only "
+    "rows), then the strip is row-local array algebra: covered = "
+    "dedup'd union of the 8-wide ranges, kept = array_except(0..n-1, "
+    "covered) (hash-set lookup, order-preserving), text rebuilt by an "
+    "in-order element_at map — deterministic strings, engine-exact. "
+    "Scale shape: 16-byte digests cross the duplicate-detection "
+    "exchange and only duplicated-span starts cross the doc aggregate; "
+    "corpus TOKENS never cross an exchange at all (the r13 shape "
+    "exploded every token through an anti-join and a collect_list "
+    "rebuild).",
     tags=("llm", "curation", "dedup"),
 )
 def corpus_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1384,9 +1409,6 @@ def corpus_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     base = docs.select("doc_id", F.split(norm, " ").alias("words"))
-    toks = base.select(
-        "doc_id", F.posexplode("words").alias("pos", "tok")
-    )
     sh = docs.select(
         "doc_id",
         F.posexplode(word_shingles(F.col("text"), K, distinct=False)).alias(
@@ -1394,34 +1416,45 @@ def corpus_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("doc_id", "pos", F.md5("shingle").alias("h"))
     wdup = Window.partitionBy("h")
-    covered = (
+    # Duplicate-span STARTS per doc, then the whole strip is ROW-LOCAL
+    # array algebra (r14): covered = dedup'd union of the K-wide position
+    # ranges, kept = array_except(0..n-1, covered) — hash-set semantics,
+    # order-preserving on the left operand, so the rebuilt text is the
+    # same pos-ascending join. This replaces the corpus-TOKEN-sized
+    # posexplode + (doc,pos) anti-join + collect_list/array_sort rebuild
+    # (three token-sized exchanges) with ONE doc-keyed aggregate of the
+    # duplicate-only span starts: at corpus scale tokens never cross an
+    # exchange at all — only duplicated-shingle starts do.
+    starts = (
         sh.withColumn("c", F.count(F.lit(1)).over(wdup))
         .filter(F.col("c") > 1)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + K - 1)).alias("pos"),
-        )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("sts"))
     )
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("kept_tokens"),
-        F.array_join(
+    covered = F.array_distinct(
+        F.flatten(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.getField("tok"),
-            ),
-            " ",
-        ).alias("clean_text"),
+                F.coalesce(F.col("sts"), F.expr("array()")),
+                lambda st: F.sequence(st, st + K - 1),
+            )
+        )
+    )
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("words") - 1), covered
     )
     return (
-        base.select("doc_id", F.size("words").cast("bigint").alias("n_tokens"))
-        .join(rebuilt, "doc_id", "left")
+        base.join(starts, "doc_id", "left")
+        .withColumn("__kept", kept_pos)
         .select(
             "doc_id",
-            "n_tokens",
-            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.size("words").cast("bigint").alias("n_tokens"),
+            F.size("__kept").cast("bigint").alias("kept_tokens"),
+            F.array_join(
+                F.transform(
+                    "__kept", lambda p: F.element_at(F.col("words"), p + 1)
+                ),
+                " ",
+            ).alias("clean_text"),
         )
     )
 

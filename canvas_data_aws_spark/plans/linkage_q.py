@@ -567,13 +567,28 @@ _EVAL_ORACLE = (
     tags=("linkage",),
 )
 def link_eval_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from canvas_data_aws_spark.operators.dedup import ngram_jaccard_pairs
+    from canvas_data_aws_spark.operators.dedup import (
+        ngram_jaccard_pairs_from_shingles,
+        spread,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(docs, k=3, threshold=_EVAL_TRUTH_T).select(
-        "id_a", "id_b", F.lit(True).alias("is_true")
-    )
-    prep = prepared(docs)
+    # ONE text scan + shingling pass for BOTH legs (r14): prepared()'s sh3
+    # IS word_shingles(text, 3) — the identical column the truth index
+    # used to recompute from text via its own ngram_jaccard_pairs scan.
+    # Materialize prepared() once (eager localCheckpoint) and feed the
+    # truth index from its sh3 and the blocking/scoring legs from the
+    # same table — this also stops candidate_pairs' two self-join passes
+    # and score_pairs' two join-backs from re-running normalize+split+
+    # shingle per leg (6 evaluations before). The r13 persist experiment
+    # that lost (+1.0 s) only served the predicted leg and left the truth
+    # leg's independent shingling pass in place — this shape replaces
+    # BOTH. spread() before the fill: the checkpoint's evaluation would
+    # otherwise inherit the scan's (possibly single-file) parallelism.
+    prep = prepared(spread(docs)).localCheckpoint(eager=True)
+    truth = ngram_jaccard_pairs_from_shingles(
+        prep.select("id", F.col("sh3").alias("shingles")), threshold=_EVAL_TRUTH_T
+    ).select("id_a", "id_b", F.lit(True).alias("is_true"))
     predicted = (
         score_pairs(prep, candidate_pairs(prep))
         .filter(F.col("decision") == "match")
