@@ -598,6 +598,21 @@ def minhash_signatures(
     shingle sets of duplicate-id rows into one signature. Callers here
     all feed primary-key ids; pass deduplicated input if yours are not.
     """
+    sh = spread(df).select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k_shingle).alias("shingles")
+    )
+    return minhash_signatures_from_shingles(sh, num_hashes=num_hashes, seed=seed)
+
+
+def minhash_signatures_from_shingles(
+    shingled: DataFrame, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """:func:`minhash_signatures` over a precomputed ``(id, shingles)``
+    table — the sharing hook for callers that need the raw shingle arrays
+    for another leg of the same query (e.g. the calibration report's
+    exact-Jaccard scoring): one shingling pass feeds both. Signatures are
+    bit-identical to the text-input form (same Carter-Wegman arithmetic).
+    Zero-shingle rows are dropped, matching the text form."""
     # Carter-Wegman family: hash_i(s) = (h1 + i*h2) mod p from two base
     # xxhash64 draws — hashing each shingle twice instead of num_hashes
     # times. p = 2^31-1 keeps i*h2 far from BIGINT overflow (ANSI mode
@@ -608,9 +623,7 @@ def minhash_signatures(
     # markedly cheaper than 64 aggregate trees (cold-codegen rep measured
     # 2.7 s -> 1.5 s; warm exec 1.4 -> 1.1-1.3 s at sf0.1).
     p = (1 << 31) - 1
-    sh = spread(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k_shingle).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    sh = shingled.select("id", "shingles").filter(F.size("shingles") > 0)
     hp = sh.select(
         "id",
         F.transform(
@@ -641,6 +654,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
     max_band_freq: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, Spark-native.
 
@@ -654,9 +668,16 @@ def minhash_lsh_pairs(
     ``max_band_freq`` caps degenerate band buckets (see _cap_hot_buckets):
     a band value shared by d docs costs O(d²) in the candidate join, and at
     corpus scale one boilerplate cluster can dominate the whole stage.
+
+    ``shingled``: optional precomputed ``(id, shingles)`` table (see
+    :func:`minhash_signatures_from_shingles`) — signatures are derived
+    from it instead of re-shingling ``df``; bit-identical output.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, seed=seed)
+    if shingled is not None:
+        sig = minhash_signatures_from_shingles(shingled, num_hashes, seed=seed)
+    else:
+        sig = minhash_signatures(df, text_col, id_col, num_hashes, seed=seed)
     sig.persist()
     sig.count()  # materialize once: the signature pipeline feeds 4 branches
 

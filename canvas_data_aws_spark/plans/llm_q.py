@@ -2581,17 +2581,27 @@ def sim_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from canvas_data_aws_spark.operators.dedup import (
         minhash_lsh_pairs,
-        normalize_text,
+        spread,
         word_shingles,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.05)
-    sh = docs.select(
-        "doc_id", word_shingles(normalize_text(F.col("text")), k=3).alias("sh")
-    )
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # ONE shingling pass for both legs (r14): the signature pipeline and
+    # the exact-Jaccard scorer both need word_shingles(text, 3) —
+    # materialize the (id, shingles) table once and feed the signatures
+    # from it (bit-identical Carter-Wegman arithmetic) and the exact
+    # scorer from the same checkpoint. (The previous shape normalized +
+    # split + shingled the corpus twice; normalize_text before
+    # word_shingles was a no-op — word_shingles normalizes internally and
+    # normalization is idempotent.) A diagnostic/calibration query may
+    # materialize corpus-sized state; the production minhash tiers keep
+    # their pure-map signature pass.
+    sh_tbl = spread(docs).select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("shingles")
+    ).localCheckpoint(eager=True)
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.05, shingled=sh_tbl)
+    sa = sh_tbl.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh_tbl.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     scored = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")

@@ -124,6 +124,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.explode(F.array("pa", "pb")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        # TWO consumers (da, db): materialize the degree rollup once
+        # instead of re-running the both-endpoints explode + groupBy per
+        # orientation leg. (The checkpoint carries the origin plan's
+        # ESTIMATE, not measured bytes — probed r14 — so the shuffle_hash
+        # hints below stay: compile-time estimates still cannot be
+        # trusted to pick the build side.)
+        .localCheckpoint(eager=True)
     )
     da = deg.select(F.col("node").alias("pa"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("pb"), F.col("deg").alias("deg_b"))
@@ -147,9 +154,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     # Sorted out-adjacency per apex (<= sqrt(2|E|) entries by orientation).
+    # THREE consumers (ewn, adj_dst, n_edges): materialize once instead of
+    # re-running the exchange + collect_set aggregate per consumer.
     adj = oriented.groupBy("src").agg(
         F.sort_array(F.collect_set("dst")).alias("nbrs")
-    )
+    ).localCheckpoint(eager=True)
     # Regenerate the oriented edge list ROW-LOCAL from adj with the apex's
     # neighbor array attached, then close each edge u->v with one equi-join
     # on dst: |N+(u) ∩ N+(v)| triangles per edge, intersected as a linear
